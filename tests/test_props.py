@@ -1,0 +1,84 @@
+"""Property tests: production segment-splicing cleaner ≡ transcribed oracle
+on random marker soups (nested/unterminated/duplicate matches, random EOS
+placement, CJK/emoji)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import oracle_ref as oracle
+from sparkocr.textproc import grounding as g
+
+EOS = g.EOS
+
+label = st.one_of(
+    st.sampled_from(["image", "title", "text", "table", "figure", "图 1", "a\nb"]),
+    st.text(alphabet="abc图 \n|<>", min_size=0, max_size=6),
+)
+coords = st.one_of(
+    st.sampled_from(["[[1,2,3,4]]", "[[0,0,999,999],[5,6,7,8]]", "[[10,20,", "[]", "x+y"]),
+    st.text(alphabet="[],0123456789", min_size=0, max_size=12),
+)
+filler = st.text(
+    alphabet="ab c\n\t图片🙂<|>refdet/[]\\quad()=:", min_size=0, max_size=12
+)
+
+
+@st.composite
+def marker_soup(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 6))):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(filler))
+        elif kind == 1:
+            parts.append(
+                f"<|ref|>{draw(label)}<|/ref|><|det|>{draw(coords)}<|/det|>"
+            )
+        elif kind == 2:
+            # broken / partial markers
+            parts.append(draw(st.sampled_from([
+                "<|ref|>x<|/ref|>", "<|det|>[[1]]<|/det|>", "<|ref|>y",
+                "<|ref|>image<|/ref|><|det|>", EOS[:7],
+            ])))
+        else:
+            parts.append(EOS)
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(marker_soup(), st.booleans(), st.booleans())
+def test_clean_matches_oracle(text, include_images, remove_labels):
+    got, spans, _ = g.clean_grounded(text, include_images, remove_labels)
+    want = oracle.clean_output_text(text, include_images, remove_labels)
+    assert got == want
+    # span offsets that exist must slice to the label for kept labels
+    if not remove_labels:
+        for s in spans:
+            if (
+                s["start"] is not None
+                and "<|ref|>image<|/ref|>" not in f"<|ref|>{s['label']}<|/ref|>"
+                and s["end"] - s["start"] == len(s["label"])
+            ):
+                assert got[s["start"] : s["end"]] == s["label"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(marker_soup(), st.integers(0, 5))
+def test_pdf_cli_matches_oracle(text, jdx):
+    assert g.pdf_cli_clean(text, jdx) == oracle.pdf_cli_page(text, jdx)
+
+
+@settings(max_examples=150, deadline=None)
+@given(marker_soup())
+def test_eval_batch_matches_oracle(text):
+    assert g.eval_batch_clean(text) == oracle.eval_batch_page(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(marker_soup())
+def test_markdown_grounded_matches_oracle(text):
+    got = g.markdown_grounded(text)
+    want = oracle.clean_formula(oracle.clean_output_text(text, True, True))
+    assert got == want
