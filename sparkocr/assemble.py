@@ -1,0 +1,104 @@
+"""Per-conversation ordered document assembly — pure JVM, skew-resistant.
+
+Reproduces the reference's page assembly:
+
+- CLI style: ``content + '\\n<--- Page Split --->\\n'`` after EVERY page
+  including the last (run_dpsk_ocr_pdf.py:302-304,323), optionally dropping
+  truncated pages first (SKIP_REPEAT, run_dpsk_ocr_pdf.py:295-299).
+- App style: ``'\\n\\n--- 📄 第 {N} 页 ---\\n\\n' + content`` concatenated with
+  no trailing separator (app/processors.py:616-642), N numbered over the
+  *surviving* pages in order.
+
+Everything is built-in expressions (collect_list → array_sort → transform →
+aggregate/array_join): no Python on this path, one shuffle on the cleaned
+text only. For skewed conversations (one conv with ~10^5 turns among small
+ones) the two-phase variant first concatenates fixed-size turn ranges
+(conv_id, turn_idx // chunk) — a salted partial aggregation — then merges
+the ordered chunks, bounding any single group's state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PAGE_SPLIT_SUFFIX = "\n<--- Page Split --->\n"
+
+
+def _ordered_concat(df: DataFrame, key_cols: list[str], order_col: str, text_col: str, out_col: str):
+    """groupBy(key).agg: concat(text ordered by order_col) — JVM only."""
+    pair = F.struct(F.col(order_col).alias("k"), F.col(text_col).alias("v"))
+    agg = df.groupBy(*key_cols).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return agg
+
+
+def assemble_docs_cli(
+    turns: DataFrame,
+    skip_truncated: bool = True,
+    two_phase: bool = True,
+    chunk: int = 4096,
+) -> DataFrame:
+    """CLI-style doc assembly → (conv_id, n_turns, doc_text)."""
+    t = turns
+    if skip_truncated and "is_truncated" in t.columns:
+        t = t.filter(~F.col("is_truncated"))
+    piece = t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.concat(F.coalesce(F.col("clean_text"), F.lit("")), F.lit(PAGE_SPLIT_SUFFIX)).alias(
+            "piece"
+        ),
+    )
+    if not two_phase:
+        agg = _ordered_concat(piece, ["conv_id"], "turn_idx", "piece", "doc_text")
+        return agg.select(
+            "conv_id", F.col("_n").cast("int").alias("n_turns"), "doc_text"
+        )
+    # Phase 1: bounded partial concat per (conv_id, turn range) — caps group
+    # state at `chunk` turns so one huge conversation cannot blow a task.
+    p1 = _ordered_concat(
+        piece.withColumn("chunk_id", (F.col("turn_idx") / F.lit(chunk)).cast("int")),
+        ["conv_id", "chunk_id"],
+        "turn_idx",
+        "piece",
+        "chunk_text",
+    )
+    # Phase 2: merge ordered chunks per conversation.
+    p2 = _ordered_concat(
+        p1.select("conv_id", "chunk_id", "chunk_text", F.col("_n").alias("chunk_n")),
+        ["conv_id"],
+        "chunk_id",
+        "chunk_text",
+        "doc_text",
+    )
+    n = p1.groupBy("conv_id").agg(F.sum("_n").cast("int").alias("n_turns"))
+    return p2.select("conv_id", "doc_text").join(n, "conv_id").select(
+        "conv_id", "n_turns", "doc_text"
+    )
+
+
+def assemble_docs_app(
+    turns: DataFrame, page_start: int = 1, text_col: str = "clean_text"
+) -> DataFrame:
+    """App-style labeled assembly (app/processors.py:616-642): page label
+    ``\\n\\n--- 📄 第 {page_start + jdx} 页 ---\\n\\n`` prefixes each surviving
+    page; jdx is the position among survivors in turn order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    labeled = turns.withColumn("_jdx", F.row_number().over(w) - 1).select(
+        "conv_id",
+        F.col("_jdx").alias("order_k"),
+        F.concat(
+            F.lit("\n\n--- \U0001f4c4 第 "),
+            (F.col("_jdx") + F.lit(page_start)).cast("string"),
+            F.lit(" 页 ---\n\n"),
+            F.coalesce(F.col(text_col), F.lit("")),
+        ).alias("piece"),
+    )
+    agg = _ordered_concat(labeled, ["conv_id"], "order_k", "piece", "doc_text")
+    return agg.select("conv_id", F.col("_n").cast("int").alias("n_turns"), "doc_text")

@@ -1,0 +1,126 @@
+"""Mode-dispatched Arrow-batched extractor — the hot path.
+
+One ``mapInPandas`` over the transcripts table produces the per-turn output
+schema (sparkocr.schema.TURNS_OUT). Dispatch on the ``tool`` column mirrors
+the reference's entry-point/prompt planner (``get_prompt``,
+app/config.py:104-122, which gates the grounding post-processing the same
+way our mode column gates extractor branches):
+
+    grounding → clean_output_text port + spans + markdown (app/utils.py:98-127)
+    html      → boilerplate strip (readability-style block scoring)
+    pdfspans  → reading-order span assembly (deepseek_ocr.py:423-438 analog)
+    markdown  → normalization + table-cell recovery
+    plain/*   → strip passthrough (clean_output_text tail, app/utils.py:127)
+
+No per-row Python UDFs: the physical plan contains a single MapInPandas
+node; everything else (filters, assembly, sinks) is JVM-side. Within each
+Arrow batch, rows are grouped by mode and processed with pandas; the
+per-payload work is the same string algebra the reference runs per page.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from sparkocr import schema
+from sparkocr.textproc import grounding, htmlmain, mdtable, pdfspans, repeats
+
+EXTRACTOR_VERSION = "1"
+
+
+def _extract_grounding(text: str):
+    clean, spans, trunc = grounding.clean_grounded(text)
+    md = grounding.markdown_grounded(text)
+    return clean, md, spans, trunc, None
+
+
+def _extract_html(text: str):
+    clean, spans = htmlmain.extract_html_main(text)
+    return clean, clean, spans, False, None
+
+
+def _extract_pdfspans(text: str):
+    clean, spans, err = pdfspans.extract_pdf_spans(text)
+    return clean, clean, spans, False, err
+
+
+def _extract_markdown(text: str):
+    norm, spans = mdtable.extract_markdown(text)
+    return norm, norm, spans, False, None
+
+
+def _extract_plain(text: str):
+    t = (text or "").strip()
+    return t, t, [], False, None
+
+
+_MODES = {
+    "grounding": _extract_grounding,
+    "html": _extract_html,
+    "pdfspans": _extract_pdfspans,
+    "markdown": _extract_markdown,
+    "plain": _extract_plain,
+}
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Extract one Arrow batch of transcript rows → TURNS_OUT columns."""
+    pdf = pdf.reset_index(drop=True)
+    texts = pdf["text"].fillna("").tolist()
+    tools = pdf["tool"].fillna("plain")
+    n = len(pdf)
+    clean: list = [None] * n
+    md: list = [None] * n
+    spans_col: list = [None] * n
+    trunc = [False] * n
+    err: list = [None] * n
+    has_rep = [False] * n
+    # group row positions by mode so each branch runs over one chunk
+    by_mode: dict[str, list[int]] = {}
+    for pos, mode in enumerate(tools.tolist()):
+        by_mode.setdefault(mode, []).append(pos)
+    for mode, positions in by_mode.items():
+        fn = _MODES.get(mode, _extract_plain)
+        check_repeat = mode == "grounding"
+        for pos in positions:
+            t = texts[pos]
+            c, m, s, tr, e = fn(t)
+            clean[pos] = c
+            md[pos] = m
+            spans_col[pos] = s
+            trunc[pos] = tr
+            err[pos] = e
+            if check_repeat:
+                has_rep[pos] = repeats.has_repeat(t, "pdf")
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "role": pdf["role"],
+            "tool": tools,
+            "clean_text": clean,
+            "markdown_text": md,
+            "spans": spans_col,
+            "is_truncated": trunc,
+            "has_repeat": has_rep,
+            "error": err,
+            "n_chars_in": pd.Series([len(t) for t in texts], dtype="int32"),
+            "n_chars_out": pd.Series([len(c or "") for c in clean], dtype="int32"),
+        }
+    )
+
+
+def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf):
+            yield extract_batch(pdf)
+
+
+def extract_turns(transcripts_df):
+    """transcripts DataFrame → per-turn extraction DataFrame (no shuffle:
+    a pure MapInPandas projection; assembly shuffles later on cleaned text
+    only, per SURVEY.md §4 two-stage design)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return transcripts_df.select(*cols).mapInPandas(_map_batches, schema.TURNS_OUT)

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Arrow on (all hot-path Python crosses as Arrow batches), AQE on (runtime
+coalesce + skew-join splitting), UTC session timezone (timestamps in
+fixtures are UTC), shuffle partitions scaled to parallelism. Iceberg is used
+when its runtime jar is present; otherwise the Parquet fallback with an
+explicit bucket column + JSON lineage manifests (sparkocr.checkpoint)
+provides the same resume surface (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "sparkocr",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 4096,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one-ish partition per core; at cluster scale this is set to
+        # 2-3x total executor cores instead.
+        n = master[master.find("[") + 1 : master.find("]")]
+        shuffle_partitions = 32 if n in ("*", "") else max(8, int(n))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # keep parquet scans prunable: one row-group-ish split per task
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARKOCR_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

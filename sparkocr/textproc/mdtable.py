@@ -1,0 +1,78 @@
+"""Markdown / table structure recovery.
+
+Normalizes markdown the way the reference's PDF markdown path does —
+newline-run collapse (run_dpsk_ocr_pdf.py:319-320) generalized to
+``\\n{3,} → \\n\\n`` — strips trailing per-line whitespace, outer-strips, and
+extracts table cells from both pipe tables and ``<td>``-style HTML fragments
+(the reference whitelists <td>/</td> in its no-repeat processor,
+run_dpsk_ocr_pdf.py:52, i.e. repeated cells are legitimate structure).
+Cell spans carry offsets into the normalized text.
+"""
+
+from __future__ import annotations
+
+import re
+
+_NL_RUN = re.compile(r"\n{3,}")
+_TRAIL_WS = re.compile(r"[ \t]+(?=\n)")
+_TD_RE = re.compile(r"<td[^>]*>(.*?)</td>", re.DOTALL | re.IGNORECASE)
+_SEP_ROW = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+
+
+def normalize_markdown(text: str) -> str:
+    if not text:
+        return ""
+    text = _TRAIL_WS.sub("", text)
+    text = _NL_RUN.sub("\n\n", text)
+    return text.strip()
+
+
+def _pipe_row_cells(line: str):
+    """Cells of one pipe-table row with their offsets within the line."""
+    if "|" not in line:
+        return []
+    stripped = line.strip()
+    if not (stripped.startswith("|") or stripped.count("|") >= 2):
+        return []
+    if _SEP_ROW.match(line):
+        return []
+    cells = []
+    start = 0
+    i = line.find("|")
+    # leading text before first | on a |-led row is empty; split manually
+    bounds = [j for j, c in enumerate(line) if c == "|"]
+    edges = [-1] + bounds + [len(line)]
+    for a, b in zip(edges, edges[1:]):
+        seg = line[a + 1 : b]
+        t = seg.strip()
+        if t == "" and (a == -1 or b == len(line)):
+            continue  # outside the leading/trailing pipes
+        off = a + 1 + (len(seg) - len(seg.lstrip()))
+        cells.append((t, off, off + len(t)))
+    return cells
+
+
+def extract_markdown(text: str):
+    """payload → (normalized_text, spans) where spans are table cells
+    (label 'cell') with offsets into the normalized text."""
+    norm = normalize_markdown(text)
+    spans: list[dict] = []
+    # pipe-table cells, line by line (offsets are line-local + line start)
+    pos = 0
+    in_fence = False
+    for line in norm.split("\n"):
+        fence = line.lstrip().startswith("```")
+        if fence:
+            in_fence = not in_fence
+        if not in_fence and not fence:
+            for t, a, b in _pipe_row_cells(line):
+                if t:
+                    spans.append({"start": pos + a, "end": pos + b, "label": "cell", "bbox": None})
+        pos += len(line) + 1
+    # <td> cells
+    for m in _TD_RE.finditer(norm):
+        spans.append(
+            {"start": m.start(1), "end": m.end(1), "label": "cell", "bbox": None}
+        )
+    spans.sort(key=lambda s: (s["start"], s["end"]))
+    return norm, spans

@@ -1,0 +1,81 @@
+"""PDF layout reconstruction: span/bbox records → reading-order text.
+
+Payload: JSON ``{"page": p, "spans": [{"t": str, "bbox": [x1,y1,x2,y2]}...]}``
+with bboxes in the reference's 0-999 normalized space, spans in arbitrary
+order. We reproduce the reference's 2-D reading-order assembly semantics —
+row-major, top-to-bottom then left-to-right with explicit newline separators
+(deepseek_ocr.py:423-438, the ``image_newline``-per-grid-row layout) — as a
+deterministic sort:
+
+    row = round(y1 / ROW_QUANTUM);  sort by (page, row, x1, original_index)
+
+Spans on one visual row are joined with a single space; rows are joined with
+'\\n'. Bboxes are denormalized ``int(v/999*dim)`` exactly like E3
+(run_dpsk_ocr_image.py:108-115). Character spans index the assembled text.
+"""
+
+from __future__ import annotations
+
+import json
+
+ROW_QUANTUM = 10  # 0-999 normalized units per visual row bucket
+DEFAULT_W = 1275
+DEFAULT_H = 1650
+
+
+def _round_half_even(x: float) -> int:
+    return int(round(x))  # Python 3 banker's rounding — pinned by tests
+
+
+def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAULT_H):
+    """payload JSON → (text, spans, error).
+
+    spans: one per input span, ordered by reading order, with char offsets
+    into the assembled text and denormalized pixel bbox. Malformed JSON or
+    shape → ("", [], error_message).
+    """
+    if not payload:
+        return "", [], "empty payload"
+    try:
+        obj = json.loads(payload)
+        page = int(obj.get("page", 0))
+        raw = obj["spans"]
+        recs = []
+        for i, s in enumerate(raw):
+            t = s.get("t", "")
+            x1, y1, x2, y2 = s["bbox"]
+            recs.append((page, _round_half_even(y1 / ROW_QUANTUM), x1, i, t, (x1, y1, x2, y2)))
+    except Exception as e:
+        return "", [], f"pdfspans parse error: {type(e).__name__}"
+    recs.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    prev_row = None
+    for page, row, _x, _i, t, bbox in recs:
+        key = (page, row)
+        if prev_row is not None:
+            sep = "\n" if key != prev_row else " "
+            parts.append(sep)
+            pos += len(sep)
+        prev_row = key
+        start = pos
+        parts.append(t)
+        pos += len(t)
+        x1, y1, x2, y2 = bbox
+        spans.append(
+            {
+                "start": start,
+                "end": pos,
+                "label": "span",
+                "bbox": [
+                    [
+                        int(x1 / 999 * width),
+                        int(y1 / 999 * height),
+                        int(x2 / 999 * width),
+                        int(y2 / 999 * height),
+                    ]
+                ],
+            }
+        )
+    return "".join(parts), spans, None

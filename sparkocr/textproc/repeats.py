@@ -1,0 +1,59 @@
+"""Windowed n-gram repeat detector — QC analog of the reference's
+NoRepeatNGramLogitsProcessor (process/ngram_norepeat.py:7-40).
+
+The reference *bans* a token that would complete an n-gram already present
+in the trailing ``window_size`` tokens, whitelisting table-cell tags
+``<td>``/``</td>`` (run_dpsk_ocr_pdf.py:52). As a post-hoc QC operator we
+*flag* text in which some n-gram occurs twice within a window — exactly the
+condition the logits processor prevents — skipping n-grams that contain a
+whitelisted token.
+
+Per-entry-point parameters (SURVEY.md §2.3 N6): image n=30/w=90,
+pdf n=20/w=50, batch n=40/w=90.
+"""
+
+from __future__ import annotations
+
+import re
+
+WHITELIST = frozenset({"<td>", "</td>"})
+_TOKEN_RE = re.compile(r"<td>|</td>|\w+|[^\w\s]", re.UNICODE)
+
+PARAMS = {  # (ngram_size, window_size)
+    "image": (30, 90),
+    "pdf": (20, 50),
+    "batch": (40, 90),
+}
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text or "")
+
+
+def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
+    """Return the token index where a windowed n-gram repeat completes, or
+    None. An n-gram repeats if an identical n-gram starts within
+    ``window_size`` tokens back (matching the processor's trailing-window
+    scan, ngram_norepeat.py:22-31). N-grams containing a whitelisted token
+    never count (whitelist semantics, ngram_norepeat.py:33)."""
+    toks = tokenize(text)
+    n = ngram_size
+    if len(toks) < 2 * n:
+        return None
+    last_seen: dict[tuple, int] = {}
+    for i in range(len(toks) - n + 1):
+        gram = tuple(toks[i : i + n])
+        if any(t in WHITELIST for t in gram):
+            continue
+        j = last_seen.get(gram)
+        # previous occurrence must start within the trailing window of the
+        # current position (window measured in tokens, like the reference)
+        if j is not None and i - j <= window_size - n and i != j:
+            return i
+        last_seen[gram] = i
+    return None
+
+
+def has_repeat(text: str, mode: str = "pdf") -> bool:
+    n, w = PARAMS[mode]
+    return find_repeat(text, n, w) is not None

@@ -1,0 +1,152 @@
+"""End-to-end Spark extraction vs the transcribed reference oracle.
+
+Golden-equality gate (north_rule): per-turn clean_text / markdown_text /
+span offsets byte-equal under stable (conv_id, turn_idx) ordering, and the
+physical plan stays vectorized (one MapInPandas, no per-row Python)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import oracle_ref as oracle
+from sparkocr.datagen import generate_rows
+from sparkocr.extract.dispatch import extract_turns
+from sparkocr.textproc import grounding, htmlmain, mdtable, pdfspans
+
+
+def expected_for(text: str, tool: str):
+    """Golden triple (clean_text, markdown_text, is_truncated) — grounding
+    from the line-faithful reference transcription; other modes from the
+    module functions (their semantics are ours, pinned by unit tests)."""
+    if tool == "grounding":
+        return (
+            oracle.clean_output_text(text, False, False),
+            oracle.clean_formula(oracle.clean_output_text(text, True, True)),
+            oracle.EOS not in text,
+        )
+    if tool == "html":
+        t, _ = htmlmain.extract_html_main(text)
+        return t, t, False
+    if tool == "pdfspans":
+        t, _, _ = pdfspans.extract_pdf_spans(text)
+        return t, t, False
+    if tool == "markdown":
+        t, _ = mdtable.extract_markdown(text)
+        return t, t, False
+    return text.strip(), text.strip(), False
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tiny_transcripts):
+    df = spark.read.parquet(tiny_transcripts)
+    out = extract_turns(df).orderBy("conv_id", "turn_idx")
+    return out.toPandas()
+
+
+def test_row_counts_and_ordering(extracted, tiny_transcripts):
+    import pyarrow.parquet as pq
+
+    n_in = pq.read_table(tiny_transcripts).num_rows
+    assert len(extracted) == n_in
+    keys = list(zip(extracted["conv_id"], extracted["turn_idx"]))
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)  # no turn lost or duplicated
+
+
+def test_golden_equality_per_turn(extracted):
+    rows = generate_rows("tiny")
+    golden = {(r["conv_id"], r["turn_idx"]): r for r in rows}
+    assert len(golden) == len(extracted)
+    for rec in extracted.itertuples():
+        src = golden[(rec.conv_id, rec.turn_idx)]
+        want_clean, want_md, want_trunc = expected_for(src["text"], src["tool"])
+        assert rec.clean_text == want_clean, (rec.conv_id, rec.turn_idx, src["tool"])
+        assert rec.markdown_text == want_md, (rec.conv_id, rec.turn_idx)
+        assert bool(rec.is_truncated) == (want_trunc if src["tool"] == "grounding" else False)
+
+
+def test_span_offsets_slice_correctly(extracted):
+    checked = 0
+    for rec in extracted.itertuples():
+        if rec.spans is None:
+            continue
+        for s in rec.spans:
+            if s["start"] is None or s["label"] is None:
+                continue
+            sliced = rec.clean_text[s["start"] : s["end"]]
+            if rec.tool in ("html", "pdfspans", "markdown"):
+                # non-grounding spans always slice to real content
+                assert len(sliced) == s["end"] - s["start"]
+                checked += 1
+            elif s["end"] - s["start"] == len(s["label"]):
+                assert sliced == s["label"]
+                checked += 1
+    assert checked > 20
+
+
+def test_grounding_spans_match_core(extracted):
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in generate_rows("tiny")}
+    for rec in extracted.itertuples():
+        src = rows[(rec.conv_id, rec.turn_idx)]
+        if src["tool"] != "grounding":
+            continue
+        _, want_spans, _ = grounding.clean_grounded(src["text"])
+        raw = [] if rec.spans is None else list(rec.spans)
+        got = [
+            {
+                "start": None if pd.isna(s["start"]) else int(s["start"]),
+                "end": None if pd.isna(s["end"]) else int(s["end"]),
+                "label": s["label"],
+                "bbox": None if s["bbox"] is None else [[int(v) for v in b] for b in s["bbox"]],
+            }
+            for s in raw
+        ]
+        assert got == want_spans
+
+
+def test_physical_plan_is_vectorized(spark, tiny_transcripts):
+    df = spark.read.parquet(tiny_transcripts)
+    plan = extract_turns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python UDF
+
+
+def test_assembly_matches_reference_concat(spark, tiny_transcripts):
+    from sparkocr.assemble import assemble_docs_cli
+
+    df = spark.read.parquet(tiny_transcripts)
+    turns = extract_turns(df)
+    docs = {
+        r["conv_id"]: r["doc_text"]
+        for r in assemble_docs_cli(turns, skip_truncated=True).collect()
+    }
+    docs1 = {
+        r["conv_id"]: r["doc_text"]
+        for r in assemble_docs_cli(turns, skip_truncated=True, two_phase=False).collect()
+    }
+    assert docs == docs1  # two-phase == single-phase
+    # oracle: per conv, ordered surviving clean pages + page-split suffix
+    rows = generate_rows("tiny")
+    byconv: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        clean, md, trunc = expected_for(r["text"], r["tool"])
+        trunc = trunc if r["tool"] == "grounding" else False
+        if trunc:
+            continue
+        byconv.setdefault(r["conv_id"], []).append(clean)
+    want = {c: oracle.assemble_pdf_doc(pages) for c, pages in byconv.items()}
+    assert docs == want
+
+
+def test_assembly_app_style_numbering(spark, tiny_transcripts):
+    from sparkocr.assemble import assemble_docs_app
+
+    df = spark.read.parquet(tiny_transcripts)
+    turns = extract_turns(df)
+    row = (
+        assemble_docs_app(turns.filter("conv_id = 'conv_000000'"))
+        .collect()[0]
+    )
+    assert row["doc_text"].startswith("\n\n--- 📄 第 1 页 ---\n\n")
+    assert f"--- 📄 第 {row['n_turns']} 页 ---" in row["doc_text"]

@@ -1,0 +1,125 @@
+"""Unit tests: HTML boilerplate strip, PDF-span reading order, markdown
+table recovery, windowed n-gram repeat detector."""
+
+from sparkocr.textproc import htmlmain, mdtable, pdfspans, repeats
+
+
+# ---------------------------------------------------------------- html ----
+
+ARTICLE = (
+    "<html><head><title>T</title><style>p{}</style></head><body>"
+    "<nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+    "<article><h1>Big Headline</h1>"
+    "<p>This paragraph has plenty of characters of running prose to keep.</p>"
+    "<p>Another long paragraph with real sentence content &amp; entities 中.</p>"
+    "</article>"
+    "<div>" + " ".join(f"<a href='/l{k}'>link {k}</a>" for k in range(8)) + "</div>"
+    "<footer>© footer junk</footer></body></html>"
+)
+
+
+def test_html_keeps_article_drops_boilerplate():
+    text, spans = htmlmain.extract_html_main(ARTICLE)
+    assert "plenty of characters" in text
+    assert "Big Headline" in text
+    assert "Home" not in text  # nav dropped
+    assert "link 3" not in text  # link farm dropped by link density
+    assert "footer junk" not in text
+    assert "p{}" not in text  # style dropped
+    assert "& entities 中" in text  # entities decoded
+    # spans slice back to the block text
+    for s in spans:
+        assert text[s["start"] : s["end"]] in text
+        assert s["label"].startswith("block:")
+
+
+def test_html_unclosed_tags_tolerated():
+    text, spans = htmlmain.extract_html_main(
+        "<div><p>One long enough paragraph of sustained prose content here"
+        "<p>Second long enough paragraph of sustained prose content here</div>"
+    )
+    assert "One long enough" in text and "Second long enough" in text
+
+
+def test_html_empty():
+    assert htmlmain.extract_html_main("") == ("", [])
+
+
+# ------------------------------------------------------------ pdfspans ----
+
+def test_pdfspans_reading_order_and_offsets():
+    import json
+
+    payload = json.dumps(
+        {
+            "page": 0,
+            "spans": [
+                {"t": "right1", "bbox": [500, 42, 900, 70]},   # row 4, col 2
+                {"t": "second", "bbox": [30, 160, 400, 190]},  # row 16
+                {"t": "left1", "bbox": [30, 40, 400, 70]},     # row 4, col 1
+            ],
+        }
+    )
+    text, spans, err = pdfspans.extract_pdf_spans(payload)
+    assert err is None
+    assert text == "left1 right1\nsecond"
+    assert [text[s["start"] : s["end"]] for s in spans] == ["left1", "right1", "second"]
+    # bbox denorm int(v/999*dim), w=1275 h=1650
+    assert spans[0]["bbox"] == [[int(30 / 999 * 1275), int(40 / 999 * 1650),
+                                 int(400 / 999 * 1275), int(70 / 999 * 1650)]]
+
+
+def test_pdfspans_same_row_quantum_groups():
+    import json
+
+    payload = json.dumps(
+        {"page": 1, "spans": [
+            {"t": "b", "bbox": [600, 104, 700, 120]},
+            {"t": "a", "bbox": [100, 98, 200, 120]},  # round(98/10)=10 == round(104/10)
+        ]}
+    )
+    text, spans, _ = pdfspans.extract_pdf_spans(payload)
+    assert text == "a b"
+
+
+def test_pdfspans_malformed():
+    text, spans, err = pdfspans.extract_pdf_spans("{not json")
+    assert text == "" and spans == [] and err is not None
+    text, spans, err = pdfspans.extract_pdf_spans('{"page":0,"spans":[{"t":"x"}]}')
+    assert err is not None  # missing bbox
+
+
+# ------------------------------------------------------------ markdown ----
+
+def test_markdown_normalize_and_cells():
+    src = "# T\n\n\n\n| a | b |\n|---|---|\n| 1 | two |\n\ntail   \n"
+    norm, spans = mdtable.extract_markdown(src)
+    assert "\n\n\n" not in norm
+    assert norm.endswith("tail")
+    cells = [norm[s["start"] : s["end"]] for s in spans]
+    assert cells == ["a", "b", "1", "two"]
+
+
+def test_markdown_td_cells_and_fence_skipped():
+    src = "```\n| no | cells |\n```\n<table><tr><td>x</td><td>y</td></tr></table>"
+    norm, spans = mdtable.extract_markdown(src)
+    cells = [norm[s["start"] : s["end"]] for s in spans]
+    assert cells == ["x", "y"]
+
+
+# -------------------------------------------------------------- repeats ----
+
+def test_repeat_detector_flags_runaway():
+    text = ("token " * 30) * 3  # the same 30-gram repeats back-to-back
+    assert repeats.find_repeat(text, 20, 50) is not None
+    assert repeats.has_repeat(text, "pdf")
+
+
+def test_repeat_detector_whitelists_td():
+    text = "<table><tr>" + "<td>cell</td>" * 40 + "</tr></table>"
+    assert repeats.find_repeat(text, 3, 50) is None  # td-laden ngrams skipped
+
+
+def test_repeat_detector_clean_text():
+    text = " ".join(f"word{i}" for i in range(200))
+    assert repeats.find_repeat(text, 20, 50) is None
