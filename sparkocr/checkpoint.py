@@ -1,0 +1,151 @@
+"""Per-bucket lineage manifests + idempotent resume.
+
+The north rule requires the job to checkpoint per partition with lineage
+(input fingerprint, rows in/out, extractor version) so a killed run resumes
+without recomputing completed partitions. Spark batch jobs have no built-in
+partial resume, so we emulate the Iceberg-style snapshot/manifest surface on
+plain Parquet (SURVEY.md §7, "Iceberg absence" risk):
+
+- the output table is partitioned by ``bucket = pmod(xxhash64(conv_id), N)``
+  (the Parquet stand-in for Iceberg ``bucket(conv_id, N)``);
+- one JSON manifest per bucket records the input fingerprint — (row count,
+  bit_xor of xxhash64(conv_id, turn_idx, text)) computed in a single cheap
+  aggregate pass — plus rows in/out and the extractor version;
+- on start, buckets whose manifest matches the current fingerprint and
+  version are skipped; only pending buckets are filtered, extracted, and
+  (dynamically) overwritten.
+
+All fingerprinting is JVM expressions; no data leaves the executors except
+the per-bucket aggregate rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sparkocr.extract.dispatch import EXTRACTOR_VERSION, extract_turns
+
+
+@dataclass
+class BucketManifest:
+    bucket: int
+    input_rows: int
+    input_hash: int
+    rows_out: int
+    extractor_version: str
+    status: str = "complete"
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def _manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(_manifest_dir(out_dir), f"bucket={bucket}.json")
+
+
+def read_manifest(out_dir: str, bucket: int) -> BucketManifest | None:
+    p = _manifest_path(out_dir, bucket)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, encoding="utf-8") as f:
+            return BucketManifest(**json.load(f))
+    except Exception:
+        return None  # unreadable manifest → treat bucket as pending
+
+
+def write_manifest(out_dir: str, m: BucketManifest) -> None:
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    tmp = _manifest_path(out_dir, m.bucket) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(asdict(m), f)
+    os.replace(tmp, _manifest_path(out_dir, m.bucket))  # atomic publish
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def input_fingerprints(df: DataFrame, n_buckets: int) -> dict[int, tuple[int, int]]:
+    """One aggregate pass: bucket → (row_count, bit_xor of row hashes)."""
+    rows = (
+        with_bucket(df, n_buckets)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
+        )
+        .collect()
+    )
+    return {r["bucket"]: (r["n"], r["h"]) for r in rows}
+
+
+def run_extract_job(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = 32,
+    force: bool = False,
+) -> dict:
+    """Resumable extraction: transcripts parquet → turns_out parquet
+    partitioned by bucket, one lineage manifest per bucket.
+
+    Returns {"processed": [...], "skipped": [...], "rows_out": int}.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = spark.read.parquet(input_path)
+    fps = input_fingerprints(df, n_buckets)
+
+    pending: list[int] = []
+    skipped: list[int] = []
+    for bucket, (n, h) in sorted(fps.items()):
+        m = read_manifest(out_dir, bucket)
+        if (
+            not force
+            and m is not None
+            and m.status == "complete"
+            and (m.input_rows, m.input_hash) == (n, h)
+            and m.extractor_version == EXTRACTOR_VERSION
+        ):
+            skipped.append(bucket)
+        else:
+            pending.append(bucket)
+
+    rows_out_total = 0
+    if pending:
+        src = with_bucket(df, n_buckets).filter(F.col("bucket").isin(pending))
+        turns = extract_turns(src.select("conv_id", "turn_idx", "role", "text", "tool"))
+        turns = with_bucket(turns, n_buckets)
+        turns.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "data")
+        )
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(os.path.join(out_dir, "data"))
+            .filter(F.col("bucket").isin(pending))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for b in pending:
+            n, h = fps[b]
+            rows_out = int(counts.get(b, 0))
+            rows_out_total += rows_out
+            write_manifest(
+                out_dir,
+                BucketManifest(
+                    bucket=b,
+                    input_rows=n,
+                    input_hash=h,
+                    rows_out=rows_out,
+                    extractor_version=EXTRACTOR_VERSION,
+                ),
+            )
+    return {"processed": pending, "skipped": skipped, "rows_out": rows_out_total}

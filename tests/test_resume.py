@@ -1,0 +1,91 @@
+"""Checkpoint/lineage resume: a rerun recomputes only invalidated buckets
+and yields the identical output table (north_rule resumability)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sparkocr.checkpoint import (
+    _manifest_path,
+    read_manifest,
+    run_extract_job,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, tiny_transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt") / "out")
+    result = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    return out, result
+
+
+def _table(spark, out):
+    df = spark.read.parquet(os.path.join(out, "data"))
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["clean_text"], r["is_truncated"])
+        for r in df.collect()
+    )
+
+
+def test_first_run_processes_all(first_run):
+    out, result = first_run
+    assert result["skipped"] == []
+    assert len(result["processed"]) >= 1
+    for b in result["processed"]:
+        m = read_manifest(out, b)
+        assert m is not None and m.status == "complete"
+        assert m.rows_out > 0 or m.input_rows >= 0
+
+
+def test_noop_rerun_skips_everything(spark, tiny_transcripts, first_run):
+    out, r1 = first_run
+    r2 = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert r2["processed"] == []
+    assert sorted(r2["skipped"]) == sorted(r1["processed"])
+
+
+def test_resume_recomputes_only_invalidated(spark, tiny_transcripts, first_run):
+    out, r1 = first_run
+    before = _table(spark, out)
+    # simulate a kill after some buckets: drop two manifests
+    victims = sorted(r1["processed"])[:2]
+    for b in victims:
+        os.remove(_manifest_path(out, b))
+    r2 = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert sorted(r2["processed"]) == victims
+    assert set(r2["skipped"]) == set(r1["processed"]) - set(victims)
+    assert _table(spark, out) == before  # idempotent output
+
+
+def test_version_bump_invalidates(spark, tiny_transcripts, first_run):
+    out, r1 = first_run
+    b = sorted(r1["processed"])[0]
+    p = _manifest_path(out, b)
+    m = json.load(open(p))
+    m["extractor_version"] = "0-stale"
+    json.dump(m, open(p, "w"))
+    r2 = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert r2["processed"] == [b]
+
+
+def test_input_change_invalidates(spark, tmp_path, first_run):
+    # same conv ids, one text changed → exactly that conv's bucket recomputes
+    out, r1 = first_run
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from sparkocr.datagen import generate_rows, SCHEMA
+
+    rows = generate_rows("tiny")
+    rows[0]["text"] = (rows[0]["text"] or "") + " MUTATED"
+    cols = {name: [r[name] for r in rows] for name in SCHEMA.names}
+    mutated = str(tmp_path / "mutated.parquet")
+    pq.write_table(pa.Table.from_pydict(cols, schema=SCHEMA), mutated)
+    r2 = run_extract_job(spark.getActiveSession() or spark, mutated, out, n_buckets=N_BUCKETS)
+    assert len(r2["processed"]) >= 1
+    assert len(r2["processed"]) < len(r1["processed"])  # most buckets untouched
