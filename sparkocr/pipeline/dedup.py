@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB: everything except SimHash is pure JVM expressions —
+shingling via ``transform(sequence(...))`` + ``explode`` (no Python), the
+pair join is a shuffle on the shingle/band key (never a cross join), and
+MinHash signatures use lexicographic-min over md5 hex strings so the exact
+same computation is expressible in ANSI SQL for the DuckDB oracle (engine
+hash builtins differ across systems; md5 doesn't). SimHash packs 64 bits
+with numpy inside an Arrow batch.
+
+At scale: exact dedup is a single hash-aggregate; LSH turns the quadratic
+near-dup problem into groupBy(band)+equi-join, which AQE skew-splits if one
+band is hot; shingle explosion multiplies rows ~n_chars/stride so we shingle
+*after* column pruning (doc_id + text only).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+SHINGLE = 8  # character shingle width
+N_PERM = 12  # minhash permutations
+BAND_ROWS = 3  # rows per LSH band → 4 bands
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): keep min doc_id as canonical."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
+    """Distinct character k-shingles per doc — JVM-only explode."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+                    f" i -> substr(text, i, {k}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    shingle. Join key = shingle (shuffle), no cross join."""
+    sh = shingles(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) -> DataFrame:
+    """MinHash via lexicographic min of md5(perm_id || shingle) — portable
+    across engines. One shuffle (groupBy doc_id), n_perm aggregate exprs."""
+    sh = shingles(docs, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE
+) -> DataFrame:
+    """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
+    with estimated similarity = fraction of agreeing minhashes."""
+    sig = minhash_signatures(docs, n_perm, k)
+    n_bands = n_perm // band_rows
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)])
+            ).alias(f"band_{b}")
+            for b in range(n_bands)
+        ],
+        *[F.col(f"mh_{i}") for i in range(n_perm)],
+    )
+    # stack bands: (doc_id, band_id, band_hash) then self-join per bucket
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("bh"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)])
+    s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)])
+    agree = sum(
+        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0) for i in range(n_perm)
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) — Arrow-batched numpy; rows-only oracle
+# --------------------------------------------------------------------------
+
+
+def _simhash64_impl(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (md5-derived token hashes, bitwise
+    majority vote), vectorized with numpy per Arrow batch."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, t in enumerate(texts.fillna("")):
+        toks = t.split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                for w in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            sig |= np.uint64(1) << np.uint64(i)
+        out[row] = sig.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash64():
+    """Arrow-batched UDF handle (lazy: pandas_udf needs an active session)."""
+    return pandas_udf(_simhash64_impl, "long")
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash64()("text").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
+    (a pair within distance ≤3 shares at least one of 4 chunks exactly)."""
+    sig = simhash_docs(docs)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.chunk_id", "e.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

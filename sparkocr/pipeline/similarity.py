@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline (pure JVM:
+``aggregate``/``zip_with`` — no Python in the scoring loop), plus an
+LSH-bucketed variant (random-hyperplane signatures) as the scale path:
+at 100 TB you never brute-force 10^9 vectors against a query — you bucket
+by signature, probe the query's bucket(s), and brute-force only the bucket.
+
+Hyperplanes are derived deterministically (seeded numpy) and injected as
+literal arrays, so results are reproducible and the same plan runs on any
+cluster size. Embedding near-dup (cosine ≥ τ pairs) reuses the bucketed
+join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+DIM = 64
+N_PLANES = 12
+_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(emb: DataFrame, query: list[float], k: int = 10) -> DataFrame:
+    """Brute-force top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    e = _as_double(F.col("embedding"))
+    return (
+        emb.select("vec_id", F.round(cosine_expr(e, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int = DIM, n_planes: int = N_PLANES, seed: int = _SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_signature_col(emb_col, planes: np.ndarray):
+    """Bit-packed random-hyperplane signature as an int column (JVM math)."""
+    e = _as_double(emb_col)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(_dot(e, plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_PLANES) -> DataFrame:
+    """IVF/LSH-style ANN: score only vectors whose signature is within
+    hamming ≤ 2 of the query's signature (bucket probe), then exact cosine.
+    Recall < 1 by design; the scale path for 10^9-vector tables."""
+    planes = hyperplanes(len(query), n_planes)
+    qv = np.asarray(query, dtype=float)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qv, p)) > 0:
+            qsig |= 1 << i
+    sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+    probe = sigged.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2)
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        probe.select(
+            "vec_id",
+            F.round(cosine_expr(_as_double(F.col("embedding")), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES) -> DataFrame:
+    """Near-dup vector pairs: bucket by full LSH signature (hamming 0) then
+    exact cosine ≥ threshold inside buckets — the embedding-cosine analog of
+    MinHash-LSH dedup."""
+    planes = hyperplanes(DIM, n_planes)
+    sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+    a, b = sigged.alias("a"), sigged.alias("b")
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(
+                cosine_expr(_as_double(F.col("a.embedding")), _as_double(F.col("b.embedding"))), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
