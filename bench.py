@@ -1,0 +1,95 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs the extraction DAG over the deterministic bench-profile transcript
+table (generated once, cached under ./data/) plus headline catalog queries
+over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Output: {"metric": "headline_suite_sec", "value": <total sec>, "unit":
+"sec", "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_parquet = os.environ.get(
+        "SPARKOCR_BENCH_DATA", os.path.join(os.path.dirname(__file__), "data", "transcripts_bench.parquet")
+    )
+    if not os.path.exists(bench_parquet):
+        os.makedirs(os.path.dirname(bench_parquet), exist_ok=True)
+        from sparkocr.datagen import write_transcripts
+
+        write_transcripts(bench_parquet, "bench")
+
+    import __spark_entry__ as entry_mod
+    from sparkocr.assemble import assemble_docs_cli
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.session import build_session
+
+    spark = build_session("sparkocr-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    times: dict[str, float] = {}
+
+    # warmup: JIT + Arrow + python worker pool
+    spark.read.parquet(bench_parquet).limit(1000).count()
+    extract_turns(spark.read.parquet(bench_parquet).limit(2000)).count()
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        times[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    transcripts = spark.read.parquet(bench_parquet)
+    turns_path = os.path.join(os.path.dirname(bench_parquet), "bench_turns_out")
+    n_turns = timed(
+        "extract_turns",
+        lambda: extract_turns(transcripts).write.mode("overwrite").parquet(turns_path),
+    )
+    n_turns = spark.read.parquet(turns_path).count()
+    # assembly from the materialized stage-1 output (real pipeline shape)
+    timed(
+        "assemble_docs",
+        lambda: assemble_docs_cli(spark.read.parquet(turns_path)).count(),
+    )
+
+    catalog = entry_mod.queries()
+    for name in (
+        "pricing_summary",
+        "region_revenue",
+        "top_orders_per_customer",
+        "doc_minhash",
+        "doc_lsh_pairs",  # the near-dup scale path (exact jaccard is the
+        #                   sf<=0.01 correctness query; quadratic at 100TB)
+        "doc_simhash_pairs",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "doc_quality",
+        "event_sessions",
+    ):
+        timed(name, lambda n=name: catalog[n](spark, sf_dir).count())
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "bench_turns": n_turns,
+        "turns_per_sec": round(n_turns / times["extract_turns"], 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    main()

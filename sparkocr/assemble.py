@@ -67,18 +67,17 @@ def assemble_docs_cli(
         "piece",
         "chunk_text",
     )
-    # Phase 2: merge ordered chunks per conversation.
-    p2 = _ordered_concat(
-        p1.select("conv_id", "chunk_id", "chunk_text", F.col("_n").alias("chunk_n")),
-        ["conv_id"],
-        "chunk_id",
-        "chunk_text",
-        "doc_text",
+    # Phase 2: merge ordered chunks per conversation; n_turns rides in the
+    # same aggregation (a separate count branch would recompute the whole
+    # extraction DAG upstream).
+    pair = F.struct(F.col("chunk_id").alias("k"), F.col("chunk_text").alias("v"))
+    p2 = p1.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
+        ).alias("doc_text"),
+        F.sum("_n").cast("int").alias("n_turns"),
     )
-    n = p1.groupBy("conv_id").agg(F.sum("_n").cast("int").alias("n_turns"))
-    return p2.select("conv_id", "doc_text").join(n, "conv_id").select(
-        "conv_id", "n_turns", "doc_text"
-    )
+    return p2.select("conv_id", "n_turns", "doc_text")
 
 
 def assemble_docs_app(

@@ -216,7 +216,8 @@ def write_transcripts(path: str, profile: str = "tiny", seed: int = 42) -> int:
     rows = generate_rows(profile, seed)
     cols = {name: [r[name] for r in rows] for name in SCHEMA.names}
     table = pa.Table.from_pydict(cols, schema=SCHEMA)
-    pq.write_table(table, path)
+    # small row groups so Spark can split the file without a shuffle
+    pq.write_table(table, path, row_group_size=8192)
     return len(rows)
 
 

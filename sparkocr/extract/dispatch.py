@@ -118,9 +118,26 @@ def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield extract_batch(pdf)
 
 
-def extract_turns(transcripts_df):
-    """transcripts DataFrame → per-turn extraction DataFrame (no shuffle:
-    a pure MapInPandas projection; assembly shuffles later on cleaned text
-    only, per SURVEY.md §4 two-stage design)."""
+def extract_turns(transcripts_df, min_parallelism: int | str = "auto"):
+    """transcripts DataFrame → per-turn extraction DataFrame.
+
+    Normally a pure MapInPandas projection (no shuffle; assembly shuffles
+    later on cleaned text only, per SURVEY.md §4 two-stage design). But a
+    map stage can never run wider than its input split count — a single
+    large parquet file with one row group is ONE task no matter how many
+    cores exist — so with ``min_parallelism='auto'`` we round-robin
+    repartition the (narrow, pre-extraction) rows up to 2× default
+    parallelism when the scan has fewer splits. The shuffled bytes are the
+    raw payload of a *small* input; at 100 TB the input has thousands of
+    splits and this is a no-op.
+    """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return transcripts_df.select(*cols).mapInPandas(_map_batches, schema.TURNS_OUT)
+    src = transcripts_df.select(*cols)
+    if min_parallelism == "auto":
+        sc = transcripts_df.sparkSession.sparkContext
+        target = sc.defaultParallelism * 2
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+    elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
+        src = src.repartition(int(min_parallelism))
+    return src.mapInPandas(_map_batches, schema.TURNS_OUT)
