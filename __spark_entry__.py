@@ -69,6 +69,41 @@ _DOC_TRANSCRIPT_SQL = f"""
 _TRIMSET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 
+def _img_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One grounding turn per document with an IMAGE ref (crop/embed
+    surface): image ref + doc text + EOS; every 5th doc additionally gets a
+    repeated-text body that trips the windowed n-gram repeat detector."""
+    d = _t(spark, sf_dir, "documents")
+    coords = F.concat(
+        F.lit("[["),
+        (F.col("doc_id") % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") % 999) + 0).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 13) % 999).cast("string"),
+        F.lit("]]"),
+    )
+    body = F.when(
+        F.col("doc_id") % 5 == 0, F.repeat(F.substring("text", 1, 40), 8)
+    ).otherwise(F.col("text"))
+    text = F.concat(
+        F.lit("<|ref|>image<|/ref|><|det|>"), coords, F.lit("<|/det|>"),
+        body, F.lit(EOS),
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        text.alias("text"),
+        F.lit("grounding").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+_IMG_BODY_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN repeat(substr(text, 1, 40), 8) ELSE text END"
+)
+
+
 # --------------------------------------------------------------------------
 # Extraction queries (oracle-checked through SQL closed forms)
 # --------------------------------------------------------------------------
@@ -144,6 +179,132 @@ def q_vision_tokens(spark, sf_dir):
         (F.lit(512) + ((F.col("p_partkey") * 3) % 1600)).cast("int").alias("h"),
     )
     return dims.select("p_partkey", vt("w", "h").alias("n_vision_tokens"))
+
+
+def q_crop_regions(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import crop_regions
+
+    turns = extract_turns(_img_transcripts(spark, sf_dir))
+    return crop_regions(turns).select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "img_idx", "crop_path", "x1", "y1", "x2", "y2",
+    )
+
+
+def q_markdown_embed(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import embed_crops_in_markdown
+
+    turns = extract_turns(_img_transcripts(spark, sf_dir))
+    return embed_crops_in_markdown(turns).select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"), "markdown_embedded"
+    )
+
+
+def q_repeat_flags(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+
+    turns = extract_turns(_img_transcripts(spark, sf_dir))
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"), "has_repeat"
+    )
+
+
+def q_locate_stats(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import locate
+
+    turns = extract_turns(_doc_transcripts(spark, sf_dir))
+    hits = locate(turns, "the")
+    return (
+        hits.groupBy(F.col("turn_idx").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("match_start").alias("first_start"),
+        )
+    )
+
+
+def q_geometry_parse(spark, sf_dir):
+    import pandas as pd
+
+    geo_text = F.concat(
+        F.lit("{'Line': {'line': ['(0,0) -- ("),
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        (F.col("doc_id") * 2).cast("string"),
+        F.lit(")'], 'line_type': ['--'], 'line_endpoint': ['A: (0,0)', 'B: ("),
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        (F.col("doc_id") * 2).cast("string"),
+        F.lit(")']}, 'Circle': {'circle_center': ['O: (1,1)'], 'radius': ["),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("]}}"),
+    )
+
+    def geo_batches(batches):
+        from sparkocr.textproc.geometry import parse_geometry
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                g = parse_geometry(t)
+                if g is None or not g["lines"]:
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                ln = g["lines"][0]
+                c = g["circles"][0] if g["circles"] else None
+                rows.append(
+                    (
+                        doc_id, len(g["lines"]), ln["x2"], ln["y2"], ln["style"],
+                        len(g["endpoints"]), c["radius"] if c else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_lines", "x2", "y2", "style",
+                    "n_endpoints", "circle_radius",
+                ],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", geo_text.alias("t"))
+    return d.mapInPandas(
+        geo_batches,
+        "doc_id bigint, n_lines int, x2 double, y2 double, style string, "
+        "n_endpoints int, circle_radius double",
+    )
+
+
+def q_doc_assembly_app(spark, sf_dir):
+    from sparkocr.assemble import assemble_docs_app
+    from sparkocr.extract.dispatch import extract_turns
+
+    turns = extract_turns(_doc_transcripts(spark, sf_dir))
+    return assemble_docs_app(turns).select("conv_id", "n_turns", "doc_text")
+
+
+def q_mode_metrics(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.metrics import mode_metrics
+
+    turns = extract_turns(_doc_transcripts(spark, sf_dir))
+    return mode_metrics(turns).select(
+        "tool", "n_turns", "n_truncated", "n_errors",
+        "chars_in", "chars_out", "avg_chars_out",
+    )
+
+
+def q_conv_skew(spark, sf_dir):
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.metrics import conversation_skew
+
+    turns = extract_turns(_doc_transcripts(spark, sf_dir))
+    # exact columns only (percentiles are approximate by design -> no oracle)
+    return conversation_skew(turns).select(
+        "n_convs", "n_turns_total", "max_conv_turns"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -477,8 +638,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_clean": q_extract_clean,
         "extract_spans": q_extract_spans,
         "doc_assembly": q_doc_assembly,
+        "doc_assembly_app": q_doc_assembly_app,
         "page_slice": q_page_slice,
         "vision_tokens": q_vision_tokens,
+        "crop_regions": q_crop_regions,
+        "markdown_embed": q_markdown_embed,
+        "repeat_flags": q_repeat_flags,
+        "locate_stats": q_locate_stats,
+        "geometry_parse": q_geometry_parse,
+        "mode_metrics": q_mode_metrics,
+        "conv_skew": q_conv_skew,
         # relational catalog
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -573,6 +742,87 @@ def oracle_sql() -> dict[str, str]:
         "page_slice": """
             SELECT source AS conv_id, doc_id FROM documents
             WHERE doc_id BETWEEN 100 AND 199
+        """,
+        "doc_assembly_app": f"""
+            WITH t AS ({_DOC_TRANSCRIPT_SQL}),
+            cleaned AS (
+                SELECT conv_id, doc_id,
+                       trim(replace('title' || regexp_replace(text,
+                            '<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 's'),
+                            '{EOS}', ''), {_TRIMSET}) AS clean_text,
+                       row_number() OVER (PARTITION BY conv_id ORDER BY doc_id) AS pg
+                FROM t
+            )
+            SELECT conv_id, count(*)::INT AS n_turns,
+                   string_agg(chr(10) || chr(10) || '--- ' || chr(128196) ||
+                              ' 第 ' || pg || ' 页 ---' || chr(10) || chr(10)
+                              || clean_text, '' ORDER BY doc_id) AS doc_text
+            FROM cleaned GROUP BY conv_id
+        """,
+        "crop_regions": """
+            SELECT doc_id, 0::INT AS img_idx,
+                   'images/' || doc_id || '_0.jpg' AS crop_path,
+                   floor(((doc_id % 999) / 999.0) * 1275)::INT AS x1,
+                   floor((((doc_id * 7) % 999) / 999.0) * 1650)::INT AS y1,
+                   floor(((doc_id % 999) / 999.0) * 1275)::INT AS x2,
+                   floor((((doc_id * 13) % 999) / 999.0) * 1650)::INT AS y2
+            FROM documents
+        """,
+        "markdown_embed": f"""
+            SELECT doc_id,
+                   replace(
+                       trim(chr(10) || chr(10) || '**[图片 1]**' ||
+                            chr(10) || chr(10) || {_IMG_BODY_SQL}, {_TRIMSET}),
+                       '**[图片 1]**',
+                       '![](images/' || doc_id || '_0.jpg)') AS markdown_embedded
+            FROM documents
+        """,
+        "repeat_flags": """
+            SELECT doc_id, (doc_id % 5 = 0) AS has_repeat FROM documents
+        """,
+        "locate_stats": f"""
+            WITH t AS ({_DOC_TRANSCRIPT_SQL}),
+            cleaned AS (
+                SELECT doc_id,
+                       trim(replace('title' || regexp_replace(text,
+                            '<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 's'),
+                            '{EOS}', ''), {_TRIMSET}) AS clean_text
+                FROM t
+            )
+            SELECT doc_id,
+                   ((length(clean_text) - length(replace(clean_text, 'the', '')))
+                    / 3)::BIGINT AS n_matches,
+                   (strpos(clean_text, 'the') - 1)::INT AS first_start
+            FROM cleaned WHERE strpos(clean_text, 'the') > 0
+        """,
+        "geometry_parse": """
+            SELECT doc_id, 1::INT AS n_lines, doc_id::DOUBLE AS x2,
+                   (doc_id * 2)::DOUBLE AS y2, '--' AS style,
+                   2::INT AS n_endpoints,
+                   (doc_id % 9 + 1)::DOUBLE AS circle_radius
+            FROM documents
+        """,
+        "mode_metrics": f"""
+            WITH t AS ({_DOC_TRANSCRIPT_SQL}),
+            cleaned AS (
+                SELECT doc_id, length(text) AS nin,
+                       length(trim(replace('title' || regexp_replace(text,
+                            '<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 's'),
+                            '{EOS}', ''), {_TRIMSET})) AS nout
+                FROM t
+            )
+            SELECT 'grounding' AS tool, count(*) AS n_turns,
+                   sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+                   0::BIGINT AS n_errors,
+                   sum(nin)::BIGINT AS chars_in, sum(nout)::BIGINT AS chars_out,
+                   round(avg(nout), 2) AS avg_chars_out
+            FROM cleaned
+        """,
+        "conv_skew": """
+            WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+            SELECT count(*)::BIGINT AS n_convs, sum(n)::BIGINT AS n_turns_total,
+                   max(n)::BIGINT AS max_conv_turns
+            FROM sizes
         """,
         # relational
         "pricing_summary": """

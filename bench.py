@@ -20,13 +20,14 @@ def main() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     bench_parquet = os.environ.get(
-        "SPARKOCR_BENCH_DATA", os.path.join(os.path.dirname(__file__), "data", "transcripts_bench.parquet")
+        "SPARKOCR_BENCH_DATA",
+        os.path.join(os.path.dirname(__file__), "data", "transcripts_bench_lg.parquet"),
     )
     if not os.path.exists(bench_parquet):
         os.makedirs(os.path.dirname(bench_parquet), exist_ok=True)
         from sparkocr.datagen import write_transcripts
 
-        write_transcripts(bench_parquet, "bench")
+        write_transcripts(bench_parquet, "bench_lg")
 
     import __spark_entry__ as entry_mod
     from sparkocr.assemble import assemble_docs_cli
@@ -36,9 +37,9 @@ def main() -> dict:
     spark = build_session("sparkocr-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     times: dict[str, float] = {}
 
-    # warmup: JIT + Arrow + python worker pool
-    spark.read.parquet(bench_parquet).limit(1000).count()
-    extract_turns(spark.read.parquet(bench_parquet).limit(2000)).count()
+    # warmup: JIT + Arrow + the FULL python worker pool (a limit() warmup
+    # collapses to ~1 task under AQE and leaves every other worker cold)
+    extract_turns(spark.read.parquet(bench_parquet)).count()
 
     def timed(name, fn):
         t0 = time.monotonic()

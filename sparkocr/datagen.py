@@ -150,6 +150,15 @@ PROFILES = {
     "bench": (2000, 10, 90, 100_000),
 }
 
+# Multi-file profiles: (n_convs, min_turns, max_turns, skew_conv_turns,
+# n_files). Written as a DIRECTORY of parquet files so the scan itself has
+# enough splits for full map-stage parallelism without a repartition shuffle
+# — the shape a 100 TB table actually has (thousands of files). Row
+# generation is per-conv seeded, so any file is reproducible independently.
+DIR_PROFILES = {
+    "bench_lg": (20_000, 10, 90, 100_000, 128),
+}
+
 
 def generate_rows(profile: str = "tiny", seed: int = 42):
     n_convs, lo, hi, skew = PROFILES[profile]
@@ -212,12 +221,87 @@ SCHEMA = pa.schema(
 )
 
 
-def write_transcripts(path: str, profile: str = "tiny", seed: int = 42) -> int:
-    rows = generate_rows(profile, seed)
+def _gen_conv_rows(c: int, lo: int, hi: int, seed: int) -> list[dict]:
+    """One conversation's rows, reproducible from (seed, c) alone."""
+    rng = random.Random(f"{seed}:{c}")
+    conv_id = f"conv_{c:06d}"
+    n_turns = rng.randint(lo, hi)
+    rows = []
+    for t in range(n_turns):
+        tool = TOOLS[(c + t) % len(TOOLS)]
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": ROLES[t % 3],
+                "text": _PAYLOAD[tool](c * 7 + t, rng),
+                "tool": tool,
+                "ts": T0 + dt.timedelta(seconds=c * 9000 + 137 * t),
+            }
+        )
+    return rows
+
+
+def _gen_skew_rows(conv_no: int, turns: range, seed: int) -> list[dict]:
+    """A slice of the single huge skew conversation; each turn reproducible
+    from (seed, t) so the conversation can be generated file-by-file."""
+    conv_id = f"conv_{conv_no:06d}"
+    rows = []
+    for t in turns:
+        tool = TOOLS[t % len(TOOLS)]
+        rng = random.Random(f"{seed}:skew:{t}")
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": ROLES[t % 3],
+                "text": _PAYLOAD[tool](t, rng),
+                "tool": tool,
+                "ts": T0 + dt.timedelta(seconds=conv_no * 9000 + 137 * t),
+            }
+        )
+    return rows
+
+
+def _write_table(rows: list[dict], path: str) -> None:
     cols = {name: [r[name] for r in rows] for name in SCHEMA.names}
     table = pa.Table.from_pydict(cols, schema=SCHEMA)
-    # small row groups so Spark can split the file without a shuffle
+    # small row groups so Spark can split within a file too
     pq.write_table(table, path, row_group_size=8192)
+
+
+def write_transcripts_dir(path: str, profile: str, seed: int = 42) -> int:
+    """Write a DIR_PROFILES dataset as a directory of parquet files.
+
+    File i holds convs c ≡ i (mod n_files) plus skew turns t ≡ i (mod
+    n_files) — the skew conversation's rows are scattered over every file,
+    as they would be in a real ingested table, so assembly has to shuffle
+    them back together."""
+    import os
+    import shutil
+
+    n_convs, lo, hi, skew, n_files = DIR_PROFILES[profile]
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    total = 0
+    for i in range(n_files):
+        rows: list[dict] = []
+        for c in range(i, n_convs, n_files):
+            rows.extend(_gen_conv_rows(c, lo, hi, seed))
+        if skew:
+            rows.extend(_gen_skew_rows(n_convs, range(i, skew, n_files), seed))
+        random.Random(f"{seed + 1}:{i}").shuffle(rows)
+        _write_table(rows, os.path.join(path, f"part-{i:05d}.parquet"))
+        total += len(rows)
+    return total
+
+
+def write_transcripts(path: str, profile: str = "tiny", seed: int = 42) -> int:
+    if profile in DIR_PROFILES:
+        return write_transcripts_dir(path, profile, seed)
+    rows = generate_rows(profile, seed)
+    _write_table(rows, path)
     return len(rows)
 
 

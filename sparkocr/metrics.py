@@ -1,0 +1,64 @@
+"""Job metrics — the avg-sec/page and counters surface (SURVEY.md §2.6).
+
+The reference logs per-run counters: pages processed, dropped pages, avg
+sec/page (app/processors.py:408-409,595-596). At table scale these become
+one aggregation pass over the per-turn output: rows in/out, truncation and
+repeat-flag rates, per-mode distribution, and conversation-skew statistics
+(the inputs that size the salting/chunking knobs in assemble.py).
+
+All JVM aggregates; collected to the driver only as a handful of summary
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def mode_metrics(turns: DataFrame) -> DataFrame:
+    """Per-mode extraction counters → one row per `tool` value."""
+    return (
+        turns.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("is_truncated").cast("int")).alias("n_truncated"),
+            F.sum(F.col("has_repeat").cast("int")).alias("n_repeat_flagged"),
+            F.sum((F.col("error").isNotNull()).cast("int")).alias("n_errors"),
+            F.sum("n_chars_in").alias("chars_in"),
+            F.sum("n_chars_out").alias("chars_out"),
+            F.round(F.avg("n_chars_out"), 2).alias("avg_chars_out"),
+        )
+        .orderBy("tool")
+    )
+
+
+def conversation_skew(turns: DataFrame) -> DataFrame:
+    """Conversation-size distribution: percentiles + the heavy hitters that
+    motivate salted/chunked assembly. One summary row."""
+    sizes = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_turns").alias("n_turns_total"),
+        F.max("n_turns").alias("max_conv_turns"),
+        F.expr("percentile_approx(n_turns, 0.5)").alias("p50_conv_turns"),
+        F.expr("percentile_approx(n_turns, 0.99)").alias("p99_conv_turns"),
+        F.round(
+            F.max("n_turns") / F.expr("percentile_approx(n_turns, 0.5)"), 2
+        ).alias("skew_ratio"),
+    )
+
+
+def job_summary(turns: DataFrame, wall_sec: float | None = None) -> dict:
+    """Driver-side summary dict (lineage manifests embed a subset of this)."""
+    row = turns.agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col("is_truncated").cast("int")).alias("n_truncated"),
+        F.sum((F.col("error").isNotNull()).cast("int")).alias("n_errors"),
+        F.sum("n_chars_in").alias("chars_in"),
+        F.sum("n_chars_out").alias("chars_out"),
+    ).first()
+    out = {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+    if wall_sec:
+        out["wall_sec"] = round(wall_sec, 3)
+        out["turns_per_sec"] = round(out["rows_out"] / wall_sec, 1)
+    return out

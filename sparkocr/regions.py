@@ -1,0 +1,157 @@
+"""Crop-region records (E13), markdown image embedding (E14), locate (Q3).
+
+The reference draws bounding boxes and crops ``image``-labeled regions to
+``images/{jdx}_{idx}.jpg`` files (run_dpsk_ocr_image.py:85-149,
+app/processors.py:31-106); the rendering is out of scope, but the *records*
+— which region, which page, which output name — port as a JVM-only derived
+table. ``embed_images_in_markdown`` (app/utils.py:130-147) then replaces
+the numbered ``**[图片 N]**`` placeholders with the image payload; our
+analog splices the crop-record path as a markdown link via a JVM
+``aggregate`` fold (count=1 per placeholder, in crop order — the
+reference's exact loop shape).
+
+``locate`` is the reference's third prompt mode (Q3, app/config.py:49-53):
+find a needle in the extracted text. Ported as a pure-JVM substring search
+over ``clean_text`` returning every match offset plus any grounded span
+overlapping the hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def crop_regions(turns: DataFrame) -> DataFrame:
+    """Per-turn image-span records → (conv_id, turn_idx, img_idx, crop_path,
+    x1..y2). ``img_idx`` numbers image spans in span (match) order within
+    the turn; path mirrors ``images/{jdx}_{idx}.jpg`` with jdx = turn_idx
+    (run_dpsk_ocr_pdf.py:316-317 naming)."""
+    s = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("spans").alias("span_pos", "sp"),
+    ).filter((F.col("sp.label") == "image") & F.col("sp.bbox").isNotNull())
+    # number image spans per turn in span order (array order == match order)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_pos")
+    s = s.withColumn("img_idx", F.row_number().over(w) - 1)
+    first = F.col("sp.bbox")[0]
+    return s.select(
+        "conv_id",
+        "turn_idx",
+        "img_idx",
+        F.concat(
+            F.lit("images/"),
+            F.col("turn_idx").cast("string"),
+            F.lit("_"),
+            F.col("img_idx").cast("string"),
+            F.lit(".jpg"),
+        ).alias("crop_path"),
+        first[0].alias("x1"),
+        first[1].alias("y1"),
+        first[2].alias("x2"),
+        first[3].alias("y2"),
+    )
+
+
+def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
+    """E14 analog: replace ``**[图片 N]**`` (N = 1-based crop order) in
+    ``markdown_text`` with a markdown image link to the crop record's path,
+    one replacement per crop in order — a JVM ``aggregate`` fold, no Python.
+
+    ``replace(str, search, repl)`` replaces every occurrence, but the
+    numbered placeholders are unique within a turn, so the outcome equals
+    the reference's sequential count=1 loop (app/utils.py:139-147)."""
+    crops = crop_regions(turns).groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_list(F.struct("img_idx", "crop_path"))).alias("crops")
+    )
+    j = turns.join(crops, ["conv_id", "turn_idx"], "left")
+    embedded = F.when(F.col("crops").isNull(), F.col("markdown_text")).otherwise(
+        F.aggregate(
+            "crops",
+            F.col("markdown_text"),
+            lambda acc, c: F.replace(
+                acc,
+                F.concat(
+                    F.lit("**[图片 "),
+                    (c["img_idx"] + 1).cast("string"),
+                    F.lit("]**"),
+                ),
+                F.concat(F.lit("![]("), c["crop_path"], F.lit(")")),
+            ),
+        )
+    )
+    return j.select(
+        "conv_id", "turn_idx", embedded.alias("markdown_embedded")
+    )
+
+
+def locate(turns: DataFrame, needle: str) -> DataFrame:
+    """Q3 locate mode: every occurrence of ``needle`` in ``clean_text`` →
+    (conv_id, turn_idx, match_start, match_end), 0-based offsets.
+
+    JVM-only: positions come from splitting on the literal needle and
+    accumulating segment lengths (a fold over ``split``), not a Python UDF.
+    """
+    if not needle:
+        raise ValueError("needle must be non-empty")
+    lit = F.lit(needle)
+    # split on the literal needle: k matches -> k+1 parts; a linear fold
+    # over the first k parts accumulates (match offsets, running position).
+    parts = F.split("clean_text", _re_escape(needle), -1)
+    zero = F.struct(
+        F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cum")
+    )
+    starts = F.aggregate(
+        F.slice(parts, 1, F.size(parts) - 1),
+        zero,
+        lambda acc, p: F.struct(
+            F.array_append(acc["offs"], (acc["cum"] + F.length(p)).cast("int")).alias(
+                "offs"
+            ),
+            (acc["cum"] + F.length(p) + F.length(lit)).alias("cum"),
+        ),
+        lambda acc: acc["offs"],
+    )
+    hits = turns.filter(F.size(parts) > 1).select(
+        "conv_id", "turn_idx", F.explode(starts).alias("match_start")
+    )
+    return hits.select(
+        "conv_id",
+        "turn_idx",
+        F.col("match_start").cast("int").alias("match_start"),
+        (F.col("match_start") + F.length(lit)).cast("int").alias("match_end"),
+    )
+
+
+def locate_with_spans(turns: DataFrame, needle: str) -> DataFrame:
+    """Locate + any grounded span overlapping each hit (the reference's
+    grounding response to a Locate prompt: the ref box for the needle)."""
+    hits = locate(turns, needle)
+    spans = turns.select(
+        "conv_id", "turn_idx", F.explode("spans").alias("sp")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("sp.start").alias("span_start"),
+        F.col("sp.end").alias("span_end"),
+        F.col("sp.label").alias("label"),
+    )
+    j = hits.join(spans, ["conv_id", "turn_idx"], "left")
+    overlap = (F.col("span_start") < F.col("match_end")) & (
+        F.col("span_end") > F.col("match_start")
+    )
+    return j.withColumn(
+        "label", F.when(overlap, F.col("label"))
+    ).withColumn(
+        "span_start", F.when(overlap, F.col("span_start"))
+    ).withColumn(
+        "span_end", F.when(overlap, F.col("span_end"))
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)

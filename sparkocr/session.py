@@ -42,7 +42,10 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         # keep parquet scans prunable: one row-group-ish split per task
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARKOCR_DRIVER_MEM", "8g"))
+        # local-mode driver hosts all executor threads: an 8g heap GC-thrashes
+        # under 32 concurrent parquet writers + arrow buffers (measured 3-4x
+        # slowdown on the write stage); 24g is comfortable in this 128G box.
+        .config("spark.driver.memory", os.environ.get("SPARKOCR_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
