@@ -277,6 +277,18 @@ def q_geometry_parse(spark, sf_dir):
     )
 
 
+def q_payload_chunks(spark, sf_dir):
+    from sparkocr.textproc.chunking import chunk_turns
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("turn_idx"), F.lit("d").alias("conv_id"), "text"
+    )
+    return chunk_turns(d, max_chars=100).select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "chunk_idx", "chunk_text", "n_chunks",
+    )
+
+
 def q_doc_assembly_app(spark, sf_dir):
     from sparkocr.assemble import assemble_docs_app
     from sparkocr.extract.dispatch import extract_turns
@@ -642,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_slice": q_page_slice,
         "vision_tokens": q_vision_tokens,
         "crop_regions": q_crop_regions,
+        "payload_chunks": q_payload_chunks,
         "markdown_embed": q_markdown_embed,
         "repeat_flags": q_repeat_flags,
         "locate_stats": q_locate_stats,
@@ -779,6 +792,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repeat_flags": """
             SELECT doc_id, (doc_id % 5 = 0) AS has_repeat FROM documents
+        """,
+        "payload_chunks": """
+            SELECT doc_id, r.range::INT AS chunk_idx,
+                   substr(text, (r.range * 100 + 1)::INT, 100) AS chunk_text,
+                   greatest(ceil(length(text) / 100.0), 1)::INT AS n_chunks
+            FROM documents, range(0, 64) r
+            WHERE r.range * 100 < length(text)
         """,
         "locate_stats": f"""
             WITH t AS ({_DOC_TRANSCRIPT_SQL}),

@@ -1,0 +1,58 @@
+"""Structured Streaming extraction — incremental variant of the batch DAG.
+
+The reference is strictly batch (every run is a finite page set; the only
+async piece is display-token streaming, run_dpsk_ocr_image.py:207-216), so
+streaming is an extension, not a parity requirement (SURVEY.md §1.2). It
+exists because a transcript table at 10^12-turn scale is really an
+append-only feed: new conversation turns arrive continuously, and per-turn
+extraction is stateless, so the exact same ``mapInPandas`` extractor runs
+under ``readStream`` unchanged.
+
+Shape: file-source ``readStream`` (fixed transcripts schema, required by
+streaming sources) → ``extract_turns`` (same hot path as batch; stateless,
+so no watermark needed) → parquet sink with a checkpoint location. The
+sink checkpoint gives exactly-once file-source progress tracking — the
+streaming counterpart of the batch job's per-bucket lineage manifests
+(sparkocr.checkpoint). Doc assembly stays a downstream batch job over the
+sink table: a conversation only has a final assembly once its turns stop
+arriving, which is a business rule (session timeout), not a fixed
+watermark; the batch assembly reads the always-current sink.
+
+``run_once`` uses ``Trigger.AvailableNow`` — process everything present,
+then stop — which is also the deterministic mode the tests drive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkocr import schema
+from sparkocr.extract.dispatch import extract_turns
+
+
+def streaming_turns(spark: SparkSession, input_dir: str, max_files: int | None = None) -> DataFrame:
+    """readStream over a transcripts parquet directory → streaming per-turn
+    extraction DataFrame (same extractor, stateless)."""
+    reader = spark.readStream.schema(schema.TRANSCRIPTS)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    src = reader.parquet(input_dir)
+    # min_parallelism=0: a streaming micro-batch's width is its file count;
+    # the round-robin widening shuffle is a batch-only concern.
+    return extract_turns(src, min_parallelism=0)
+
+
+def run_once(
+    spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Process all currently-available input files to the parquet sink,
+    exactly-once via the sink checkpoint, then stop."""
+    q = (
+        streaming_turns(spark, input_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

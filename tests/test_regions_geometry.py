@@ -133,6 +133,26 @@ def test_locate_with_spans(spark, turns):
     assert labeled, "hit overlapping the grounded title span must carry its label"
 
 
+def test_chunk_turns(spark):
+    from pyspark.sql import functions as F
+
+    from sparkocr.textproc.chunking import chunk_turns
+
+    rows = [("c", 0, ""), ("c", 1, "x" * 100), ("c", 2, "y" * 101), ("c", 3, "z" * 250)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = chunk_turns(df, max_chars=100)
+    by_turn = {}
+    for r in out.collect():
+        by_turn.setdefault(r.turn_idx, []).append(r)
+    assert [r.chunk_text for r in by_turn[0]] == [""] and by_turn[0][0].n_chunks == 1
+    assert [len(r.chunk_text) for r in sorted(by_turn[1], key=lambda r: r.chunk_idx)] == [100]
+    assert [len(r.chunk_text) for r in sorted(by_turn[2], key=lambda r: r.chunk_idx)] == [100, 1]
+    assert [len(r.chunk_text) for r in sorted(by_turn[3], key=lambda r: r.chunk_idx)] == [100, 100, 50]
+    # reassembly restores the original payload (row-major order invariant)
+    re2 = "".join(r.chunk_text for r in sorted(by_turn[3], key=lambda r: r.chunk_idx))
+    assert re2 == "z" * 250
+
+
 def test_metrics(spark, turns):
     from sparkocr.metrics import conversation_skew, job_summary, mode_metrics
 
