@@ -150,10 +150,13 @@ def q_doc_assembly(spark, sf_dir):
 
 
 def q_page_slice(spark, sf_dir):
-    # S6 page-range slice: predicate-pushdown filter on turn index
-    tr = _doc_transcripts(spark, sf_dir)
-    return tr.filter((F.col("turn_idx") >= 100) & (F.col("turn_idx") <= 199)).select(
-        "conv_id", F.col("turn_idx").cast("bigint").alias("doc_id")
+    # S6 page-range slice. The filter is applied to the SOURCE column before
+    # any cast so it reaches the parquet scan as a pushed filter (a filter on
+    # cast(doc_id) would not push; see tests/test_plans.py).
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 199))
+        .select(F.col("source").alias("conv_id"), "doc_id")
     )
 
 

@@ -34,7 +34,15 @@ def main() -> dict:
     from sparkocr.extract.dispatch import extract_turns
     from sparkocr.session import build_session
 
-    spark = build_session("sparkocr-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+    # split knobs scaled to the tiny bench table (see BENCH/run_scaling.py):
+    # gives the scan the split count a production-size table has naturally.
+    spark = build_session(
+        "sparkocr-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.sql.files.openCostInBytes": str(64 << 10),
+        },
+    )
     times: dict[str, float] = {}
 
     # warmup: JIT + Arrow + the FULL python worker pool (a limit() warmup

@@ -92,8 +92,12 @@ def lsh_candidate_pairs(
     docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE
 ) -> DataFrame:
     """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
-    with estimated similarity = fraction of agreeing minhashes."""
-    sig = minhash_signatures(docs, n_perm, k)
+    with estimated similarity = fraction of agreeing minhashes.
+
+    The signature table feeds three plan branches (bands, left/right of the
+    verify join); without a cache the shingle-explode + 12-way min
+    aggregation — the expensive part — would run three times."""
+    sig = minhash_signatures(docs, n_perm, k).cache()
     n_bands = n_perm // band_rows
     bands = sig.select(
         "doc_id",
@@ -185,8 +189,10 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (a pair within distance ≤3 shares at least one of 4 chunks exactly)."""
-    sig = simhash_docs(docs)
+    (a pair within distance ≤3 shares at least one of 4 chunks exactly).
+    Signatures cached: both sides of the block join read them, and the
+    Arrow-batched hash UDF is the expensive stage."""
+    sig = simhash_docs(docs).cache()
     chunks = sig.select(
         "doc_id",
         "simhash",

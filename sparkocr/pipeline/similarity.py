@@ -93,7 +93,11 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_planes: int =
     exact cosine ≥ threshold inside buckets — the embedding-cosine analog of
     MinHash-LSH dedup."""
     planes = hyperplanes(DIM, n_planes)
-    sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+    # cached: both join sides read the signatures, and the 12-plane dot
+    # products are the expensive projection
+    sigged = emb.withColumn(
+        "sig", lsh_signature_col(F.col("embedding"), planes)
+    ).cache()
     a, b = sigged.alias("a"), sigged.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))

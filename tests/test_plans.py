@@ -1,0 +1,88 @@
+"""Physical-plan hygiene: the properties that make the DAG scale are
+asserted, not assumed — filter pushdown reaches the parquet scan, the
+extract stage is a single MapInPandas with no shuffle when the scan is
+wide enough, small dimensions broadcast, and column pruning holds."""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_page_slice_filter_pushdown(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.q_page_slice(spark, SF_DIR))
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual" in p and "LessThanOrEqual" in p
+
+
+def test_extract_is_single_map_stage_no_shuffle(spark, tmp_path):
+    from sparkocr.datagen import write_transcripts
+    from sparkocr.extract.dispatch import extract_turns
+
+    # 8 files -> >= 2x local[4] parallelism natural splits: no repartition
+    d = str(tmp_path / "multi")
+    import os
+
+    os.makedirs(d)
+    for i in range(8):
+        write_transcripts(os.path.join(d, f"p{i}.parquet"), "tiny", seed=i)
+    old = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    # one file per split (file open cost fills a whole maxPartitionBytes)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 20))
+    try:
+        df = spark.read.parquet(d)
+        plan = _plan(extract_turns(df))
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan, plan
+
+
+def test_extract_widens_narrow_scan(spark, tiny_transcripts):
+    from sparkocr.extract.dispatch import extract_turns
+
+    # single small file -> 1 split: the auto round-robin repartition must
+    # appear (a map stage can never run wider than its input splits)
+    df = spark.read.parquet(tiny_transcripts)
+    plan = _plan(extract_turns(df))
+    assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.q_region_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_pricing_summary_column_pruning(spark):
+    import re
+
+    import __spark_entry__ as e
+
+    p = _plan(e.q_pricing_summary(spark, SF_DIR))
+    m = re.search(r"ReadSchema: struct<([^>]*)>?", p)
+    assert m, p
+    cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if ":" in c}
+    # only the columns the query touches, not all 16 lineitem columns
+    assert cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }, cols
+
+
+def test_assembly_two_phase_bounds_group_state(spark, tiny_transcripts):
+    from sparkocr.assemble import assemble_docs_cli
+    from sparkocr.extract.dispatch import extract_turns
+
+    turns = extract_turns(spark.read.parquet(tiny_transcripts), min_parallelism=0)
+    plan = _plan(assemble_docs_cli(turns, chunk=4))
+    # two aggregation levels: (conv_id, chunk_id) then (conv_id)
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
