@@ -31,8 +31,7 @@ EXTRACTOR_VERSION = "1"
 
 
 def _extract_grounding(text: str):
-    clean, spans, trunc = grounding.clean_grounded(text)
-    md = grounding.markdown_grounded(text)
+    clean, md, spans, trunc = grounding.extract_grounded_pair(text)
     return clean, md, spans, trunc, None
 
 

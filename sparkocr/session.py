@@ -10,9 +10,23 @@ provides the same resume surface (SURVEY.md §7).
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
+
+
+def iceberg_available() -> bool:
+    """True iff an iceberg-spark-runtime jar ships with this pyspark.
+    Decides the table format at session build: Iceberg catalog when
+    present, plain parquet + sparkocr.checkpoint manifests otherwise."""
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return bool(glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar")))
+    except Exception:
+        return False
 
 
 def build_session(
@@ -48,6 +62,20 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARKOCR_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    if iceberg_available():
+        # local hadoop catalog `ice`; jobs address tables as ice.db.table.
+        # Absent the jar (this sandbox), the parquet fallback with a bucket
+        # column + JSON lineage manifests provides the same resume surface.
+        wh = os.environ.get("SPARKOCR_ICEBERG_WAREHOUSE", "/tmp/sparkocr_warehouse")
+        b = (
+            b.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.ice.type", "hadoop")
+            .config("spark.sql.catalog.ice.warehouse", wh)
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
