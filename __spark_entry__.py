@@ -597,6 +597,32 @@ def q_doc_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
 
 
+def q_media_decode(spark, sf_dir):
+    from sparkocr.pipeline.multimodal import decode_stats, synth_media
+
+    d = decode_stats(synth_media(_t(spark, sf_dir, "documents")))
+    return d.select(
+        "media_id", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "width", "height",
+        F.round("aspect_ratio", 6).alias("aspect_ratio"),
+    )
+
+
+def q_media_resize_plan(spark, sf_dir):
+    from sparkocr.pipeline.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(_t(spark, sf_dir, "documents")), target=640)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    # frame checksums come from the deterministic fake codec (not
+    # SQL-expressible without overflow-safe fold) -> rows-only check
+    from sparkocr.pipeline.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_t(spark, sf_dir, "documents")), n_sample=4)
+
+
 def _query_vec(spark, sf_dir):
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -691,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_chunk_fps": q_doc_chunk_fps,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "media_decode": q_media_decode,
+        "media_resize_plan": q_media_resize_plan,
+        "media_frame_sample": q_media_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_label_stats": q_embedding_label_stats,
@@ -1036,6 +1065,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
+        """,
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   round(list_avg(list_transform(regexp_extract_all(text, '.'),
+                                                 c -> ord(c))), 6) AS mean_byte,
+                   (320 + doc_id % 1280)::INT AS width,
+                   (240 + (doc_id * 3) % 960)::INT AS height,
+                   round((320 + doc_id % 1280) * 1.0
+                         / (240 + (doc_id * 3) % 960), 6) AS aspect_ratio
+            FROM documents
+        """,
+        "media_resize_plan": """
+            SELECT doc_id AS media_id,
+                   (320 + doc_id % 1280)::INT AS width,
+                   (240 + (doc_id * 3) % 960)::INT AS height,
+                   round(least(640.0 / (320 + doc_id % 1280),
+                               640.0 / (240 + (doc_id * 3) % 960)), 6) AS scale,
+                   floor((320 + doc_id % 1280) *
+                         least(640.0 / (320 + doc_id % 1280),
+                               640.0 / (240 + (doc_id * 3) % 960)))::INT AS out_w,
+                   floor((240 + (doc_id * 3) % 960) *
+                         least(640.0 / (320 + doc_id % 1280),
+                               640.0 / (240 + (doc_id * 3) % 960)))::INT AS out_h
+            FROM documents
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

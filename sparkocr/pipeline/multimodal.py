@@ -1,0 +1,188 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+At training-data scale, images/audio/video ride through Spark as opaque
+``binary`` columns with typed metadata structs; all heavy decode work is
+Arrow-batched Python at the edges. This container ships no image/audio
+libraries (no PIL/cv2/ffmpeg — verified), so the codec step itself is
+STUBBED two ways, clearly marked:
+
+- ``decode_image_real`` raises NotImplementedError — the seam where
+  PIL/torchvision would plug in on a real cluster;
+- the shipped operators use a DETERMINISTIC FAKE codec (payload bytes →
+  seeded per-pixel stats) so the Spark-side plumbing — schema, Arrow batch
+  shape, mapInPandas signatures, partitioning — is real and fully tested.
+
+Operators mirror the reference's image pre-processing slots (SURVEY.md
+§2.2): decode+stats (T4 ImageTransform analog), resize arithmetic
+(dynamic_preprocess resize, process/image_process.py:59-61), tile/frame
+sampling (dynamic_preprocess crop loop, :62-84 / video frame-sample
+analog), EXIF-style normalization flag (load_image, run_dpsk_ocr_image.py
+:40-54).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),  # 1 for stills
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, n_bytes int, mean_byte double, width int, height int, "
+    "aspect_ratio double, checksum long"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_checksum long, n_bytes int"
+)
+
+
+def decode_image_real(payload: bytes, meta: dict):  # pragma: no cover
+    """The real-codec seam. On a cluster with PIL/torchvision installed this
+    returns a decoded ndarray; this container has no image libraries."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "use the deterministic fake path (decode_stats_batches)"
+    )
+
+
+def _fake_decode_stats(payload: bytes) -> tuple[int, float, int]:
+    """Deterministic fake decode: byte stats + rolling checksum. Stands in
+    for per-pixel statistics a real decoder would produce; stable across
+    runs and processes (no hash seed dependence)."""
+    if payload is None:
+        return 0, 0.0, 0
+    n = len(payload)
+    if n == 0:
+        return 0, 0.0, 0
+    total = 0
+    csum = 0
+    for b in payload:
+        total += b
+        csum = (csum * 131 + b) % (1 << 61)
+    return n, total / n, csum
+
+
+def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: media rows → DECODED_SCHEMA rows (fake codec)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for media_id, payload, meta in zip(
+            pdf["media_id"], pdf["payload"], pdf["meta"]
+        ):
+            n, mean_b, csum = _fake_decode_stats(payload)
+            w = int(meta["width"]) if meta and meta["width"] is not None else 0
+            h = int(meta["height"]) if meta and meta["height"] is not None else 0
+            # no python round() here: callers round JVM-side (HALF_UP), so
+            # oracle SQL round() semantics match exactly
+            rows.append(
+                (media_id, n, mean_b, w, h, w / h if h else None, csum)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "media_id", "n_bytes", "mean_byte", "width", "height",
+                "aspect_ratio", "checksum",
+            ],
+        )
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract stage: one MapInPandas, Arrow-batched."""
+    return media.mapInPandas(decode_stats_batches, DECODED_SCHEMA)
+
+
+def resize_plan(media: DataFrame, target: int = 640) -> DataFrame:
+    """Resize arithmetic (pure JVM — no pixels needed): the reference's
+    resize step computes the target grid from (w, h) alone
+    (process/image_process.py:59-61); emitting the plan keeps the expensive
+    pixel work on the real-codec seam."""
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    scale = F.least(F.lit(target) / w, F.lit(target) / h)
+    return media.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(scale, 6).alias("scale"),
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
+    )
+
+
+def sample_frames_batches(n_sample: int):
+    """mapInPandas factory: evenly sample ``n_sample`` frames per video
+    payload (frame = equal byte slice under the fake codec), mirroring the
+    reference's tile crop loop shape (one output row per tile/frame)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                nf = int(meta["n_frames"]) if meta and meta["n_frames"] else 1
+                payload = payload or b""
+                take = min(n_sample, nf)
+                if take <= 0 or not len(payload):
+                    continue
+                frame_len = max(len(payload) // nf, 1)
+                for j in range(take):
+                    # evenly spaced frame indices over [0, nf)
+                    fi = (j * nf) // take
+                    chunk = payload[fi * frame_len : (fi + 1) * frame_len]
+                    _, _, csum = _fake_decode_stats(chunk)
+                    rows.append((media_id, fi, csum, len(chunk)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_checksum", "n_bytes"],
+            )
+
+    return gen
+
+
+def sample_frames(media: DataFrame, n_sample: int = 4) -> DataFrame:
+    return media.mapInPandas(sample_frames_batches(n_sample), FRAME_SCHEMA)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table (no external
+    data): payload = utf-8 text bytes (opaque to the operators), metadata
+    derived from doc_id. Every 3rd row is a 'video' with n_frames > 1."""
+    is_video = F.col("doc_id") % 3 == 0
+    meta = F.struct(
+        F.when(is_video, F.lit("video")).otherwise(F.lit("image")).alias("media_type"),
+        (F.lit(320) + (F.col("doc_id") % 1280)).cast("int").alias("width"),
+        (F.lit(240) + ((F.col("doc_id") * 3) % 960)).cast("int").alias("height"),
+        F.when(is_video, (F.col("doc_id") % 7 + 2)).otherwise(F.lit(1))
+        .cast("int")
+        .alias("n_frames"),
+        F.when(is_video, F.lit("fake-v1")).otherwise(F.lit("fake-i1")).alias("codec"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        meta.alias("meta"),
+    )
