@@ -292,6 +292,99 @@ def q_payload_chunks(spark, sf_dir):
     )
 
 
+def q_pdf_reading_order(spark, sf_dir):
+    """pdfspans mode: spans arrive shuffled (D,B,A,C) and must come back in
+    reading order A B / C D (row-major by y-quantum then x), with E3-style
+    bbox denormalization on the first span."""
+    from sparkocr.extract.dispatch import extract_turns
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit('{"page": 0, "spans": ['),
+        F.lit('{"t": "D'), i, F.lit('", "bbox": [500, 163, 900, 193]}, '),
+        F.lit('{"t": "B'), i, F.lit('", "bbox": [500, 43, 900, 73]}, '),
+        F.lit('{"t": "A'), i, F.lit('", "bbox": [30, 43, 460, 73]}, '),
+        F.lit('{"t": "C'), i, F.lit('", "bbox": [30, 163, 460, 193]}]}'),
+    )
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        F.lit("pdfspans").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    turns = extract_turns(tr)
+    first = F.col("spans")[0]
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.size("spans").alias("n_spans"),
+        first["start"].alias("s0_start"),
+        first["end"].alias("s0_end"),
+        first["bbox"][0][0].alias("s0_x1"),
+        first["bbox"][0][1].alias("s0_y1"),
+        first["bbox"][0][2].alias("s0_x2"),
+        first["bbox"][0][3].alias("s0_y2"),
+    )
+
+
+def q_html_main_extract(spark, sf_dir):
+    """html mode: nav/link boilerplate must be dropped, the two article
+    paragraphs kept in order and joined with a blank line."""
+    from sparkocr.extract.dispatch import extract_turns
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/x">X</a></nav>'),
+        F.lit("<article><p>"), F.col("text"), F.lit("</p><p>closing paragraph tail "),
+        F.col("doc_id").cast("string"),
+        F.lit("</p></article><footer><a href='/t'>T</a></footer></body></html>"),
+    )
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        F.lit("html").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    turns = extract_turns(tr)
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.size("spans").alias("n_blocks"),
+    )
+
+
+def q_md_table_extract(spark, sf_dir):
+    """markdown mode: newline-run collapse, trailing-ws strip, pipe-table
+    cell spans (separator row excluded)."""
+    from sparkocr.extract.dispatch import extract_turns
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("# Title "), i, F.lit("\n\n\n\n"), F.col("text"),
+        F.lit("   \n\n| a | b"), i, F.lit(" |\n|---|---|\n| 1 | x |\n"),
+    )
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        F.lit("markdown").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    turns = extract_turns(tr)
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.size("spans").alias("n_cells"),
+    )
+
+
 def q_doc_assembly_app(spark, sf_dir):
     from sparkocr.assemble import assemble_docs_app
     from sparkocr.extract.dispatch import extract_turns
@@ -684,6 +777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vision_tokens": q_vision_tokens,
         "crop_regions": q_crop_regions,
         "payload_chunks": q_payload_chunks,
+        "pdf_reading_order": q_pdf_reading_order,
+        "html_main_extract": q_html_main_extract,
+        "md_table_extract": q_md_table_extract,
         "markdown_embed": q_markdown_embed,
         "repeat_flags": q_repeat_flags,
         "locate_stats": q_locate_stats,
@@ -831,6 +927,40 @@ def oracle_sql() -> dict[str, str]:
                    greatest(ceil(length(text) / 100.0), 1)::INT AS n_chunks
             FROM documents, range(0, 64) r
             WHERE r.range * 100 < length(text)
+        """,
+        "html_main_extract": """
+            -- document text has no markup chars or whitespace runs
+            -- (verified), so the kept article blocks pass through verbatim
+            SELECT doc_id,
+                   text || chr(10) || chr(10) ||
+                   'closing paragraph tail ' || doc_id AS clean_text,
+                   2::INT AS n_blocks
+            FROM documents
+        """,
+        "md_table_extract": """
+            -- normalize: trailing spaces before newline dropped, newline
+            -- runs of 3+ collapse to 2, outer strip; 4 pipe cells
+            -- (separator row excluded)
+            SELECT doc_id,
+                   '# Title ' || doc_id || chr(10) || chr(10) || text ||
+                   chr(10) || chr(10) || '| a | b' || doc_id || ' |' ||
+                   chr(10) || '|---|---|' || chr(10) || '| 1 | x |' AS clean_text,
+                   4::INT AS n_cells
+            FROM documents
+        """,
+        "pdf_reading_order": """
+            -- A B on row 4 (y1=43), C D on row 16 (y1=163); first span = A
+            SELECT doc_id,
+                   'A' || doc_id || ' ' || 'B' || doc_id || chr(10) ||
+                   'C' || doc_id || ' ' || 'D' || doc_id AS clean_text,
+                   4::INT AS n_spans,
+                   0::INT AS s0_start,
+                   (1 + length(doc_id::VARCHAR))::INT AS s0_end,
+                   floor(30 / 999.0 * 1275)::INT AS s0_x1,
+                   floor(43 / 999.0 * 1650)::INT AS s0_y1,
+                   floor(460 / 999.0 * 1275)::INT AS s0_x2,
+                   floor(73 / 999.0 * 1650)::INT AS s0_y2
+            FROM documents
         """,
         "locate_stats": f"""
             WITH t AS ({_DOC_TRANSCRIPT_SQL}),
