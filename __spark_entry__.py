@@ -358,6 +358,34 @@ def q_html_main_extract(spark, sf_dir):
     )
 
 
+def q_label_colors(spark, sf_dir):
+    """E13 app-variant analog: per-label first-seen color ranks. Single
+    conv so first-seen order == doc_id order; RGB (seeded numpy stream,
+    not SQL-expressible) is covered by pytest instead."""
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import label_color_map
+
+    d = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("<|ref|>label_"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("<|/ref|><|det|>[[1,2,3,4]]<|/det|>body"), F.lit(EOS),
+    )
+    tr = d.select(
+        F.lit("c").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        text.alias("text"),
+        F.lit("grounding").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    cm = label_color_map(extract_turns(tr))
+    return cm.select(
+        "label",
+        F.col("first_turn_idx").cast("bigint").alias("first_doc"),
+        "color_idx",
+    )
+
+
 def q_md_table_extract(spark, sf_dir):
     """markdown mode: newline-run collapse, trailing-ws strip, pipe-table
     cell spans (separator row excluded)."""
@@ -780,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_reading_order": q_pdf_reading_order,
         "html_main_extract": q_html_main_extract,
         "md_table_extract": q_md_table_extract,
+        "label_colors": q_label_colors,
         "markdown_embed": q_markdown_embed,
         "repeat_flags": q_repeat_flags,
         "locate_stats": q_locate_stats,
@@ -936,6 +965,15 @@ def oracle_sql() -> dict[str, str]:
                    'closing paragraph tail ' || doc_id AS clean_text,
                    2::INT AS n_blocks
             FROM documents
+        """,
+        "label_colors": """
+            WITH firsts AS (
+                SELECT 'label_' || (doc_id % 4) AS label,
+                       min(doc_id) AS first_doc
+                FROM documents GROUP BY 1)
+            SELECT label, first_doc,
+                   (row_number() OVER (ORDER BY first_doc) - 1)::INT AS color_idx
+            FROM firsts
         """,
         "md_table_extract": """
             -- normalize: trailing spaces before newline dropped, newline

@@ -87,6 +87,56 @@ def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
     )
 
 
+def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
+    """Per-label first-seen color assignment (E13 app variant analog:
+    seeded per-label colors for the box-annotation overlay,
+    app/processors.py:31-106, seed at :57).
+
+    Deterministic semantics: labels ranked by first occurrence in stable
+    (conv_id, turn_idx, span order); color i = i-th RGB triple of the
+    numpy RandomState(seed) stream, matching successive
+    ``randint(0, 255, 3)`` draws. The rank window is a single partition —
+    fine, because distinct labels form a dimension-sized table (the
+    reference holds them in one python dict), not a data-sized one.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    s = turns.select(
+        "conv_id", "turn_idx", F.posexplode("spans").alias("span_pos", "sp")
+    ).select("conv_id", "turn_idx", "span_pos", F.col("sp.label").alias("label"))
+    firsts = s.groupBy("label").agg(
+        F.min(F.struct("conv_id", "turn_idx", "span_pos")).alias("first_seen")
+    )
+    ranked = firsts.withColumn(
+        "color_idx",
+        F.row_number().over(Window.orderBy("first_seen")) - 1,
+    )
+
+    def _rgb(idx):
+        import numpy as np
+        import pandas as pd
+
+        if not len(idx):
+            return pd.DataFrame({"r": [], "g": [], "b": []}, dtype="int32")
+        n = int(idx.max()) + 1
+        palette = np.random.RandomState(seed).randint(0, 255, size=(n, 3))
+        picked = palette[idx.to_numpy(dtype="int64")]
+        return pd.DataFrame(
+            {"r": picked[:, 0], "g": picked[:, 1], "b": picked[:, 2]}
+        ).astype("int32")
+
+    rgb = pandas_udf(_rgb, "r int, g int, b int")
+
+    return ranked.select(
+        "label",
+        F.col("first_seen.conv_id").alias("first_conv_id"),
+        F.col("first_seen.turn_idx").alias("first_turn_idx"),
+        "color_idx",
+        rgb(F.col("color_idx")).alias("rgb"),
+    )
+
+
 def locate(turns: DataFrame, needle: str) -> DataFrame:
     """Q3 locate mode: every occurrence of ``needle`` in ``clean_text`` →
     (conv_id, turn_idx, match_start, match_end), 0-based offsets.

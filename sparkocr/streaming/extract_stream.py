@@ -42,6 +42,35 @@ def streaming_turns(spark: SparkSession, input_dir: str, max_files: int | None =
     return extract_turns(src, min_parallelism=0)
 
 
+def windowed_turn_counts(
+    spark: SparkSession,
+    input_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """Watermarked event-time windowed aggregation over the turn feed:
+    turns and chars per (window, tool). Late rows beyond ``watermark`` are
+    dropped and window state is finalized — the standard late-data design
+    for an append-only transcript feed (the reference has no streaming
+    semantics; this is the Spark-native extension point)."""
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.schema(schema.TRANSCRIPTS).parquet(input_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "tool", "n_turns", "n_chars",
+        )
+    )
+
+
 def run_once(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

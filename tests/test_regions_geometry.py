@@ -133,6 +133,24 @@ def test_locate_with_spans(spark, turns):
     assert labeled, "hit overlapping the grounded title span must carry its label"
 
 
+def test_label_color_map(spark, turns):
+    import numpy as np
+
+    from sparkocr.regions import label_color_map
+
+    rows = {r.label: r for r in label_color_map(turns).collect()}
+    # turns fixture: image (span 0 of turn 0) seen before title (span 1)
+    assert rows["image"].color_idx == 0
+    assert rows["title"].color_idx == 1
+    palette = np.random.RandomState(42).randint(0, 255, size=(2, 3))
+    assert (rows["image"].rgb.r, rows["image"].rgb.g, rows["image"].rgb.b) == tuple(
+        palette[0]
+    )
+    assert (rows["title"].rgb.r, rows["title"].rgb.g, rows["title"].rgb.b) == tuple(
+        palette[1]
+    )
+
+
 def test_chunk_turns(spark):
     from pyspark.sql import functions as F
 

@@ -36,6 +36,37 @@ def test_streaming_matches_batch(spark, stream_dirs, tiny_transcripts):
         assert a["is_truncated"] == b["is_truncated"]
 
 
+def test_windowed_turn_counts_matches_batch(spark, stream_dirs, tiny_transcripts):
+    from pyspark.sql import functions as F
+
+    from sparkocr.streaming.extract_stream import windowed_turn_counts
+
+    q = (
+        windowed_turn_counts(spark, stream_dirs["in"])
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start, r.tool): (r.n_turns, r.n_chars)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r.ws, r.tool): (r.n_turns, r.n_chars)
+        for r in spark.read.parquet(tiny_transcripts)
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"), "tool"
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum(F.length("text")).alias("n_chars"))
+        .select(F.col("win.start").alias("ws"), "tool", "n_turns", "n_chars")
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+
 def test_streaming_exactly_once_on_restart(spark, stream_dirs, tiny_transcripts):
     from sparkocr.streaming.extract_stream import run_once
 
