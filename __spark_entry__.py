@@ -613,6 +613,75 @@ def q_priority_set_ops(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical rollup (hypertable-rollup analog): order counts and
+    revenue at (year, priority), (year), and grand-total levels in one
+    pass — Spark's rollup == partial-aggregate reuse across levels."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("yr"), "o_orderpriority", "o_totalprice")
+        .rollup("yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "revenue",
+        )
+    )
+
+
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event picks the user's latest order at or before
+    the event time (ties: max orderkey)."""
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("otime"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = asof_join(
+        e, o, key="user_id", left_time="ts", right_time="otime",
+        right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
+    )
+    return j.select(
+        "event_id", "user_id",
+        F.col("o_orderkey_asof").alias("asof_orderkey"),
+        F.round("o_totalprice_asof", 2).alias("asof_totalprice"),
+    )
+
+
+def q_orders_range_join(spark, sf_dir):
+    """Range join: pairs of same-customer orders within 30 days (interval
+    [date, date+30d) registered in coarse buckets -> equi join, no banded
+    nested loop)."""
+    from sparkocr.pipeline.relational_ext import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("r_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("r_end"),
+        F.col("o_orderkey").alias("r_orderkey"),
+    )
+    j = range_join(
+        left, right, key="o_custkey", left_time="o_orderdate",
+        r_start="r_start", r_end="r_end",
+        bucket_seconds=60 * 86400, right_cols=["r_orderkey"],
+    )
+    return j.select(
+        F.col("o_orderkey").alias("left_key"),
+        F.col("r_orderkey").alias("right_key"),
+        "o_custkey",
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -828,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "supplier_balance_rank": q_supplier_balance_rank,
         "priority_set_ops": q_priority_set_ops,
+        "orders_rollup": q_orders_rollup,
+        "asof_latest_order": q_asof_latest_order,
+        "orders_range_join": q_orders_range_join,
         "event_sessions": q_event_sessions,
         "event_type_hourly": q_event_type_hourly,
         "event_props_k": q_event_props_k,
@@ -1135,6 +1207,33 @@ def oracle_sql() -> dict[str, str]:
               AND o_custkey IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '5-LOW')
             ORDER BY custkey
+        """,
+        "orders_rollup": """
+            SELECT coalesce(yr::VARCHAR, 'ALL') AS yr,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM (SELECT year(o_orderdate)::INT AS yr, o_orderpriority,
+                         o_totalprice FROM orders)
+            GROUP BY ROLLUP (yr, o_orderpriority)
+        """,
+        "asof_latest_order": """
+            SELECT e.event_id, e.user_id,
+                   o2.o_orderkey AS asof_orderkey,
+                   round(o2.o_totalprice, 2) AS asof_totalprice
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            ) o2 ON true
+        """,
+        "orders_range_join": """
+            SELECT l.o_orderkey AS left_key, r.o_orderkey AS right_key,
+                   l.o_custkey
+            FROM orders l JOIN orders r
+            ON l.o_custkey = r.o_custkey
+            AND r.o_orderdate <= l.o_orderdate
+            AND l.o_orderdate < r.o_orderdate + INTERVAL 30 DAY
         """,
         "event_sessions": """
             WITH g AS (

@@ -1,0 +1,118 @@
+"""Relational operators Spark lacks as primitives: as-of join, range join.
+
+Both are implemented as compositions of built-in DataFrame ops (the
+preferred strategy for custom operators — no UDFs, fully Catalyst-visible):
+
+- **as-of join**: for each left row, the single most recent right row with
+  the same key and right_time <= left_time. Union the two sides tagged,
+  sort within key by (time, side-order), and carry the last right row
+  forward with a window `last(..., ignorenulls)` — one shuffle on the key,
+  no cross product, skew-safe under AQE. At 10^12 rows this beats the
+  naive `join + row_number` (which materializes every candidate pair).
+- **range join**: equi-key + interval containment. Expressed as an equi
+  join on (key, coarse time bucket) with the precise range predicate on
+  top, so Catalyst gets a shuffle-hash/broadcast join on the bucket key
+  instead of a banded nested loop; each left row probes its own and the
+  preceding bucket (intervals bounded by `max_span`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right[key] == left[key] and right[right_time] <= left[left_time]
+    (ties: the right row wins — it is 'already known' at that instant;
+    among equal-time right rows, max ``right_tiebreak`` wins).
+    Left rows with no prior right row keep nulls."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in right.select(*right_cols).schema.fields
+            ) + ">"
+        ).alias("_rrow"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in left.schema.fields
+            ) + ">"
+        ).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+    )
+    u = l_tag.unionByName(r_tag)
+    order = [F.col("_t"), F.col("_side")]
+    if right_tiebreak is not None:
+        # deterministic winner among right rows sharing a timestamp; null
+        # for left rows, which already sort after rights via _side
+        order.append(F.col(f"_rrow.{right_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        "_lrow.*",
+        *[F.col(f"_r.{c}").alias(c + suffix) for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+    right_cols: list[str],
+) -> DataFrame:
+    """left rows joined to right intervals containing them:
+    right[r_start] <= left[left_time] < right[r_end], same key.
+    Intervals must span < ``bucket_seconds`` so each point needs only its
+    own and the previous bucket — turning the band predicate into an equi
+    join on (key, bucket)."""
+    lb = left.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(left_time)) / bucket_seconds)
+    )
+    rb = right.withColumn(
+        "_bkt0", F.floor(F.unix_timestamp(F.col(r_start)) / bucket_seconds)
+    )
+    # each interval is registered in its start bucket and the next one
+    rexp = rb.select(
+        F.col(key).alias("_rk"),
+        F.explode(F.array(F.col("_bkt0"), F.col("_bkt0") + 1)).alias("_bkt"),
+        *[F.col(c) for c in {r_start, r_end, *right_cols}],
+    )
+    cond = (
+        (lb[key] == rexp["_rk"])
+        & (lb["_bkt"] == rexp["_bkt"])
+        & (rexp[r_start] <= lb[left_time])
+        & (lb[left_time] < rexp[r_end])
+    )
+    return lb.join(rexp, cond, "inner").select(
+        *[lb[c] for c in left.columns],
+        *[rexp[c] for c in right_cols],
+    )

@@ -1,0 +1,72 @@
+"""As-of and range join semantics on hand-built interleaved frames."""
+
+import datetime as dt
+
+import pytest
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2026, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("u1", _ts(1), "e1"),   # before any right row
+            ("u1", _ts(5), "e2"),   # after r1
+            ("u1", _ts(10), "e3"),  # exactly at r2 (tie: right wins)
+            ("u1", _ts(20), "e4"),  # after r2
+            ("u2", _ts(5), "e5"),   # other key
+        ],
+        "k string, t timestamp, event string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(3), "r1", 1),
+            ("u1", _ts(10), "r2", 2),
+            ("u1", _ts(10), "r2b", 3),  # same instant: max tiebreak wins
+            ("u2", _ts(4), "r3", 4),
+        ],
+        "k string, rt timestamp, name string, tb int",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark, frames):
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    left, right = frames
+    out = {
+        r.event: r.name_asof
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["name", "tb"], right_tiebreak="tb",
+        ).collect()
+    }
+    assert out == {"e1": None, "e2": "r1", "e3": "r2b", "e4": "r2b", "e5": "r3"}
+
+
+def test_range_join_semantics(spark, frames):
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import range_join
+
+    left, right = frames
+    intervals = right.select(
+        "k",
+        F.col("rt").alias("s"),
+        (F.col("rt") + F.expr("INTERVAL 4 DAYS")).alias("e"),
+        "name",
+    )
+    out = sorted(
+        (r.event, r.name)
+        for r in range_join(
+            left, intervals, key="k", left_time="t",
+            r_start="s", r_end="e", bucket_seconds=8 * 86400,
+            right_cols=["name"],
+        ).collect()
+    )
+    # e2 (day 5) in [3,7) of r1; e3 (day 10) in [10,14) of r2/r2b;
+    # e5 (day 5) in [4,8) of r3; e1/e4 in nothing
+    assert out == [("e2", "r1"), ("e3", "r2"), ("e3", "r2b"), ("e5", "r3")]
