@@ -832,6 +832,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF probe: recall < 1 by design -> rows-only driver check; pytest
+    # asserts recall against brute force instead
+    from sparkocr.pipeline.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
 def q_embedding_label_stats(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -919,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_near_dups": q_embedding_near_dups,
     }
