@@ -79,8 +79,13 @@ def main() -> dict:
         "doc_simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "doc_quality",
         "event_sessions",
+        "asof_latest_order",
+        "orders_range_join",
+        "orders_rollup",
+        "media_decode",
     ):
         timed(name, lambda n=name: catalog[n](spark, sf_dir).count())
 
