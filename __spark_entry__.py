@@ -986,7 +986,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM t WHERE doc_id % 7 <> 0
             )
             SELECT conv_id, count(*)::INT AS n_turns,
-                   string_agg(clean_text || chr(10) || '<--- Page Split --->' || chr(10),
+                   string_agg(clean_text || chr(10) || chr(10) ||
+                              '<--- Page Split --->' || chr(10),
                               '' ORDER BY doc_id) AS doc_text
             FROM cleaned GROUP BY conv_id
         """,

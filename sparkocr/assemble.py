@@ -2,9 +2,10 @@
 
 Reproduces the reference's page assembly:
 
-- CLI style: ``content + '\\n<--- Page Split --->\\n'`` after EVERY page
-  including the last (run_dpsk_ocr_pdf.py:302-304,323), optionally dropping
-  truncated pages first (SKIP_REPEAT, run_dpsk_ocr_pdf.py:295-299).
+- CLI style: ``content + '\\n' + '\\n<--- Page Split --->' + '\\n'`` after
+  EVERY page including the last (page_num carries its own leading newline:
+  run_dpsk_ocr_pdf.py:302-304,323), optionally dropping truncated pages
+  first (SKIP_REPEAT, run_dpsk_ocr_pdf.py:295-299).
 - App style: ``'\\n\\n--- 📄 第 {N} 页 ---\\n\\n' + content`` concatenated with
   no trailing separator (app/processors.py:616-642), N numbered over the
   *surviving* pages in order.
@@ -21,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-PAGE_SPLIT_SUFFIX = "\n<--- Page Split --->\n"
+PAGE_SPLIT_SUFFIX = "\n\n<--- Page Split --->\n"
 
 
 def _ordered_concat(df: DataFrame, key_cols: list[str], order_col: str, text_col: str, out_col: str):

@@ -35,14 +35,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
-    """Distinct character k-shingles per doc — JVM-only explode."""
+    """Distinct character k-shingles per doc — JVM-only explode.
+
+    Docs shorter than k chars yield NO shingles: guard with an explicit
+    empty array, because ``sequence(1, 0)`` in Spark is the DESCENDING
+    sequence [1, 0], not empty — unguarded it fabricates a whole-text
+    shingle for every short/empty doc and the empty-text ones would all
+    pair with each other at jaccard 1."""
     return (
         docs.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-                    f" i -> substr(text, i, {k}))"
+                    f"CASE WHEN length(text) < {k} THEN array()"
+                    f" ELSE transform(sequence(1, length(text) - {k - 1}),"
+                    f" i -> substr(text, i, {k})) END"
                 )
             ).alias("sh"),
         )

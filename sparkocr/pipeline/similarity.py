@@ -31,7 +31,11 @@ def _norm(a):
 
 
 def cosine_expr(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero vectors: 0.0/0.0 = NaN, and Spark sorts NaN ABOVE every double
+    # in a descending sort, so an unguarded zero embedding would hijack
+    # the top-k. Null instead (nulls sort last under desc).
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
 
 
 def _as_double(col):

@@ -30,8 +30,12 @@ def crop_regions(turns: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         F.posexplode("spans").alias("span_pos", "sp"),
-    ).filter((F.col("sp.label") == "image") & F.col("sp.bbox").isNotNull())
-    # number image spans per turn in span order (array order == match order)
+    ).filter(F.col("sp.label") == "image")
+    # number ALL image spans per turn in span order BEFORE any bbox
+    # validity filter: the reference's placeholder numbering counts every
+    # image match, parse failures included (enumerate over matches_images,
+    # run_dpsk_ocr_pdf.py:316), so a failed-parse span must still consume
+    # an index or crop paths misalign with the numbered placeholders.
     from pyspark.sql import Window
 
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_pos")
@@ -188,16 +192,22 @@ def locate_with_spans(turns: DataFrame, needle: str) -> DataFrame:
         F.col("sp.end").alias("span_end"),
         F.col("sp.label").alias("label"),
     )
-    j = hits.join(spans, ["conv_id", "turn_idx"], "left")
+    # overlap belongs in the JOIN condition: a left join that only nulls
+    # non-overlapping rows afterwards would duplicate each hit once per
+    # span in the turn; this way a hit with no overlapping span is exactly
+    # one all-null row, and one row per genuinely overlapping span.
     overlap = (F.col("span_start") < F.col("match_end")) & (
         F.col("span_end") > F.col("match_start")
     )
-    return j.withColumn(
-        "label", F.when(overlap, F.col("label"))
-    ).withColumn(
-        "span_start", F.when(overlap, F.col("span_start"))
-    ).withColumn(
-        "span_end", F.when(overlap, F.col("span_end"))
+    return hits.join(
+        spans,
+        (hits.conv_id == spans.conv_id)
+        & (hits.turn_idx == spans.turn_idx)
+        & overlap,
+        "left",
+    ).select(
+        hits.conv_id, hits.turn_idx, "match_start", "match_end",
+        "span_start", "span_end", "label",
     )
 
 

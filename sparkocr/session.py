@@ -40,10 +40,16 @@ def build_session(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # one-ish partition per core; at cluster scale this is set to
-        # 2-3x total executor cores instead.
-        n = master[master.find("[") + 1 : master.find("]")]
-        shuffle_partitions = 32 if n in ("*", "") else max(8, int(n))
+        # one-ish partition per core for local[n]; for any other master
+        # (local, yarn, spark://..., k8s) the core count isn't in the
+        # string — fall back to a sane default and let the caller size it.
+        import re as _re
+
+        m = _re.fullmatch(r"local\[(\d+|\*)\]", master)
+        if m and m.group(1) != "*":
+            shuffle_partitions = max(8, int(m.group(1)))
+        else:
+            shuffle_partitions = 32
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

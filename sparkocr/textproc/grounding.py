@@ -52,12 +52,15 @@ DEFAULT_W = 1275
 DEFAULT_H = 1650
 
 
-# Strict fast-path grammar: a non-empty list of 4-int boxes (optionally
-# trailing-comma'd). Anything else falls back to literal_eval. On strings
-# this matches, int-extraction is semantically identical to literal_eval
-# and skips ast's parse+compile (~40% of grounding extraction time).
+# Strict fast-path grammar: a non-empty COMMA-SEPARATED list of 4-int boxes
+# with an optional single trailing comma, ints with no leading zeros — i.e.
+# only strings literal_eval would also accept, so the fast path can never
+# accept what the reference's eval path rejects. Anything else falls back
+# to literal_eval. Skips ast's parse+compile (~40% of grounding time).
+_INT = r"(?:0|[1-9]\d*)"
+_BOX = rf"\[\s*{_INT}\s*,\s*{_INT}\s*,\s*{_INT}\s*,\s*{_INT}\s*\]"
 _FAST_COORDS_RE = re.compile(
-    r"^\s*\[\s*(?:\[\s*\d+\s*,\s*\d+\s*,\s*\d+\s*,\s*\d+\s*\]\s*(?:,\s*)?)+\]\s*$"
+    rf"^\s*\[\s*{_BOX}(?:\s*,\s*{_BOX})*(?:\s*,)?\s*\]\s*$"
 )
 _BOX_RE = re.compile(r"\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]")
 
@@ -333,7 +336,7 @@ def pdf_cli_clean(content: str, jdx: int = 0, skip_repeat: bool = True):
     return content, False
 
 
-PAGE_SPLIT = "\n<--- Page Split --->\n"
+PAGE_SPLIT = "\n\n<--- Page Split --->\n"
 
 
 def eval_batch_clean(content: str) -> str:
@@ -344,8 +347,11 @@ def eval_batch_clean(content: str) -> str:
     <center> tags. The collapse chain runs once per other-match iteration.
     """
     content = clean_formula(content)
-    _, _, others = split_image_other(content)
-    for m in others:
+    # eval-batch's own re_match puts EVERY full match — image refs included
+    # — into its "other" list (run_dpsk_ocr_eval_batch.py:75-84), unlike the
+    # PDF script's image/other split; iterate all matches accordingly.
+    matches = REF_RE.findall(content)
+    for m, _label, _coords in matches:
         content = (
             content.replace(m, "")
             .replace("\\n\\n\\n\\n", "\\n\\n")

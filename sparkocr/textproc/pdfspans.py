@@ -44,6 +44,11 @@ def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAUL
         for i, s in enumerate(raw):
             t = s.get("t", "")
             x1, y1, x2, y2 = s["bbox"]
+            # coordinates must be numbers NOW: a str here would not fail
+            # until the sort/denorm below, which run outside this except
+            # and would kill the task instead of yielding an error record
+            if not all(isinstance(v, (int, float)) for v in (x1, y1, x2, y2)):
+                raise TypeError("non-numeric bbox")
             recs.append((page, _round_half_even(y1 / ROW_QUANTUM), x1, i, t, (x1, y1, x2, y2)))
     except Exception as e:
         return "", [], f"pdfspans parse error: {type(e).__name__}"

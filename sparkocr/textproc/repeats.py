@@ -38,7 +38,10 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     never count (whitelist semantics, ngram_norepeat.py:33)."""
     toks = tokenize(text)
     n = ngram_size
-    if len(toks) < 2 * n:
+    # two occurrences of an n-gram can OVERLAP (a run of n+1 identical
+    # tokens repeats its n-gram at distance 1), so the minimum length for
+    # any repeat is n+1 tokens, not 2n
+    if len(toks) < n + 1:
         return None
     last_seen: dict[tuple, int] = {}
     for i in range(len(toks) - n + 1):

@@ -133,21 +133,26 @@ def pdf_cli_page(content: str, jdx: int, skip_repeat: bool = True):
     return content, False
 
 
-PAGE_SPLIT_SUFFIX = "\n<--- Page Split --->\n"
+PAGE_SPLIT_SUFFIX = "\n\n<--- Page Split --->\n"
 
 
 def assemble_pdf_doc(cleaned_pages) -> str:
     """run_dpsk_ocr_pdf.py:302-304,323 — page-split suffix after every page."""
     contents = ""
     for page in cleaned_pages:
-        contents += page + "\n<--- Page Split --->" + "\n"
+        contents += page + "\n" + "\n<--- Page Split --->" + "\n"
     return contents
 
 
 def eval_batch_page(content: str) -> str:
-    """run_dpsk_ocr_eval_batch.py:156-169, per-image markdown path."""
+    """run_dpsk_ocr_eval_batch.py:156-169, per-image markdown path.
+
+    NB: the eval-batch script defines its OWN re_match (:75-84) whose
+    "other" list holds EVERY full match — image refs included — unlike the
+    PDF script's image/other split. Transcribe that faithfully."""
     content = clean_formula(content)
-    matches_ref, mathes_image, mathes_other = re_match(content)
+    matches = re.findall(PATTERN, content, re.DOTALL)
+    mathes_other = [m[0] for m in matches]
     for idx, a_match_other in enumerate(mathes_other):
         content = (
             content.replace(a_match_other, "")

@@ -1,0 +1,124 @@
+"""Regression pins for defects found in the round-1 code review — each of
+these diverged from the reference or crashed/duplicated before the fix."""
+
+import pytest
+
+from sparkocr.textproc import grounding, pdfspans, repeats
+
+EOS = grounding.EOS
+
+
+def test_page_split_has_double_newline():
+    # run_dpsk_ocr_pdf.py: contents += content + '\n' + '\n<--- Page Split --->\n'
+    from sparkocr.assemble import PAGE_SPLIT_SUFFIX
+
+    assert PAGE_SPLIT_SUFFIX == "\n\n<--- Page Split --->\n"
+    assert grounding.PAGE_SPLIT == "\n\n<--- Page Split --->\n"
+
+
+def test_parse_bbox_fast_path_rejects_what_literal_eval_rejects():
+    # adjacent boxes with no comma: eval raises -> must be None
+    assert grounding.parse_bbox("[[1,2,3,4][5,6,7,8]]") is None
+    # leading-zero int: python literal syntax error -> None
+    assert grounding.parse_bbox("[[01,2,3,4]]") is None
+    # trailing comma IS a valid literal -> parses
+    assert grounding.parse_bbox("[[0,0,999,999],]") == [[0, 0, 1275, 1650]]
+    # plain valid case still fast-pathed correctly
+    assert grounding.parse_bbox("[[100,200,300,400]]") == [
+        [int(100 / 999 * 1275), int(200 / 999 * 1650),
+         int(300 / 999 * 1275), int(400 / 999 * 1650)]
+    ]
+
+
+def test_eval_batch_clean_removes_image_refs_too():
+    # eval-batch's re_match puts ALL matches into mathes_other
+    # (run_dpsk_ocr_eval_batch.py:75-84), image refs included
+    s = "x <|ref|>image<|/ref|><|det|>[[1,2,3,4]]<|/det|> y<center>c</center>"
+    out = grounding.eval_batch_clean(s)
+    assert "<|ref|>" not in out
+    assert "<center>" not in out
+    assert out == "x  yc"
+
+
+def test_pdfspans_nonnumeric_bbox_is_error_not_crash():
+    bad = '{"page":0,"spans":[{"t":"a","bbox":["30",40,50,60]},{"t":"b","bbox":[10,20,30,40]}]}'
+    text, spans, err = pdfspans.extract_pdf_spans(bad)
+    assert text == "" and spans == [] and "error" in err
+
+
+def test_repeat_detected_with_fewer_than_2n_tokens():
+    # 30 identical tokens, n=20: the 20-gram at i=1 repeats i=0's
+    txt = "tok " * 30
+    assert repeats.find_repeat(txt, ngram_size=20, window_size=50) is not None
+    assert repeats.find_repeat("tok " * 20, ngram_size=20, window_size=50) is None
+
+
+def test_shingles_short_and_empty_docs(spark):
+    from sparkocr.pipeline.dedup import jaccard_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "short"), (3, "exactly8"), (4, "long enough text")],
+        "doc_id long, text string",
+    )
+    sh = {(r.doc_id, r.sh) for r in shingles(docs, k=8).collect()}
+    assert not any(d in (0, 1, 2) for d, _ in sh), "sub-k docs must yield no shingles"
+    assert (3, "exactly8") in sh
+    # empty docs must NOT pair with each other
+    pairs = jaccard_pairs(docs, k=8, threshold=0.1).collect()
+    assert not any({r.id1, r.id2} == {0, 1} for r in pairs)
+
+
+def test_cosine_zero_vector_not_in_topk(spark):
+    from sparkocr.pipeline.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [0, 1], got
+
+
+def test_locate_with_spans_no_dup_per_hit(spark):
+    from pyspark.sql import functions as F
+
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import locate_with_spans
+
+    # 3 spans, 1 needle hit overlapping none of them
+    text = (
+        "<|ref|>a<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
+        "<|ref|>b<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
+        "<|ref|>c<|/ref|><|det|>[[1,2,3,4]]<|/det|> needle here" + EOS
+    )
+    df = spark.createDataFrame(
+        [("c", 0, "u", text, "grounding")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    turns = extract_turns(df, min_parallelism=0)
+    rows = locate_with_spans(turns, "needle").collect()
+    assert len(rows) == 1 and rows[0].label is None
+
+
+def test_crop_regions_numbering_survives_failed_bbox(spark):
+    from pyspark.sql import functions as F
+
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.regions import crop_regions, embed_crops_in_markdown
+
+    # image ref 1 has malformed coords (bbox None), ref 2 is valid
+    text = (
+        "<|ref|>image<|/ref|><|det|>[[1,2,<|/det|>"
+        "<|ref|>image<|/ref|><|det|>[[10,20,30,40]]<|/det|>done" + EOS
+    )
+    df = spark.createDataFrame(
+        [("c", 0, "u", text, "grounding")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    turns = extract_turns(df, min_parallelism=0)
+    crops = {r.img_idx: r for r in crop_regions(turns).collect()}
+    assert set(crops) == {0, 1}
+    assert crops[0].x1 is None  # failed parse still consumes index 0
+    assert crops[1].x1 == int(10 / 999 * 1275)
+    md = embed_crops_in_markdown(turns).first().markdown_embedded
+    # both placeholders replaced, each with its own aligned path
+    assert "![](images/0_0.jpg)" in md and "![](images/0_1.jpg)" in md
+    assert "图片" not in md
