@@ -97,14 +97,17 @@ class Child:
         env = dict(os.environ, SPARKOCR_REPO=REPO, OMP_NUM_THREADS="1")
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", CHILD,
                str(cpus), data]
+        self.errlog = f"/tmp/sparkocr_scaling_child_{cpus}.log"
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, env=env,
+            stderr=open(self.errlog, "w"), text=True, env=env,
         )
         while True:
             line = self.proc.stdout.readline()
             if not line:
-                raise RuntimeError(f"child local[{cpus}] died during warmup")
+                raise RuntimeError(
+                    f"child local[{cpus}] died during warmup; stderr in {self.errlog}"
+                )
             if line.strip() == "READY":
                 break
 
@@ -186,10 +189,19 @@ def main():
     for small, big in ((4, 16), (8, 32)):
         all_pairs += run_config(small, big, data, n_pairs)
 
-    best = max(all_pairs, key=lambda p: p["eff"])
-    best_e2e = max(all_pairs, key=lambda p: p["eff_e2e"])
+    # headline comes from the 4v16 config only, matching the report text
+    # (8v32 saturates the shared memory controller and is reported for
+    # completeness, so it must not be able to win the headline either way)
+    headline_pool = [p for p in all_pairs if p["config"] == "4v16"] or all_pairs
+    best = max(headline_pool, key=lambda p: p["eff"])
+    best_e2e = max(headline_pool, key=lambda p: p["eff_e2e"])
     effs = sorted(p["eff"] for p in all_pairs)
-    med = effs[len(effs) // 2]
+    n = len(effs)
+    # true median (mean of middles for even counts — effs[n//2] alone would
+    # bias the headline upward exactly at even pair counts)
+    med = round(
+        effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2, 4
+    )
     rs, rb = best["r_small"], best["r_big"]
 
     rows_md = "\n".join(
@@ -239,8 +251,17 @@ Best pair raw:
 `{json.dumps(rs)}`
 `{json.dumps(rb)}`
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve any hand-curated appendix (e.g. the cross-invocation
+    # Reproducibility section) instead of silently destroying it
+    out_path = os.path.join(HERE, "BASELINE.md")
+    appendix = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        i = old.find("\n## Reproducibility")
+        if i >= 0:
+            appendix = old[i:]
+    with open(out_path, "w") as f:
+        f.write(md + appendix)
     print(json.dumps({"eff_best": best["eff"], "config_best": best["config"],
                       "eff_e2e_best": best_e2e["eff_e2e"],
                       "config_e2e_best": best_e2e["config"], "eff_median": med,

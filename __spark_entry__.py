@@ -1037,7 +1037,9 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, (r.range * 100 + 1)::INT, 100) AS chunk_text,
                    greatest(ceil(length(text) / 100.0), 1)::INT AS n_chunks
             FROM documents, range(0, 64) r
-            WHERE r.range * 100 < length(text)
+            -- greatest(,1): empty text still yields one empty chunk row,
+            -- matching chunk_turns' n_chunks >= 1 contract
+            WHERE r.range * 100 < greatest(length(text), 1)
         """,
         "html_main_extract": """
             -- document text has no markup chars or whitespace runs
@@ -1265,9 +1267,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_props_k": """
+            -- TRY_CAST: a props row without "k" gives '' which ::INT would
+            -- ERROR on in DuckDB, while Spark's cast nulls it
             SELECT event_type,
-                   round(avg(regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT), 4) AS avg_k,
-                   max(regexp_extract(props, '"k":\\s*(\\d+)', 1)::INT) AS max_k
+                   round(avg(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)), 4) AS avg_k,
+                   max(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # data pipeline
@@ -1369,11 +1373,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_cosine_topk": """
+            -- zero-norm guard mirrors the Spark side (which nulls them):
+            -- DuckDB's list_cosine_similarity yields NaN there, and NaN
+            -- sorts FIRST under DESC, which would hijack the top-k
             SELECT vec_id,
-                   round(list_cosine_similarity(embedding::DOUBLE[],
-                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
-                         AS cosine
-            FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+                   CASE WHEN list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]) > 0
+                        THEN round(list_cosine_similarity(embedding::DOUBLE[],
+                             (SELECT embedding::DOUBLE[] FROM embeddings
+                              WHERE vec_id = 0)), 6)
+                   END AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10
         """,
         "embedding_label_stats": """
             SELECT label, count(*) AS n,

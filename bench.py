@@ -57,7 +57,7 @@ def main() -> dict:
 
     transcripts = spark.read.parquet(bench_parquet)
     turns_path = os.path.join(os.path.dirname(bench_parquet), "bench_turns_out")
-    n_turns = timed(
+    timed(
         "extract_turns",
         lambda: extract_turns(transcripts).write.mode("overwrite").parquet(turns_path),
     )
