@@ -1,0 +1,100 @@
+"""Property tests for the round-1 extension operators: as-of join vs a
+brute-force model, chunking roundtrip, pdfspans reading-order invariants."""
+
+import datetime as dt
+import json
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from sparkocr.textproc import pdfspans
+
+
+# ---------------------------------------------------------------------------
+# pdfspans: pure-python invariants under random span soups
+# ---------------------------------------------------------------------------
+
+spans_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "t": st.text(alphabet="abcxyz ", max_size=8),
+            "bbox": st.tuples(
+                st.integers(0, 999), st.integers(0, 999),
+                st.integers(0, 999), st.integers(0, 999),
+            ).map(list),
+        }
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(spans=spans_strategy, page=st.integers(0, 3))
+def test_pdfspans_invariants(spans, page):
+    payload = json.dumps({"page": page, "spans": spans})
+    text, out_spans, err = pdfspans.extract_pdf_spans(payload)
+    assert err is None
+    # every input span appears exactly once, offsets index its text
+    assert len(out_spans) == len(spans)
+    for s in out_spans:
+        assert text[s["start"] : s["end"]] is not None
+    # offsets are non-overlapping and ordered (reading order is a sort)
+    bounds = sorted((s["start"], s["end"]) for s in out_spans)
+    for (a1, b1), (a2, b2) in zip(bounds, bounds[1:]):
+        assert b1 <= a2
+    # no span text lost or duplicated: multiset of characters preserved
+    joined = "".join(text[s["start"] : s["end"]] for s in out_spans)
+    assert sorted(joined) == sorted("".join(s["t"] for s in spans))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=200), st.integers(1, 32))
+def test_chunk_roundtrip_model(text, k):
+    """Pure-python model of chunk_turns: fixed-width slices reassemble to
+    the input (the Spark variant is pinned by tests/test_regions_geometry;
+    this checks the arithmetic contract over arbitrary unicode)."""
+    n = len(text)
+    n_chunks = max((n + k - 1) // k, 1)
+    chunks = [text[i * k : (i + 1) * k] for i in range(n_chunks)]
+    assert "".join(chunks) == text
+    assert all(len(c) <= k for c in chunks)
+    assert n == 0 or all(len(c) == k for c in chunks[:-1])
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs brute-force model on random interleaved data (Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_bruteforce_model(spark):
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1)
+    keys = ["a", "b", "c"]
+    lrows = [
+        (rng.choice(keys), base + dt.timedelta(hours=rng.randrange(200)), f"L{i}")
+        for i in range(60)
+    ]
+    rrows = [
+        (rng.choice(keys), base + dt.timedelta(hours=rng.randrange(200)), f"R{i}", i)
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "k string, t timestamp, lid string")
+    right = spark.createDataFrame(rrows, "k string, rt timestamp, rid string, tb int")
+
+    got = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "tb"], right_tiebreak="tb",
+        ).collect()
+    }
+
+    # brute force: max (rt, tb) among right rows with same key, rt <= t
+    want = {}
+    for k, t, lid in lrows:
+        cands = [(rt, tb, rid) for (rk, rt, rid, tb) in rrows if rk == k and rt <= t]
+        want[lid] = max(cands)[2] if cands else None
+    assert got == want
