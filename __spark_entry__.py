@@ -730,6 +730,22 @@ def q_doc_exact_dedup(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents")).select("h", "keep_id", "n_dups")
 
 
+def q_doc_dedup_corpus(spark, sf_dir):
+    from sparkocr.pipeline.dedup import dedup_corpus
+
+    return dedup_corpus(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+
+
+def q_doc_hash_split(spark, sf_dir):
+    from sparkocr.pipeline.dedup import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket_256", "split"
+    )
+
+
 def q_doc_jaccard_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import jaccard_pairs
 
@@ -913,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_k": q_event_props_k,
         # data-pipeline catalog
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_dedup_corpus": q_doc_dedup_corpus,
+        "doc_hash_split": q_doc_hash_split,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -1278,6 +1296,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "doc_dedup_corpus": """
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "doc_hash_split": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT
+                            AS INT) AS bucket_256
+                FROM documents)
+            SELECT doc_id, bucket_256,
+                   CASE WHEN bucket_256 < 230 THEN 'train'
+                        WHEN bucket_256 < 243 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "doc_jaccard_pairs": shingle_cte + """
             , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

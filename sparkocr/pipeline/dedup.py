@@ -34,6 +34,40 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_corpus(docs: DataFrame) -> DataFrame:
+    """The materialization step after exact_dedup: keep one canonical row
+    (min doc_id) per distinct text, preserving all original columns — the
+    output corpus a training pipeline actually feeds downstream. One
+    shuffle (the groupBy) + a semi-join back on the canonical key."""
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def hash_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    buckets: tuple[int, int] = (90, 95),
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: bucket =
+    first two hex chars of md5(key) as an int in [0, 256); rows below
+    ``buckets[0]``% of 256 are train, then val, then test. Stable across
+    runs, cluster sizes, and engines (md5 is bit-identical everywhere —
+    unlike xxhash64/rand(seed), which differ per engine), so the split
+    never churns when data is re-partitioned or appended."""
+    b = (F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 2), 16, 10)).cast("int")
+    lo = int(256 * buckets[0] / 100)
+    hi = int(256 * buckets[1] / 100)
+    split = (
+        F.when(b < lo, "train").when(b < hi, "val").otherwise("test")
+    )
+    return docs.withColumn("bucket_256", b).withColumn("split", split)
+
+
 def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
     """Distinct character k-shingles per doc — JVM-only explode.
 
