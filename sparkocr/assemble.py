@@ -22,7 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-PAGE_SPLIT_SUFFIX = "\n\n<--- Page Split --->\n"
+# canonical definition lives with the other reference string constants in
+# the (Spark-free) grounding module; one source of truth for the separator
+from sparkocr.textproc.grounding import PAGE_SPLIT as PAGE_SPLIT_SUFFIX
 
 
 def _ordered_concat(df: DataFrame, key_cols: list[str], order_col: str, text_col: str, out_col: str):
@@ -85,8 +87,10 @@ def assemble_docs_app(
     turns: DataFrame, page_start: int = 1, text_col: str = "clean_text"
 ) -> DataFrame:
     """App-style labeled assembly (app/processors.py:616-642): page label
-    ``\\n\\n--- 📄 第 {page_start + jdx} 页 ---\\n\\n`` prefixes each surviving
-    page; jdx is the position among survivors in turn order."""
+    ``\\n\\n--- 📄 第 {page_start + jdx} 页 ---\\n\\n`` prefixes each page in
+    turn order. Unlike the CLI path there is deliberately NO truncated-page
+    drop: the app strips EOS but never skips a page (SKIP_REPEAT is
+    CLI-only, app/processors.py:613-614), so every input turn is labeled."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")

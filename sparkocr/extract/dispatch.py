@@ -65,7 +65,11 @@ _MODES = {
 
 
 def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Extract one Arrow batch of transcript rows → TURNS_OUT columns."""
+    """Extract one Arrow batch of transcript rows → TURNS_OUT columns.
+
+    A flat per-row loop: the work is genuinely per-payload string algebra
+    (an earlier by-mode grouping pass added indirection without any actual
+    vectorization benefit)."""
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("").tolist()
     tools = pdf["tool"].fillna("plain")
@@ -76,23 +80,16 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     trunc = [False] * n
     err: list = [None] * n
     has_rep = [False] * n
-    # group row positions by mode so each branch runs over one chunk
-    by_mode: dict[str, list[int]] = {}
-    for pos, mode in enumerate(tools.tolist()):
-        by_mode.setdefault(mode, []).append(pos)
-    for mode, positions in by_mode.items():
+    for pos, (t, mode) in enumerate(zip(texts, tools.tolist())):
         fn = _MODES.get(mode, _extract_plain)
-        check_repeat = mode == "grounding"
-        for pos in positions:
-            t = texts[pos]
-            c, m, s, tr, e = fn(t)
-            clean[pos] = c
-            md[pos] = m
-            spans_col[pos] = s
-            trunc[pos] = tr
-            err[pos] = e
-            if check_repeat:
-                has_rep[pos] = repeats.has_repeat(t, "pdf")
+        c, m, s, tr, e = fn(t)
+        clean[pos] = c
+        md[pos] = m
+        spans_col[pos] = s
+        trunc[pos] = tr
+        err[pos] = e
+        if mode == "grounding":
+            has_rep[pos] = repeats.has_repeat(t, "pdf")
     return pd.DataFrame(
         {
             "conv_id": pdf["conv_id"],
@@ -134,9 +131,15 @@ def extract_turns(transcripts_df, min_parallelism: int | str = "auto"):
     src = transcripts_df.select(*cols)
     if min_parallelism == "auto":
         sc = transcripts_df.sparkSession.sparkContext
+        splits = src.rdd.getNumPartitions()
         target = sc.defaultParallelism * 2
-        if src.rdd.getNumPartitions() < target:
-            src = src.repartition(target)
+        # Widen ONLY genuinely-narrow scans. The absolute cap matters at
+        # scale: a 100 TB table with thousands of splits on a cluster whose
+        # defaultParallelism*2 exceeds that count must NOT have its entire
+        # raw payload shuffled for a marginal parallelism gain — past a few
+        # hundred map tasks, task queueing delivers the same utilization.
+        if splits < target and splits < 256:
+            src = src.repartition(min(target, 256))
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
     return src.mapInPandas(_map_batches, schema.TURNS_OUT)

@@ -1,10 +1,10 @@
 """HTML main-content extraction — readability/trafilatura-style block scoring.
 
 Stdlib-only (``html.parser``): flatten the DOM into block records
-``(block_id, tag, depth, text, link_chars, tag_count, boiler, dropped)``,
-score each block by text-density and link-density over the flattened arrays
-(numpy), keep high-density low-link blocks outside boilerplate containers,
-and emit the main text plus character spans of the kept blocks.
+``(tag, text, link_chars, boiler, in_article)``, score each block by
+text-density and link-density, keep high-density low-link blocks outside
+boilerplate containers, and emit the main text plus character spans of the
+kept blocks.
 
 This is the Spark analog of the reference's S1 "payload normalization" slot
 (SURVEY.md §2.1): where the reference EXIF-corrects an image before OCR, we
@@ -54,9 +54,7 @@ class _BlockCollector(HTMLParser):
         self._article_depth = 0
         self._cur_parts: list[str] = []
         self._cur_link_chars = 0
-        self._cur_tag_count = 0
         self._cur_tag = "body"
-        self._depth = 0
 
     def _flush(self):
         raw = "".join(self._cur_parts)
@@ -65,17 +63,14 @@ class _BlockCollector(HTMLParser):
             self.blocks.append(
                 {
                     "tag": self._cur_tag,
-                    "depth": self._depth,
                     "text": text,
                     "link_chars": min(self._cur_link_chars, len(text)),
-                    "tag_count": self._cur_tag_count,
                     "boiler": self._boiler_depth > 0,
                     "in_article": self._article_depth > 0,
                 }
             )
         self._cur_parts = []
         self._cur_link_chars = 0
-        self._cur_tag_count = 0
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
@@ -87,14 +82,12 @@ class _BlockCollector(HTMLParser):
         if tag in BLOCK_TAGS:
             self._flush()
             self._cur_tag = tag
-            self._depth += 1
         if tag in BOILER_TAGS:
             self._boiler_depth += 1
         if tag in ("article", "main"):
             self._article_depth += 1
         if tag == "a":
             self._link_depth += 1
-        self._cur_tag_count += 1
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -105,7 +98,10 @@ class _BlockCollector(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush()
-            self._depth = max(0, self._depth - 1)
+            # text AFTER a closing block tag belongs to the enclosing
+            # context, not the closed tag — without this reset, junk after
+            # </h1> would inherit the heading's keep-exemption
+            self._cur_tag = "body"
         if tag in BOILER_TAGS:
             self._boiler_depth = max(0, self._boiler_depth - 1)
         if tag in ("article", "main"):

@@ -37,9 +37,6 @@ def _pipe_row_cells(line: str):
     if _SEP_ROW.match(line):
         return []
     cells = []
-    start = 0
-    i = line.find("|")
-    # leading text before first | on a |-led row is empty; split manually
     bounds = [j for j, c in enumerate(line) if c == "|"]
     edges = [-1] + bounds + [len(line)]
     for a, b in zip(edges, edges[1:]):
@@ -57,20 +54,32 @@ def extract_markdown(text: str):
     (label 'cell') with offsets into the normalized text."""
     norm = normalize_markdown(text)
     spans: list[dict] = []
-    # pipe-table cells, line by line (offsets are line-local + line start)
+    # pipe-table cells, line by line (offsets are line-local + line start);
+    # fenced code regions are recorded so BOTH cell extractors skip them
     pos = 0
     in_fence = False
+    fenced: list[tuple[int, int]] = []  # [start, end) char ranges in norm
+    fence_start = 0
     for line in norm.split("\n"):
         fence = line.lstrip().startswith("```")
-        if fence:
-            in_fence = not in_fence
+        if fence and not in_fence:
+            in_fence = True
+            fence_start = pos
+        elif fence and in_fence:
+            in_fence = False
+            fenced.append((fence_start, pos + len(line) + 1))
         if not in_fence and not fence:
             for t, a, b in _pipe_row_cells(line):
                 if t:
                     spans.append({"start": pos + a, "end": pos + b, "label": "cell", "bbox": None})
         pos += len(line) + 1
-    # <td> cells
+    if in_fence:  # unterminated fence runs to end of text
+        fenced.append((fence_start, pos))
+    # <td> cells — same fence suppression as pipe cells (a <table> inside a
+    # code sample is code, not structure)
     for m in _TD_RE.finditer(norm):
+        if any(a <= m.start(1) < b for a, b in fenced):
+            continue
         spans.append(
             {"start": m.start(1), "end": m.end(1), "label": "cell", "bbox": None}
         )

@@ -43,6 +43,10 @@ def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAUL
         recs = []
         for i, s in enumerate(raw):
             t = s.get("t", "")
+            if not isinstance(t, str):
+                # validate NOW like the bbox below: a None/number text would
+                # not fail until len(t) during assembly, outside this except
+                raise TypeError("non-string span text")
             x1, y1, x2, y2 = s["bbox"]
             # coordinates must be numbers NOW: a str here would not fail
             # until the sort/denorm below, which run outside this except

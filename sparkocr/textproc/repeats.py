@@ -49,9 +49,11 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
         if any(t in WHITELIST for t in gram):
             continue
         j = last_seen.get(gram)
-        # previous occurrence must start within the trailing window of the
-        # current position (window measured in tokens, like the reference)
-        if j is not None and i - j <= window_size - n and i != j:
+        # Window condition derived from the processor: at generation index
+        # p (= i + n - 1 here), it scans prior n-grams starting at
+        # max(0, p - window)..p - n, i.e. start distance i - j may be up to
+        # window_size - n + 1 (ngram_norepeat.py:25-27).
+        if j is not None and i - j <= window_size - n + 1 and i != j:
             return i
         last_seen[gram] = i
     return None

@@ -53,6 +53,42 @@ def test_repeat_detected_with_fewer_than_2n_tokens():
     assert repeats.find_repeat("tok " * 20, ngram_size=20, window_size=50) is None
 
 
+def test_repeat_window_boundary_matches_processor():
+    # processor scans prior starts down to p - window: start distance up to
+    # window - n + 1 (ngram_norepeat.py:25-27). n=20, w=50 -> max dist 31.
+    gram = " ".join(f"w{i}" for i in range(20))
+    near = gram + " " + " ".join(f"f{i}" for i in range(11)) + " " + gram  # dist 31
+    far = gram + " " + " ".join(f"f{i}" for i in range(12)) + " " + gram   # dist 32
+    assert repeats.find_repeat(near, 20, 50) is not None
+    assert repeats.find_repeat(far, 20, 50) is None
+
+
+def test_html_junk_after_heading_not_exempted():
+    from sparkocr.textproc.htmlmain import extract_html_main
+
+    para = "a sufficiently long paragraph of real article prose goes here."
+    text, spans = extract_html_main(
+        f"<html><body><h1>Title</h1>Buy now!<p>{para}</p></body></html>"
+    )
+    assert "Buy now!" not in text  # inter-block junk must not inherit <h1>
+    assert "Title" in text and para in text
+
+
+def test_td_cells_inside_code_fence_skipped():
+    from sparkocr.textproc.mdtable import extract_markdown
+
+    md = "```\n<table><tr><td>codecell</td></tr></table>\n```\n\n<td>real</td>"
+    norm, spans = extract_markdown(md)
+    cells = [norm[s["start"]:s["end"]] for s in spans]
+    assert cells == ["real"]
+
+
+def test_pdfspans_nonstring_text_is_error_not_crash():
+    bad = '{"page":0,"spans":[{"t":null,"bbox":[1,2,3,4]}]}'
+    text, spans, err = pdfspans.extract_pdf_spans(bad)
+    assert text == "" and spans == [] and "error" in err
+
+
 def test_shingles_short_and_empty_docs(spark):
     from sparkocr.pipeline.dedup import jaccard_pairs, shingles
 
