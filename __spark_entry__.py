@@ -800,7 +800,8 @@ def q_doc_chunk_fps(spark, sf_dir):
 def q_doc_simhash_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+    # 3 = the largest radius the 4-chunk blocking covers completely
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_media_decode(spark, sf_dir):
@@ -1353,7 +1354,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": r"""
             SELECT doc_id,
-                   length(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_ws_tokens,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
                    length(text) AS n_chars
             FROM documents

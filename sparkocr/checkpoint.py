@@ -74,13 +74,19 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def input_fingerprints(df: DataFrame, n_buckets: int) -> dict[int, tuple[int, int]]:
-    """One aggregate pass: bucket → (row_count, bit_xor of row hashes)."""
+    """One aggregate pass: bucket → (row_count, bit_xor of row hashes).
+
+    The hash covers EVERY column the extractor consumes — ``tool`` selects
+    the extraction mode and ``role`` is carried through — so a row whose
+    mode changes (same text) still invalidates its bucket."""
     rows = (
         with_bucket(df, n_buckets)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("h"),
+            F.bit_xor(
+                F.xxhash64("conv_id", "turn_idx", "role", "text", "tool")
+            ).alias("h"),
         )
         .collect()
     )
@@ -117,6 +123,21 @@ def run_extract_job(
             skipped.append(bucket)
         else:
             pending.append(bucket)
+
+    # buckets that VANISHED from the input (all rows deleted) would
+    # otherwise keep stale data + manifests forever: neither pending nor
+    # skipped, and dynamic overwrite never touches their partition
+    import glob as _glob
+    import shutil as _shutil
+
+    live = set(fps)
+    for mp in _glob.glob(os.path.join(_manifest_dir(out_dir), "bucket=*.json")):
+        b = int(os.path.basename(mp)[len("bucket=") : -len(".json")])
+        if b not in live:
+            os.remove(mp)
+            _shutil.rmtree(
+                os.path.join(out_dir, "data", f"bucket={b}"), ignore_errors=True
+            )
 
     rows_out_total = 0
     if pending:

@@ -103,9 +103,12 @@ def jaccard_pairs(docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5) -> 
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint: sizes is one row PER DOCUMENT — unbounded at scale
+    # — so the join strategy is left to AQE (broadcast when small, shuffle
+    # when not)
     out = (
-        common.join(F.broadcast(sizes).withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
-        .join(F.broadcast(sizes).withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+        common.join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
         .select(
             "id1",
             "id2",
@@ -148,7 +151,6 @@ def lsh_candidate_pairs(
             ).alias(f"band_{b}")
             for b in range(n_bands)
         ],
-        *[F.col(f"mh_{i}") for i in range(n_perm)],
     )
     # stack bands: (doc_id, band_id, band_hash) then self-join per bucket
     stacked = bands.select(
@@ -229,10 +231,18 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (a pair within distance ≤3 shares at least one of 4 chunks exactly).
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    The 4-chunk pigeonhole only guarantees candidate coverage for
+    ``max_hamming <= 3`` (4 differing bits can land one per chunk); a
+    larger radius would silently drop qualifying pairs, so it is rejected.
     Signatures cached: both sides of the block join read them, and the
     Arrow-batched hash UDF is the expensive stage."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-chunk blocking is only complete "
+            "for distances <= 3 (pigeonhole); larger radii would drop pairs"
+        )
     sig = simhash_docs(docs).cache()
     chunks = sig.select(
         "doc_id",

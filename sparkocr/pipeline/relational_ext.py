@@ -63,9 +63,12 @@ def asof_join(
     u = l_tag.unionByName(r_tag)
     order = [F.col("_t"), F.col("_side")]
     if right_tiebreak is not None:
-        # deterministic winner among right rows sharing a timestamp; null
-        # for left rows, which already sort after rights via _side
-        order.append(F.col(f"_rrow.{right_tiebreak}").asc_nulls_last())
+        # deterministic winner among right rows sharing a timestamp: max
+        # tiebreak must sort LAST among the rights so last() carries it —
+        # and a NULL tiebreak must lose, hence nulls_first (nulls_last
+        # would let a null-tiebreak row beat every real value). Left rows'
+        # third key is null but _side already orders them after rights.
+        order.append(F.col(f"_rrow.{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)
@@ -88,12 +91,26 @@ def range_join(
     r_end: str,
     bucket_seconds: int,
     right_cols: list[str],
+    validate: bool = True,
 ) -> DataFrame:
     """left rows joined to right intervals containing them:
     right[r_start] <= left[left_time] < right[r_end], same key.
     Intervals must span < ``bucket_seconds`` so each point needs only its
     own and the previous bucket — turning the band predicate into an equi
-    join on (key, bucket)."""
+    join on (key, bucket). ``validate`` enforces that precondition with one
+    cheap aggregate (a longer interval would silently lose matches);
+    disable it only when the bound is guaranteed by construction."""
+    if validate:
+        mx = right.agg(
+            F.max(
+                F.unix_timestamp(F.col(r_end)) - F.unix_timestamp(F.col(r_start))
+            ).alias("mx")
+        ).first()["mx"]
+        if mx is not None and mx >= bucket_seconds:
+            raise ValueError(
+                f"range_join: max interval span {mx}s >= bucket_seconds "
+                f"{bucket_seconds}s — two-bucket registration would drop matches"
+            )
     lb = left.withColumn(
         "_bkt", F.floor(F.unix_timestamp(F.col(left_time)) / bucket_seconds)
     )

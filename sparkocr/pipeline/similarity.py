@@ -162,11 +162,18 @@ def ivf_topk(
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES) -> DataFrame:
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES,
+    dim: int | None = None,
+) -> DataFrame:
     """Near-dup vector pairs: bucket by full LSH signature (hamming 0) then
     exact cosine ≥ threshold inside buckets — the embedding-cosine analog of
-    MinHash-LSH dedup."""
-    planes = hyperplanes(DIM, n_planes)
+    MinHash-LSH dedup. ``dim`` is read from the data when not given (a
+    hard-coded dimension would crash on any non-64-dim table)."""
+    if dim is None:
+        first = emb.select(F.size("embedding").alias("d")).first()
+        dim = int(first["d"]) if first else DIM
+    planes = hyperplanes(dim, n_planes)
     # cached: both join sides read the signatures, and the 12-plane dot
     # products are the expensive projection
     sigged = emb.withColumn(

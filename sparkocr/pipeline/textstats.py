@@ -50,10 +50,16 @@ def lang_score_sql(col: str, lang: str) -> str:
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Word + regex-token counts per document (JVM regexp, no UDF)."""
+    """Word + regex-token counts per document (JVM regexp, no UDF).
+
+    Empty/whitespace-only text counts 0 whitespace tokens — unguarded,
+    split(trim('')) is [''] with size 1."""
+    ws = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        ws.alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))).alias("n_word_tokens"),
         F.length("text").alias("n_chars"),
     )

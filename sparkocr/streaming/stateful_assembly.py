@@ -1,7 +1,7 @@
 """Custom stateful streaming operator: per-conversation progress tracking.
 
 ``applyInPandasWithState`` over ``conv_id``: state carries (turns seen,
-chars out, max turn_idx, seen-turn bitmap hash) across micro-batches, so a
+chars out, max turn_idx) across micro-batches, so a
 turn replayed by an at-least-once upstream (the common failure mode of a
 10^12-turn feed) is counted once, and each micro-batch emits the
 conversation's updated progress row. This is the streaming counterpart of
@@ -23,18 +23,10 @@ from typing import Any
 
 import pandas as pd
 
-STATE_SCHEMA = "n_turns long, n_chars long, max_turn int, seen_hash long"
+STATE_SCHEMA = "n_turns long, n_chars long, max_turn int"
 OUTPUT_SCHEMA = (
     "conv_id string, n_turns long, n_chars long, max_turn int, batch_rows int"
 )
-
-_MOD = (1 << 61) - 1
-
-
-def _fold_seen(seen_hash: int, turn_idx: int) -> int:
-    # order-independent accumulator over the set of seen turn indices
-    return (seen_hash + (turn_idx + 1) * 2654435761) % _MOD
-
 
 def track_conversations(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
@@ -52,9 +44,9 @@ def track_conversations(
     """
     (conv_id,) = key
     if state.exists:
-        n_turns, n_chars, max_turn, seen_hash = state.get
+        n_turns, n_chars, max_turn = state.get
     else:
-        n_turns, n_chars, max_turn, seen_hash = 0, 0, -1, 0
+        n_turns, n_chars, max_turn = 0, 0, -1
 
     batch_rows = 0
     seen_this_batch: set[int] = set()
@@ -67,11 +59,10 @@ def track_conversations(
             seen_this_batch.add(t)
             n_turns += 1
             n_chars += len(text or "")
-            seen_hash = _fold_seen(seen_hash, t)
     if seen_this_batch:
         max_turn = max(max_turn, max(seen_this_batch))
 
-    state.update((n_turns, n_chars, max_turn, seen_hash))
+    state.update((n_turns, n_chars, max_turn))
     yield pd.DataFrame(
         [(conv_id, n_turns, n_chars, max_turn, batch_rows)],
         columns=["conv_id", "n_turns", "n_chars", "max_turn", "batch_rows"],

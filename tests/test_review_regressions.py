@@ -134,6 +134,100 @@ def test_locate_with_spans_no_dup_per_hit(spark):
     assert len(rows) == 1 and rows[0].label is None
 
 
+def test_fingerprint_covers_tool_column(spark, tmp_path):
+    # a row whose tool (extraction mode) changes — same text — must
+    # invalidate its bucket, or resume serves stale wrong-mode output
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr.checkpoint import input_fingerprints
+    from sparkocr.datagen import SCHEMA
+    import datetime as dt
+
+    def write(path, tool):
+        cols = {
+            "conv_id": ["c"], "turn_idx": [0], "role": ["u"],
+            "text": ["same text"], "tool": [tool],
+            "ts": [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)],
+        }
+        pq.write_table(pa.Table.from_pydict(cols, schema=SCHEMA), path)
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write(p1, "plain")
+    write(p2, "grounding")
+    f1 = input_fingerprints(spark.read.parquet(p1), 4)
+    f2 = input_fingerprints(spark.read.parquet(p2), 4)
+    assert f1 != f2
+
+
+def test_vanished_bucket_cleaned_on_rerun(spark, tmp_path, tiny_transcripts):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.checkpoint import run_extract_job
+
+    out = str(tmp_path / "out")
+    r1 = run_extract_job(spark, tiny_transcripts, out, n_buckets=8)
+    assert len(r1["processed"]) >= 2
+    # rewrite the input without the conversations of one processed bucket
+    victim = r1["processed"][0]
+    kept = (
+        spark.read.parquet(tiny_transcripts)
+        .withColumn("b", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+        .filter(F.col("b") != victim)
+        .drop("b")
+    )
+    smaller = str(tmp_path / "smaller.parquet")
+    kept.write.mode("overwrite").parquet(smaller)
+    run_extract_job(spark, smaller, out, n_buckets=8)
+    assert not os.path.exists(os.path.join(out, "data", f"bucket={victim}"))
+    got = spark.read.parquet(os.path.join(out, "data"))
+    assert got.filter(F.col("bucket") == victim).count() == 0
+
+
+def test_simhash_radius_guard():
+    from sparkocr.pipeline.dedup import simhash_near_dups
+
+    with pytest.raises(ValueError):
+        simhash_near_dups(None, max_hamming=16)
+
+
+def test_asof_null_tiebreak_loses(spark):
+    import datetime as dt
+
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    t = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([("k", t, "L")], "k string, t timestamp, lid string")
+    right = spark.createDataFrame(
+        [("k", t, "good", 7), ("k", t, "bad", None)],
+        "k string, rt timestamp, rid string, tb int",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid", "tb"], right_tiebreak="tb",
+    ).first()
+    assert out.rid_asof == "good"
+
+
+def test_range_join_precondition_enforced(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import range_join
+
+    t = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([("k", t)], "k string, t timestamp")
+    right = spark.createDataFrame(
+        [("k", t, t + dt.timedelta(days=10))], "k string, s timestamp, e timestamp"
+    )
+    with pytest.raises(ValueError):
+        range_join(left, right, key="k", left_time="t", r_start="s", r_end="e",
+                   bucket_seconds=86400, right_cols=["s"])
+
+
 def test_crop_regions_numbering_survives_failed_bbox(spark):
     from pyspark.sql import functions as F
 
