@@ -78,6 +78,29 @@ def test_pricing_summary_column_pruning(spark):
     }, cols
 
 
+def test_bucketed_table_makes_assembly_shuffle_free(spark, tiny_transcripts):
+    from sparkocr.assemble import assemble_docs_cli
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.storage import read_turns_bucketed, save_turns_bucketed
+
+    turns = extract_turns(spark.read.parquet(tiny_transcripts), min_parallelism=0)
+    save_turns_bucketed(turns, "turns_bucketed_test", n_buckets=4)
+    try:
+        bucketed = read_turns_bucketed(spark, "turns_bucketed_test")
+        # single-phase assembly (pure groupBy conv_id) over the bucketed
+        # table must read co-located buckets: NO Exchange anywhere
+        plan = _plan(assemble_docs_cli(bucketed, two_phase=False))
+        assert "Exchange" not in plan, plan
+        # and results equal the plain-parquet path
+        got = {r.conv_id: r.doc_text
+               for r in assemble_docs_cli(bucketed, two_phase=False).collect()}
+        want = {r.conv_id: r.doc_text
+                for r in assemble_docs_cli(turns, two_phase=False).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS turns_bucketed_test")
+
+
 def test_assembly_two_phase_bounds_group_state(spark, tiny_transcripts):
     from sparkocr.assemble import assemble_docs_cli
     from sparkocr.extract.dispatch import extract_turns
