@@ -687,7 +687,12 @@ def q_event_sessions(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional epoch seconds: unix_timestamp() truncates to whole seconds
+    # and a 1800.4 s gap straddling the threshold would sessionize
+    # differently from the fractional-epoch oracle. NTZ columns can't cast
+    # to double directly; via timestamp is exact (session tz is UTC).
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(w) + 1
     # max session id per user == number of 30-min sessions
     return (
@@ -749,7 +754,10 @@ def q_doc_hash_split(spark, sf_dir):
 def q_doc_jaccard_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import jaccard_pairs
 
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), k=8, threshold=0.3)
+    # df_max=256 exercises the document-frequency cap (the anti-quadratic
+    # guard) under the oracle: the sf0.01 corpus has shingles in up to 394
+    # of 500 docs, and the SQL mirror applies the identical cap.
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), k=8, threshold=0.3, df_max=256)
 
 
 def q_doc_minhash(spark, sf_dir):
@@ -1273,7 +1281,9 @@ def oracle_sql() -> dict[str, str]:
                             (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events)
-            SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events FROM (
+            -- ::BIGINT: DuckDB sum() window yields HUGEINT which pandas
+            -- renders as float64 and the driver hashes 3.0 vs Spark's 3
+            SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*) AS n_events FROM (
                 SELECT user_id,
                        sum(new_sess) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id
@@ -1316,9 +1326,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_jaccard_pairs": shingle_cte + """
             , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- df cap mirrors jaccard_pairs(df_max=256): hot shingles leave
+            -- the candidate join AND the intersection, union stays full
+            keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                     WHERE df <= 256),
+            fsh AS (SELECT doc_id, sh FROM sh WHERE sh IN (SELECT sh FROM keep)),
             common AS (
                 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
             SELECT id1, id2,
                    round(n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard

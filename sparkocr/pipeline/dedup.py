@@ -91,13 +91,39 @@ def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5) -> DataFrame:
+DF_MAX = 1000  # default document-frequency cap on candidate-join shingles
+
+
+def jaccard_pairs(
+    docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5,
+    df_max: int | None = DF_MAX,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
-    shingle. Join key = shingle (shuffle), no cross join."""
+    candidate shingle. Join key = shingle (shuffle), no cross join.
+
+    ``df_max`` caps the document frequency of shingles admitted to the
+    candidate join: a shingle present in d documents emits d² join rows, so
+    one stopword-frequency shingle ("the and..." 8-grams on real text)
+    makes the join quadratic in corpus size. Shingles with df > df_max are
+    dropped from BOTH the join and the intersection count (standard
+    DF-capping — ubiquitous shingles carry no discriminative signal), while
+    the union denominator keeps every shingle, so reported similarity is a
+    conservative lower bound and a pair sharing only hot shingles is not a
+    candidate. ``df_max=None`` restores exact Jaccard (quadratic risk)."""
     sh = shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if df_max is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("sh")
+        )
+        cand_sh = sh.join(keep, "sh", "left_semi")
+    else:
+        cand_sh = sh
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))

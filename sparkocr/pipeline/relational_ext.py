@@ -21,6 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _epoch_s(col):
+    """Fractional epoch seconds. ``unix_timestamp()`` truncates to whole
+    seconds, which shifts bucket/validation arithmetic for sub-second
+    timestamps; timestamp→double keeps microseconds (dates go via
+    timestamp — Spark forbids a direct date→double cast)."""
+    return F.col(col).cast("timestamp").cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -101,10 +109,11 @@ def range_join(
     cheap aggregate (a longer interval would silently lose matches);
     disable it only when the bound is guaranteed by construction."""
     if validate:
+        # cast("double") = fractional epoch seconds; unix_timestamp()
+        # truncates to whole seconds, so a span of bucket_seconds - 0.5 s
+        # would pass validation yet straddle three buckets
         mx = right.agg(
-            F.max(
-                F.unix_timestamp(F.col(r_end)) - F.unix_timestamp(F.col(r_start))
-            ).alias("mx")
+            F.max(_epoch_s(r_end) - _epoch_s(r_start)).alias("mx")
         ).first()["mx"]
         if mx is not None and mx >= bucket_seconds:
             raise ValueError(
@@ -112,10 +121,10 @@ def range_join(
                 f"{bucket_seconds}s — two-bucket registration would drop matches"
             )
     lb = left.withColumn(
-        "_bkt", F.floor(F.unix_timestamp(F.col(left_time)) / bucket_seconds)
+        "_bkt", F.floor(_epoch_s(left_time) / bucket_seconds)
     )
     rb = right.withColumn(
-        "_bkt0", F.floor(F.unix_timestamp(F.col(r_start)) / bucket_seconds)
+        "_bkt0", F.floor(_epoch_s(r_start) / bucket_seconds)
     )
     # each interval is registered in its start bucket and the next one
     rexp = rb.select(

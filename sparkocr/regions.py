@@ -25,12 +25,15 @@ def crop_regions(turns: DataFrame) -> DataFrame:
     """Per-turn image-span records → (conv_id, turn_idx, img_idx, crop_path,
     x1..y2). ``img_idx`` numbers image spans in span (match) order within
     the turn; path mirrors ``images/{jdx}_{idx}.jpg`` with jdx = turn_idx
-    (run_dpsk_ocr_pdf.py:316-317 naming)."""
+    (run_dpsk_ocr_pdf.py:316-317 naming). Image spans are selected by the
+    ``is_image`` flag the extractor computed with the reference's
+    IMAGE_MARK-containment rule — the same rule that numbers markdown
+    placeholders — so crop records and placeholders can never misalign."""
     s = turns.select(
         "conv_id",
         "turn_idx",
         F.posexplode("spans").alias("span_pos", "sp"),
-    ).filter(F.col("sp.label") == "image")
+    ).filter(F.col("sp.is_image"))
     # number ALL image spans per turn in span order BEFORE any bbox
     # validity filter: the reference's placeholder numbering counts every
     # image match, parse failures included (enumerate over matches_images,
@@ -59,14 +62,30 @@ def crop_regions(turns: DataFrame) -> DataFrame:
     )
 
 
+def _replace_first(acc, search, repl):
+    """Replace the FIRST occurrence of ``search`` in ``acc`` — the JVM
+    expression equivalent of Python ``str.replace(old, new, 1)``. All three
+    args are Columns (``F.replace`` would rewrite every occurrence)."""
+    pos = F.position(search, acc)
+    return F.when(
+        pos > 0,
+        F.concat(
+            acc.substr(F.lit(1), pos - 1),
+            repl,
+            acc.substr(pos + F.length(search), F.length(acc)),
+        ),
+    ).otherwise(acc)
+
+
 def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
     """E14 analog: replace ``**[图片 N]**`` (N = 1-based crop order) in
     ``markdown_text`` with a markdown image link to the crop record's path,
     one replacement per crop in order — a JVM ``aggregate`` fold, no Python.
 
-    ``replace(str, search, repl)`` replaces every occurrence, but the
-    numbered placeholders are unique within a turn, so the outcome equals
-    the reference's sequential count=1 loop (app/utils.py:139-147)."""
+    Each placeholder is replaced FIRST-occurrence-only, exactly the
+    reference's sequential ``str.replace(..., 1)`` loop (app/utils.py:
+    139-147): a payload whose OCR'd body legitimately contains the literal
+    placeholder string keeps the body copy untouched."""
     crops = crop_regions(turns).groupBy("conv_id", "turn_idx").agg(
         F.sort_array(F.collect_list(F.struct("img_idx", "crop_path"))).alias("crops")
     )
@@ -75,7 +94,7 @@ def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
         F.aggregate(
             "crops",
             F.col("markdown_text"),
-            lambda acc, c: F.replace(
+            lambda acc, c: _replace_first(
                 acc,
                 F.concat(
                     F.lit("**[图片 "),
@@ -98,8 +117,11 @@ def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
 
     Deterministic semantics: labels ranked by first occurrence in stable
     (conv_id, turn_idx, span order); color i = i-th RGB triple of the
-    numpy RandomState(seed) stream, matching successive
-    ``randint(0, 255, 3)`` draws. The rank window is a single partition —
+    numpy RandomState(seed) stream, matching the reference's successive
+    per-channel ``np.random.randint(50, 255)`` draws after
+    ``np.random.seed(42)`` (app/processors.py:57-66) exactly — a matrix
+    ``randint(50, 255, size=(n, 3))`` consumes the MT stream identically.
+    The rank window is a single partition —
     fine, because distinct labels form a dimension-sized table (the
     reference holds them in one python dict), not a data-sized one.
     """
@@ -124,7 +146,7 @@ def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
         if not len(idx):
             return pd.DataFrame({"r": [], "g": [], "b": []}, dtype="int32")
         n = int(idx.max()) + 1
-        palette = np.random.RandomState(seed).randint(0, 255, size=(n, 3))
+        palette = np.random.RandomState(seed).randint(50, 255, size=(n, 3))
         picked = palette[idx.to_numpy(dtype="int64")]
         return pd.DataFrame(
             {"r": picked[:, 0], "g": picked[:, 1], "b": picked[:, 2]}

@@ -23,6 +23,8 @@ SPAN = T.StructType(
         T.StructField("end", T.IntegerType(), True),
         T.StructField("label", T.StringType(), True),
         T.StructField("bbox", T.ArrayType(T.ArrayType(T.IntegerType())), True),
+        # IMAGE_MARK containment rule (grounding mode only; null elsewhere)
+        T.StructField("is_image", T.BooleanType(), True),
     ]
 )
 

@@ -219,7 +219,7 @@ def clean_grounded(
     """Port of clean_output_text (app/utils.py:98-127) + span offsets.
 
     Returns ``(clean_text, spans, is_truncated)`` where ``spans`` is a list
-    of dicts ``{start, end, label, bbox}`` — one per findall match in match
+    of dicts ``{start, end, label, bbox, is_image}`` — one per findall match in match
     order; ``start/end`` index into the returned text (``start == end`` for
     refs replaced by the empty string); both are None if a later replacement
     destroyed the landing site. ``is_truncated`` is True iff the EOS token is
@@ -230,12 +230,13 @@ def clean_grounded(
         return "", [], is_truncated
     matches = REF_RE.findall(text)
     segs = _Segments(text)
-    spans_meta: list[tuple[str, Any]] = []
+    spans_meta: list[tuple[str, Any, bool]] = []
     img_num = 0
     for full, label, coords in matches:
         tag = len(spans_meta)
-        spans_meta.append((label, parse_bbox(coords, width, height)))
-        if IMAGE_MARK in full:
+        is_image = IMAGE_MARK in full
+        spans_meta.append((label, parse_bbox(coords, width, height), is_image))
+        if is_image:
             if include_images:
                 # app/utils.py:114 — numbered CJK placeholder, count=1
                 segs.replace(full, f"\n\n**[\u56fe\u7247 {img_num + 1}]**\n\n", 1, tag)
@@ -250,7 +251,7 @@ def clean_grounded(
     segs.replace(EOS, "")  # single-pass replace-all, app/utils.py:125
     clean, offsets = segs.finalize_strip()
     spans = []
-    for i, (label, bbox) in enumerate(spans_meta):
+    for i, (label, bbox, is_image) in enumerate(spans_meta):
         se = offsets.get(i)
         spans.append(
             {
@@ -258,6 +259,12 @@ def clean_grounded(
                 "end": se[1] if se else None,
                 "label": label,
                 "bbox": bbox,
+                # detected by IMAGE_MARK containment in the FULL match (not
+                # label equality) — the reference's rule, run_dpsk_ocr_pdf.py
+                # :134 / app/utils.py:75 — so placeholder numbering and crop
+                # records count the same spans even when a non-image label's
+                # det payload embeds the mark.
+                "is_image": is_image,
             }
         )
     return clean, spans, is_truncated

@@ -99,6 +99,7 @@ def test_grounding_spans_match_core(extracted):
                 "end": None if pd.isna(s["end"]) else int(s["end"]),
                 "label": s["label"],
                 "bbox": None if s["bbox"] is None else [[int(v) for v in b] for b in s["bbox"]],
+                "is_image": bool(s["is_image"]),
             }
             for s in raw
         ]

@@ -142,7 +142,9 @@ def test_label_color_map(spark, turns):
     # turns fixture: image (span 0 of turn 0) seen before title (span 1)
     assert rows["image"].color_idx == 0
     assert rows["title"].color_idx == 1
-    palette = np.random.RandomState(42).randint(0, 255, size=(2, 3))
+    # the reference's stream: np.random.seed(42) then three scalar
+    # randint(50, 255) draws per label (app/processors.py:57-66)
+    palette = np.random.RandomState(42).randint(50, 255, size=(2, 3))
     assert (rows["image"].rgb.r, rows["image"].rgb.g, rows["image"].rgb.b) == tuple(
         palette[0]
     )

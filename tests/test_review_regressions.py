@@ -252,3 +252,80 @@ def test_crop_regions_numbering_survives_failed_bbox(spark):
     # both placeholders replaced, each with its own aligned path
     assert "![](images/0_0.jpg)" in md and "![](images/0_1.jpg)" in md
     assert "图片" not in md
+
+
+def test_event_sessions_fractional_second_gap(spark):
+    """A 1800.4 s gap straddling the 30-min threshold must start a NEW
+    session: unix_timestamp() truncation would see exactly 1800 (not >
+    1800) and merge the sessions — round-2 fix uses fractional epoch."""
+    import datetime as dt
+
+    from pyspark.sql import Window, functions as F
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0, 300000)
+    t1 = t0 + dt.timedelta(seconds=1800, microseconds=400000)
+    e = spark.createDataFrame(
+        [("u", 1, t0), ("u", 2, t1)], "user_id string, event_id int, ts timestamp"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(w) + 1
+    got = (
+        e.withColumn("sess", sess)
+        .groupBy("user_id")
+        .agg(F.max("sess").alias("n_sessions"))
+        .collect()
+    )
+    assert got[0].n_sessions == 2
+
+
+def test_range_join_fractional_span_validation(spark):
+    """An interval spanning bucket_seconds - 0.5 s must FAIL validation for
+    bucket_seconds-1 (truncated arithmetic would round the span down and
+    pass, silently losing matches)."""
+    import datetime as dt
+
+    from sparkocr.pipeline.relational_ext import range_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    right = spark.createDataFrame(
+        [("k", t0, t0 + dt.timedelta(seconds=59, microseconds=500000), 1)],
+        "k string, r_start timestamp, r_end timestamp, rid int",
+    )
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=30), 10)],
+        "k string, t timestamp, lid int",
+    )
+    with pytest.raises(ValueError, match="max interval span"):
+        range_join(
+            left, right, key="k", left_time="t", r_start="r_start",
+            r_end="r_end", bucket_seconds=59, right_cols=["rid"],
+        )
+    # and with a big-enough bucket the match is found
+    out = range_join(
+        left, right, key="k", left_time="t", r_start="r_start",
+        r_end="r_end", bucket_seconds=60, right_cols=["rid"],
+    ).collect()
+    assert len(out) == 1 and out[0].rid == 1
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
+    """A shingle shared by EVERY doc (stopword-grade) must not create
+    quadratic candidate pairs once df_max < corpus size; dropping the cap
+    restores exact (quadratic) behavior."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.dedup import jaccard_pairs
+
+    # 12 docs: common 8-char prefix, then a per-doc unique letter run — the
+    # ONLY cross-doc shared shingle is the hot prefix (every mixed
+    # prefix/tail window contains the unique letter)
+    docs = spark.createDataFrame(
+        [(i, "AAAAAAAA" + chr(ord("a") + i) * 16) for i in range(12)],
+        "doc_id long, text string",
+    )
+    capped = jaccard_pairs(docs, k=8, threshold=0.0, df_max=8)
+    assert capped.count() == 0  # hot shingle excluded -> no candidates
+    uncapped = jaccard_pairs(docs, k=8, threshold=0.0, df_max=None)
+    assert uncapped.count() == 12 * 11 // 2  # every pair shares the prefix
