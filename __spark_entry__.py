@@ -161,7 +161,8 @@ def q_page_slice(spark, sf_dir):
 
 
 def q_vision_tokens(spark, sf_dir):
-    # T2/T8 tile + token arithmetic as a column function over part dims
+    # T1/T2/T8 tile + token arithmetic as a column function over part dims;
+    # oracle-checked against the SQL closed form (_vision_tokens_sql)
     from pyspark.sql.pandas.functions import pandas_udf
     import pandas as pd
 
@@ -205,6 +206,22 @@ def q_markdown_embed(spark, sf_dir):
     )
 
 
+def q_markdown_embed_b64(spark, sf_dir):
+    """E14 full analog: crop records joined to the media payload table,
+    placeholders spliced with data:image/png;base64 URIs (count=1 each,
+    reference app/utils.py:130-147); payload bytes come from the
+    deterministic fake codec (synth_media)."""
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.pipeline.multimodal import synth_media
+    from sparkocr.regions import embed_crops_in_markdown_b64
+
+    turns = extract_turns(_img_transcripts(spark, sf_dir))
+    media = synth_media(_t(spark, sf_dir, "documents"))
+    return embed_crops_in_markdown_b64(turns, media).select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"), "markdown_embedded"
+    )
+
+
 def q_repeat_flags(spark, sf_dir):
     from sparkocr.extract.dispatch import extract_turns
 
@@ -214,18 +231,19 @@ def q_repeat_flags(spark, sf_dir):
     )
 
 
-def q_locate_stats(spark, sf_dir):
+def q_locate_with_spans(spark, sf_dir):
+    """Q3 locate, row-level with the grounded-span overlap join (supersedes
+    round-1's aggregate-only locate_stats): needle 'itl' hits inside the
+    'title' label span (offset 1) on every doc plus any body occurrences,
+    exercising both the overlap row and the no-overlap null row."""
     from sparkocr.extract.dispatch import extract_turns
-    from sparkocr.regions import locate
+    from sparkocr.regions import locate_with_spans
 
     turns = extract_turns(_doc_transcripts(spark, sf_dir))
-    hits = locate(turns, "the")
-    return (
-        hits.groupBy(F.col("turn_idx").cast("bigint").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min("match_start").alias("first_start"),
-        )
+    hits = locate_with_spans(turns, "itl")
+    return hits.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "match_start", "match_end", "span_start", "span_end", "label",
     )
 
 
@@ -421,25 +439,106 @@ def q_doc_assembly_app(spark, sf_dir):
     return assemble_docs_app(turns).select("conv_id", "n_turns", "doc_text")
 
 
-def q_mode_metrics(spark, sf_dir):
+def q_pipeline_metrics(spark, sf_dir):
+    """mode_metrics + conversation_skew in one entry (merged so the
+    50-entry driver check covers every catalog row; exact columns only —
+    percentiles are approximate by design and stay out of the oracle)."""
     from sparkocr.extract.dispatch import extract_turns
-    from sparkocr.metrics import mode_metrics
+    from sparkocr.metrics import conversation_skew, mode_metrics
 
     turns = extract_turns(_doc_transcripts(spark, sf_dir))
-    return mode_metrics(turns).select(
+    mm = mode_metrics(turns).select(
         "tool", "n_turns", "n_truncated", "n_errors",
         "chars_in", "chars_out", "avg_chars_out",
     )
-
-
-def q_conv_skew(spark, sf_dir):
-    from sparkocr.extract.dispatch import extract_turns
-    from sparkocr.metrics import conversation_skew
-
-    turns = extract_turns(_doc_transcripts(spark, sf_dir))
-    # exact columns only (percentiles are approximate by design -> no oracle)
-    return conversation_skew(turns).select(
+    cs = conversation_skew(turns).select(
         "n_convs", "n_turns_total", "max_conv_turns"
+    )
+    # both sides are metric-row-sized (per-tool / single row): the cross
+    # join is a broadcast of two tiny aggregates
+    return mm.crossJoin(cs)
+
+
+def q_doc_assembly_det(spark, sf_dir):
+    """_det.mmd variant: UNCLEANED grounded text + page-split concat
+    (run_dpsk_ocr_pdf.py:302-304) — branches off the raw transcripts."""
+    from sparkocr.assemble import assemble_docs_det
+
+    return assemble_docs_det(_doc_transcripts(spark, sf_dir)).select(
+        "conv_id", "n_turns", "doc_text"
+    )
+
+
+def _cli_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts exercising the CLI PDF cleanup algebra (E4/E5): an image
+    ref (→ replace-ALL link), an 'other' ref (→ removal), a 4-newline run
+    and latex colon-eq tokens (→ the per-other-match replace chain), EOS on
+    all but every 7th doc (→ SKIP_REPEAT drop)."""
+    d = _t(spark, sf_dir, "documents")
+    coords = F.concat(
+        F.lit("[["),
+        (F.col("doc_id") % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
+        (F.col("doc_id") % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 13) % 999).cast("string"),
+        F.lit("]]"),
+    )
+    text = F.concat(
+        F.lit("<|ref|>image<|/ref|><|det|>"), coords, F.lit("<|/det|>"),
+        F.col("text"),
+        F.lit("<|ref|>footnote<|/ref|><|det|>[[5,6,7,8]]<|/det|>"),
+        F.lit("\n\n\n\na \\coloneqq b \\eqqcolon c"),
+        F.when(F.col("doc_id") % 7 != 0, F.lit(EOS)).otherwise(F.lit("")),
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        text.alias("text"),
+        F.lit("grounding_cli").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def q_pdf_cli_clean(spark, sf_dir):
+    """E4/E5 end-to-end: the CLI PDF per-page cleanup (replace-ALL image
+    links named by jdx=turn_idx, other-ref removal, latex fixes, newline
+    collapse, SKIP_REPEAT drop) through extract_turns' grounding_cli mode
+    (reference run_dpsk_ocr_pdf.py:292-320)."""
+    from sparkocr.extract.dispatch import extract_turns
+
+    turns = extract_turns(_cli_transcripts(spark, sf_dir))
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"),
+        "clean_text",
+        "is_truncated",
+    )
+
+
+def q_eval_batch_clean(spark, sf_dir):
+    """E11 end-to-end: eval-batch cleanup (clean_formula, ref removal,
+    LITERAL backslash-n run collapse, <center> removal) through
+    extract_turns' grounding_eval mode (run_dpsk_ocr_eval_batch.py:156-169)."""
+    from sparkocr.extract.dispatch import extract_turns
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("<|ref|>eq<|/ref|><|det|>[[1,2,3,4]]<|/det|>"),
+        F.lit("<center>"), F.col("text"), F.lit("</center>"),
+        F.lit("\\n\\n\\n\\n"),  # literal backslash-n escape run, not newlines
+        F.lit("\\[ E=mc^2 \\quad (mass) \\]"),
+    )
+    tr = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        payload.alias("text"),
+        F.lit("grounding_eval").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    turns = extract_turns(tr)
+    return turns.select(
+        F.col("turn_idx").cast("bigint").alias("doc_id"), "clean_text"
     )
 
 
@@ -464,21 +563,6 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
-def q_top_revenue_orders(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_orderkey")
-        .limit(10)
-    )
-
-
 def q_region_revenue(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -496,107 +580,64 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
-def q_segment_order_stats(spark, sf_dir):
+def q_segment_customer_coverage(spark, sf_dir):
+    """Per-segment order stats + anti-join coverage in one entry: total
+    customers, customers with orders, customers WITHOUT orders (left-anti),
+    order count, average price. Merges the round-1 segment_order_stats and
+    customers_without_orders entries so both demos stay driver-checked
+    under the 50-entry cap."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    totals = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    ordering = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_custkey").alias("n_ordering_customers"),
+        )
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        totals.join(ordering, "c_mktsegment", "left")
+        .join(without, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_ordering_customers",
+            F.coalesce("n_without_orders", F.lit(0)).cast("bigint").alias("n_without_orders"),
+            "n_orders",
+            "avg_price",
         )
         .orderBy("c_mktsegment")
     )
 
 
-def q_top_orders_per_customer(spark, sf_dir):
+def q_customer_order_windows(spark, sf_dir):
+    """Two window specs over one scan: per-customer price rank
+    (row_number) and running spend (unbounded-preceding sum). Merges the
+    round-1 top_orders_per_customer and running_customer_spend entries."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "rk")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
     )
-
-
-def q_running_customer_spend(spark, sf_dir):
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
-        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend")
-    )
-
-
-def q_customers_without_orders(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-def q_nation_returned_share(spark, sf_dir):
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            ).alias("returned_share")
-        )
-        .orderBy("n_name")
-    )
-
-
-def q_part_type_stats(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.groupBy(F.upper(F.substring("p_type", 1, 5)).alias("type_prefix"))
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-            F.max(F.length("p_name")).alias("max_name_len"),
-        )
-        .orderBy("type_prefix")
-    )
-
-
-def q_orders_by_month(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .orderBy("month")
-    )
-
-
-def q_supplier_balance_rank(spark, sf_dir):
-    from pyspark.sql import Window
-
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), "s_suppkey")
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") <= 2)
-        .select("n_name", "s_suppkey", "rk")
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_rank).alias("price_rank"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
     )
 
 
@@ -774,9 +815,11 @@ def q_doc_lsh_pairs(spark, sf_dir):
 
 
 def q_doc_token_counts(spark, sf_dir):
+    # fingerprint=True folds the md5 document fingerprint (round-1's
+    # doc_fingerprints entry) into the same single-scan projection
     from sparkocr.pipeline.textstats import token_counts
 
-    return token_counts(_t(spark, sf_dir, "documents"))
+    return token_counts(_t(spark, sf_dir, "documents"), fingerprint=True)
 
 
 def q_doc_quality(spark, sf_dir):
@@ -789,12 +832,6 @@ def q_doc_lang_id(spark, sf_dir):
     from sparkocr.pipeline.textstats import lang_id
 
     return lang_id(_t(spark, sf_dir, "documents"))
-
-
-def q_doc_fingerprints(spark, sf_dir):
-    from sparkocr.pipeline.textstats import md5_fingerprints
-
-    return md5_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 def q_doc_chunk_fps(spark, sf_dir):
@@ -812,22 +849,25 @@ def q_doc_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-def q_media_decode(spark, sf_dir):
+def q_media_decode_resize(spark, sf_dir):
+    """Decode stats + resize plan in one pipeline (merged round-1 entries):
+    the resize arithmetic needs only (width, height), which decode_stats
+    already emits, so the plan stays one MapInPandas + a JVM projection —
+    no join, no second scan."""
     from sparkocr.pipeline.multimodal import decode_stats, synth_media
 
     d = decode_stats(synth_media(_t(spark, sf_dir, "documents")))
+    w, h = F.col("width"), F.col("height")
+    scale = F.least(F.lit(640) / w, F.lit(640) / h)
     return d.select(
         "media_id", "n_bytes",
         F.round("mean_byte", 6).alias("mean_byte"),
         "width", "height",
         F.round("aspect_ratio", 6).alias("aspect_ratio"),
+        F.round(scale, 6).alias("scale"),
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
     )
-
-
-def q_media_resize_plan(spark, sf_dir):
-    from sparkocr.pipeline.multimodal import resize_plan, synth_media
-
-    return resize_plan(synth_media(_t(spark, sf_dir, "documents")), target=640)
 
 
 def q_media_frame_sample(spark, sf_dir):
@@ -897,12 +937,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries: the round-1 driver checked only the first 50 of
+    56, so low-value entries were merged (segment stats + anti-join, the
+    two window demos, mode/skew metrics, decode + resize, fingerprints into
+    token counts) and the round-2 additions (CLI/eval cleanup, det
+    assembly, b64 embed, row-level locate) fit under the cap with every
+    entry checked."""
     return {
         # extraction surface
         "extract_clean": q_extract_clean,
         "extract_spans": q_extract_spans,
         "doc_assembly": q_doc_assembly,
         "doc_assembly_app": q_doc_assembly_app,
+        "doc_assembly_det": q_doc_assembly_det,
+        "pdf_cli_clean": q_pdf_cli_clean,
+        "eval_batch_clean": q_eval_batch_clean,
         "page_slice": q_page_slice,
         "vision_tokens": q_vision_tokens,
         "crop_regions": q_crop_regions,
@@ -912,23 +961,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_table_extract": q_md_table_extract,
         "label_colors": q_label_colors,
         "markdown_embed": q_markdown_embed,
+        "markdown_embed_b64": q_markdown_embed_b64,
         "repeat_flags": q_repeat_flags,
-        "locate_stats": q_locate_stats,
+        "locate_with_spans": q_locate_with_spans,
         "geometry_parse": q_geometry_parse,
-        "mode_metrics": q_mode_metrics,
-        "conv_skew": q_conv_skew,
+        "pipeline_metrics": q_pipeline_metrics,
         # relational catalog
         "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
         "region_revenue": q_region_revenue,
-        "segment_order_stats": q_segment_order_stats,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "running_customer_spend": q_running_customer_spend,
-        "customers_without_orders": q_customers_without_orders,
-        "nation_returned_share": q_nation_returned_share,
-        "part_type_stats": q_part_type_stats,
-        "orders_by_month": q_orders_by_month,
-        "supplier_balance_rank": q_supplier_balance_rank,
+        "segment_customer_coverage": q_segment_customer_coverage,
+        "customer_order_windows": q_customer_order_windows,
         "priority_set_ops": q_priority_set_ops,
         "orders_rollup": q_orders_rollup,
         "asof_latest_order": q_asof_latest_order,
@@ -946,11 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
         "doc_chunk_fps": q_doc_chunk_fps,
         "doc_simhash_pairs": q_doc_simhash_pairs,
-        "media_decode": q_media_decode,
-        "media_resize_plan": q_media_resize_plan,
+        "media_decode_resize": q_media_decode_resize,
         "media_frame_sample": q_media_frame_sample,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -958,6 +998,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": q_embedding_label_stats,
         "embedding_near_dups": q_embedding_near_dups,
     }
+
+
+def _vision_tokens_sql() -> str:
+    """SQL closed form of num_image_tokens_mode(..., 'gundam') (T1/T2/T8):
+    enumerates the candidate tile ratios IN THE SEQUENCE count_tiles scans
+    them (the tie-break is order-dependent) and replays the scan's
+    semantics — first minimal-diff ratio wins unless a LATER equal-diff
+    ratio passes the area test (process/image_process.py:11-42)."""
+    import math
+
+    from sparkocr.textproc.tiles import MAX_CROPS, MIN_CROPS
+
+    target_ratios = set(
+        (i, j)
+        for n in range(MIN_CROPS, MAX_CROPS + 1)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if i * j <= MAX_CROPS and i * j >= MIN_CROPS
+    )
+    ordered = sorted(target_ratios, key=lambda x: x[0] * x[1])
+    values = ", ".join(
+        f"({ord_}, {i}, {j}, {i / j!r})" for ord_, (i, j) in enumerate(ordered)
+    )
+    # gundam mode: base=1024, image=640 → h=w=16, h2=w2=10 (deepseek_ocr.py
+    # :61-106); global = 16*17 = 272, +1 separator
+    assert math.ceil((1024 // 16) / 4) == 16 and math.ceil((640 // 16) / 4) == 10
+    return f"""
+        WITH dims AS (
+            SELECT p_partkey,
+                   (512 + p_partkey % 1600)::INT AS w,
+                   (512 + (p_partkey * 3) % 1600)::INT AS h
+            FROM part),
+        ratios(ord, i, j, ar) AS (VALUES {values}),
+        scored AS (
+            SELECT d.p_partkey, d.w, d.h, r.ord, r.i, r.j,
+                   abs(d.w * 1.0 / d.h - r.ar) AS diff,
+                   (d.w * 1.0 * d.h > 0.5 * 640 * 640 * r.i * r.j) AS areaok
+            FROM dims d, ratios r),
+        best AS (
+            SELECT p_partkey, min(diff) AS dstar FROM scored GROUP BY 1),
+        pick AS (
+            SELECT s.p_partkey,
+                   min(s.ord) FILTER (WHERE s.diff = b.dstar) AS first_ord,
+                   max(s.ord) FILTER (WHERE s.diff = b.dstar AND s.areaok)
+                       AS last_ok_ord
+            FROM scored s JOIN best b USING (p_partkey)
+            GROUP BY 1),
+        chosen AS (
+            SELECT d.p_partkey, d.w, d.h, r.i, r.j
+            FROM dims d JOIN pick p USING (p_partkey)
+            JOIN ratios r ON r.ord = coalesce(p.last_ok_ord, p.first_ord))
+        SELECT p_partkey,
+               CASE WHEN w <= 640 AND h <= 640 THEN 273
+                    ELSE (272 + (j * 10) * (i * 10 + 1) + 1)::INT
+               END AS n_vision_tokens
+        FROM chosen
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1022,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS conv_id, doc_id FROM documents
             WHERE doc_id BETWEEN 100 AND 199
         """,
+        "vision_tokens": _vision_tokens_sql(),
         "doc_assembly_app": f"""
             WITH t AS ({_DOC_TRANSCRIPT_SQL}),
             cleaned AS (
@@ -1037,6 +1135,38 @@ def oracle_sql() -> dict[str, str]:
                               ' 第 ' || pg || ' 页 ---' || chr(10) || chr(10)
                               || clean_text, '' ORDER BY doc_id) AS doc_text
             FROM cleaned GROUP BY conv_id
+        """,
+        "doc_assembly_det": f"""
+            -- _det.mmd: raw text minus EOS (markers intact) + page split,
+            -- EOS-less pages (doc_id % 7 = 0) skipped like the clean file
+            WITH t AS ({_DOC_TRANSCRIPT_SQL})
+            SELECT conv_id, count(*)::INT AS n_turns,
+                   string_agg(replace(text, '{EOS}', '') || chr(10) || chr(10) ||
+                              '<--- Page Split --->' || chr(10),
+                              '' ORDER BY doc_id) AS doc_text
+            FROM t WHERE doc_id % 7 <> 0 GROUP BY conv_id
+        """,
+        "pdf_cli_clean": """
+            -- closed form of run_dpsk_ocr_pdf.py:292-320 on the CLI
+            -- fixture: image ref -> ![](images/{jdx}_0.jpg)\\n (replace
+            -- all), other ref removed, \\coloneqq/\\eqqcolon fixed, the
+            -- 4-newline run collapsed to 2; EOS-less pages drop to ''
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN ''
+                        ELSE '![](images/' || doc_id || '_0.jpg)' || chr(10) ||
+                             text || chr(10) || chr(10) || 'a := b =: c'
+                   END AS clean_text,
+                   (doc_id % 7 = 0) AS is_truncated
+            FROM documents
+        """,
+        "eval_batch_clean": """
+            -- closed form of run_dpsk_ocr_eval_batch.py:156-169: ref
+            -- removed, <center> tags dropped, LITERAL backslash-n run
+            -- collapsed 4 -> 2 (those are 2-char escape sequences, not
+            -- newlines), clean_formula strips the \\quad annotation
+            SELECT doc_id,
+                   text || '\\n\\n' || '\\[E=mc^2\\]' AS clean_text
+            FROM documents
         """,
         "crop_regions": """
             SELECT doc_id, 0::INT AS img_idx,
@@ -1054,6 +1184,20 @@ def oracle_sql() -> dict[str, str]:
                             chr(10) || chr(10) || {_IMG_BODY_SQL}, {_TRIMSET}),
                        '**[图片 1]**',
                        '![](images/' || doc_id || '_0.jpg)') AS markdown_embedded
+            FROM documents
+        """,
+        "markdown_embed_b64": f"""
+            -- placeholder -> reference's b64 splice (app/utils.py:139-147):
+            -- '\\n\\n![图片 1](data:image/png;base64,B64)\\n\\n', payload =
+            -- fake-codec bytes = utf-8 text
+            SELECT doc_id,
+                   replace(
+                       trim(chr(10) || chr(10) || '**[图片 1]**' ||
+                            chr(10) || chr(10) || {_IMG_BODY_SQL}, {_TRIMSET}),
+                       '**[图片 1]**',
+                       chr(10) || chr(10) || '![图片 1](data:image/png;base64,' ||
+                       base64(encode(text)) || ')' || chr(10) || chr(10))
+                       AS markdown_embedded
             FROM documents
         """,
         "repeat_flags": """
@@ -1111,7 +1255,10 @@ def oracle_sql() -> dict[str, str]:
                    floor(73 / 999.0 * 1650)::INT AS s0_y2
             FROM documents
         """,
-        "locate_stats": f"""
+        "locate_with_spans": f"""
+            -- every occurrence of 'itl' in the cleaned text; the single
+            -- grounded span is [0,5) 'title', so only match_start < 5
+            -- overlaps (match_end = start+3 > 0 always)
             WITH t AS ({_DOC_TRANSCRIPT_SQL}),
             cleaned AS (
                 SELECT doc_id,
@@ -1119,12 +1266,18 @@ def oracle_sql() -> dict[str, str]:
                             '<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 's'),
                             '{EOS}', ''), {_TRIMSET}) AS clean_text
                 FROM t
+            ),
+            pos AS (
+                SELECT doc_id, (r.range - 1)::INT AS match_start
+                FROM cleaned, range(1, 4096) r
+                WHERE r.range <= length(clean_text) - 2
+                  AND substr(clean_text, r.range::INT, 3) = 'itl'
             )
-            SELECT doc_id,
-                   ((length(clean_text) - length(replace(clean_text, 'the', '')))
-                    / 3)::BIGINT AS n_matches,
-                   (strpos(clean_text, 'the') - 1)::INT AS first_start
-            FROM cleaned WHERE strpos(clean_text, 'the') > 0
+            SELECT doc_id, match_start, (match_start + 3)::INT AS match_end,
+                   CASE WHEN match_start < 5 THEN 0::INT END AS span_start,
+                   CASE WHEN match_start < 5 THEN 5::INT END AS span_end,
+                   CASE WHEN match_start < 5 THEN 'title' END AS label
+            FROM pos
         """,
         "geometry_parse": """
             SELECT doc_id, 1::INT AS n_lines, doc_id::DOUBLE AS x2,
@@ -1133,7 +1286,7 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 9 + 1)::DOUBLE AS circle_radius
             FROM documents
         """,
-        "mode_metrics": f"""
+        "pipeline_metrics": f"""
             WITH t AS ({_DOC_TRANSCRIPT_SQL}),
             cleaned AS (
                 SELECT doc_id, length(text) AS nin,
@@ -1141,19 +1294,21 @@ def oracle_sql() -> dict[str, str]:
                             '<\\|ref\\|>.*?<\\|/ref\\|><\\|det\\|>.*?<\\|/det\\|>', '', 's'),
                             '{EOS}', ''), {_TRIMSET})) AS nout
                 FROM t
+            ),
+            mm AS (
+                SELECT 'grounding' AS tool, count(*) AS n_turns,
+                       sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+                       0::BIGINT AS n_errors,
+                       sum(nin)::BIGINT AS chars_in, sum(nout)::BIGINT AS chars_out,
+                       round(avg(nout), 2) AS avg_chars_out
+                FROM cleaned
+            ),
+            cs AS (
+                SELECT count(*)::BIGINT AS n_convs, sum(n)::BIGINT AS n_turns_total,
+                       max(n)::BIGINT AS max_conv_turns
+                FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)
             )
-            SELECT 'grounding' AS tool, count(*) AS n_turns,
-                   sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
-                   0::BIGINT AS n_errors,
-                   sum(nin)::BIGINT AS chars_in, sum(nout)::BIGINT AS chars_out,
-                   round(avg(nout), 2) AS avg_chars_out
-            FROM cleaned
-        """,
-        "conv_skew": """
-            WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
-            SELECT count(*)::BIGINT AS n_convs, sum(n)::BIGINT AS n_turns_total,
-                   max(n)::BIGINT AS max_conv_turns
-            FROM sizes
+            SELECT * FROM mm CROSS JOIN cs
         """,
         # relational
         "pricing_summary": """
@@ -1168,14 +1323,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        "top_revenue_orders": """
-            SELECT o_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
-        """,
         "region_revenue": """
             SELECT r_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1185,60 +1332,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
         """,
-        "segment_order_stats": """
-            SELECT c_mktsegment, count(*) AS n_orders,
-                   round(avg(o_totalprice), 4) AS avg_price,
-                   count(DISTINCT o_custkey) AS n_customers
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        "segment_customer_coverage": """
+            WITH t AS (SELECT c_mktsegment, count(*) AS n_customers
+                       FROM customer GROUP BY 1),
+            o AS (SELECT c_mktsegment, count(*) AS n_orders,
+                         round(avg(o_totalprice), 4) AS avg_price,
+                         count(DISTINCT o_custkey) AS n_ordering_customers
+                  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+            w AS (SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+                  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+            SELECT t.c_mktsegment, n_customers, n_ordering_customers,
+                   coalesce(n_without_orders, 0)::BIGINT AS n_without_orders,
+                   n_orders, avg_price
+            FROM t LEFT JOIN o USING (c_mktsegment) LEFT JOIN w USING (c_mktsegment)
+            ORDER BY 1
         """,
-        "top_orders_per_customer": """
-            SELECT o_custkey, o_orderkey, rk FROM (
-                SELECT o_custkey, o_orderkey,
-                       row_number() OVER (PARTITION BY o_custkey
-                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
-                FROM orders) WHERE rk <= 3
-        """,
-        "running_customer_spend": """
+        "customer_order_windows": """
             SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                                      AS price_rank,
                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                          AS running_spend
             FROM orders
-        """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        """,
-        "nation_returned_share": """
-            SELECT n_name,
-                   round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
-                         / count(*), 6) AS returned_share
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name ORDER BY n_name
-        """,
-        "part_type_stats": """
-            SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
-                   count(*) AS n_parts,
-                   round(avg(p_retailprice), 4) AS avg_price,
-                   max(length(p_name)) AS max_name_len
-            FROM part GROUP BY 1 ORDER BY 1
-        """,
-        "orders_by_month": """
-            SELECT strftime(o_orderdate, '%Y-%m') AS month,
-                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
-            FROM orders GROUP BY 1 ORDER BY 1
-        """,
-        "supplier_balance_rank": """
-            SELECT n_name, s_suppkey, rk FROM (
-                SELECT n_name, s_suppkey,
-                       rank() OVER (PARTITION BY n_name
-                                    ORDER BY s_acctbal DESC, s_suppkey) AS rk
-                FROM supplier JOIN nation ON s_nationkey = n_nationkey)
-            WHERE rk <= 2
         """,
         "priority_set_ops": """
             SELECT DISTINCT o_custkey AS custkey FROM orders
@@ -1373,7 +1491,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\s+'))
                    END AS n_ws_tokens,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
-                   length(text) AS n_chars
+                   length(text) AS n_chars,
+                   substr(md5(text), 1, 16) AS fp
             FROM documents
         """,
         "doc_quality": r"""
@@ -1396,10 +1515,7 @@ def oracle_sql() -> dict[str, str]:
                    score_en, score_de, score_fr, score_es
             FROM scored
         """,
-        "doc_fingerprints": """
-            SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents
-        """,
-        "media_decode": """
+        "media_decode_resize": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text))::INT AS n_bytes,
                    round(list_avg(list_transform(regexp_extract_all(text, '.'),
@@ -1407,13 +1523,7 @@ def oracle_sql() -> dict[str, str]:
                    (320 + doc_id % 1280)::INT AS width,
                    (240 + (doc_id * 3) % 960)::INT AS height,
                    round((320 + doc_id % 1280) * 1.0
-                         / (240 + (doc_id * 3) % 960), 6) AS aspect_ratio
-            FROM documents
-        """,
-        "media_resize_plan": """
-            SELECT doc_id AS media_id,
-                   (320 + doc_id % 1280)::INT AS width,
-                   (240 + (doc_id * 3) % 960)::INT AS height,
+                         / (240 + (doc_id * 3) % 960), 6) AS aspect_ratio,
                    round(least(640.0 / (320 + doc_id % 1280),
                                640.0 / (240 + (doc_id * 3) % 960)), 6) AS scale,
                    floor((320 + doc_id % 1280) *
@@ -1444,7 +1554,8 @@ def oracle_sql() -> dict[str, str]:
                                                    embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
         """,
-        # vision_tokens, doc_chunk_fps, doc_simhash_pairs, ann_lsh_topk,
-        # embedding_near_dups: no SQL analog (custom arithmetic / numpy /
-        # LSH recall<1) → driver records rows-only checks.
+        # doc_chunk_fps, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
+        # media_frame_sample, embedding_near_dups: no SQL analog (numpy
+        # hashing / LSH-IVF recall<1 / overflow-safe checksum fold) →
+        # driver records rows-only checks.
     }

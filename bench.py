@@ -72,10 +72,10 @@ def main() -> dict:
     for name in (
         "pricing_summary",
         "region_revenue",
-        "top_orders_per_customer",
+        "customer_order_windows",
         "doc_minhash",
         "doc_lsh_pairs",  # the near-dup scale path (exact jaccard is the
-        #                   sf<=0.01 correctness query; quadratic at 100TB)
+        #                   sf<=0.01 correctness query; df-capped at scale)
         "doc_simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
@@ -85,9 +85,13 @@ def main() -> dict:
         "asof_latest_order",
         "orders_range_join",
         "orders_rollup",
-        "media_decode",
+        "media_decode_resize",
     ):
         timed(name, lambda n=name: catalog[n](spark, sf_dir).count())
+        # LSH/simhash operators cache their signature tables for multi-
+        # branch plans; drop them between queries so the suite does not
+        # accumulate executor storage across unrelated operators
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     result = {

@@ -83,6 +83,56 @@ def assemble_docs_cli(
     return p2.select("conv_id", "n_turns", "doc_text")
 
 
+def assemble_docs_det(
+    transcripts: DataFrame,
+    skip_truncated: bool = True,
+    two_phase: bool = True,
+    chunk: int = 4096,
+) -> DataFrame:
+    """``_det.mmd`` variant (run_dpsk_ocr_pdf.py:297-304): the UNCLEANED
+    per-page output — grounding markers intact, only EOS stripped — joined
+    with the same page-split suffix as the clean CLI file. Pages without
+    EOS are skipped under SKIP_REPEAT exactly like the clean path (the
+    reference `continue`s before either file sees the page).
+
+    Operates on the raw transcripts table (pure JVM expressions): the det
+    file needs no extraction, so it branches off the source scan rather
+    than the MapInPandas output."""
+    from sparkocr.textproc.grounding import EOS
+
+    t = transcripts
+    if skip_truncated:
+        t = t.filter(F.contains(F.col("text"), F.lit(EOS)))
+    piece = t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.concat(
+            F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(EOS), F.lit("")),
+            F.lit(PAGE_SPLIT_SUFFIX),
+        ).alias("piece"),
+    )
+    if not two_phase:
+        agg = _ordered_concat(piece, ["conv_id"], "turn_idx", "piece", "doc_text")
+        return agg.select(
+            "conv_id", F.col("_n").cast("int").alias("n_turns"), "doc_text"
+        )
+    p1 = _ordered_concat(
+        piece.withColumn("chunk_id", (F.col("turn_idx") / F.lit(chunk)).cast("int")),
+        ["conv_id", "chunk_id"],
+        "turn_idx",
+        "piece",
+        "chunk_text",
+    )
+    pair = F.struct(F.col("chunk_id").alias("k"), F.col("chunk_text").alias("v"))
+    p2 = p1.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
+        ).alias("doc_text"),
+        F.sum("_n").cast("int").alias("n_turns"),
+    )
+    return p2.select("conv_id", "n_turns", "doc_text")
+
+
 def assemble_docs_app(
     turns: DataFrame, page_start: int = 1, text_col: str = "clean_text"
 ) -> DataFrame:

@@ -6,11 +6,15 @@ the reference's entry-point/prompt planner (``get_prompt``,
 app/config.py:104-122, which gates the grounding post-processing the same
 way our mode column gates extractor branches):
 
-    grounding → clean_output_text port + spans + markdown (app/utils.py:98-127)
-    html      → boilerplate strip (readability-style block scoring)
-    pdfspans  → reading-order span assembly (deepseek_ocr.py:423-438 analog)
-    markdown  → normalization + table-cell recovery
-    plain/*   → strip passthrough (clean_output_text tail, app/utils.py:127)
+    grounding      → clean_output_text port + spans + markdown (app/utils.py:98-127)
+    grounding_cli  → CLI PDF cleanup: replace-ALL image links, latex fixes,
+                     newline collapse, SKIP_REPEAT drop (run_dpsk_ocr_pdf.py:292-320)
+    grounding_eval → eval-batch cleanup: clean_formula, literal-\\n collapse,
+                     <center> removal (run_dpsk_ocr_eval_batch.py:156-169)
+    html           → boilerplate strip (readability-style block scoring)
+    pdfspans       → reading-order span assembly (deepseek_ocr.py:423-438 analog)
+    markdown       → normalization + table-cell recovery
+    plain/*        → strip passthrough (clean_output_text tail, app/utils.py:127)
 
 No per-row Python UDFs: the physical plan contains a single MapInPandas
 node; everything else (filters, assembly, sinks) is JVM-side. Within each
@@ -55,8 +59,14 @@ def _extract_plain(text: str):
     return t, t, [], False, None
 
 
+def _extract_grounding_eval(text: str):
+    out = grounding.eval_batch_clean(text)
+    return out, out, [], False, None
+
+
 _MODES = {
     "grounding": _extract_grounding,
+    "grounding_eval": _extract_grounding_eval,
     "html": _extract_html,
     "pdfspans": _extract_pdfspans,
     "markdown": _extract_markdown,
@@ -80,9 +90,17 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     trunc = [False] * n
     err: list = [None] * n
     has_rep = [False] * n
+    turn_idxs = pdf["turn_idx"].tolist()
     for pos, (t, mode) in enumerate(zip(texts, tools.tolist())):
-        fn = _MODES.get(mode, _extract_plain)
-        c, m, s, tr, e = fn(t)
+        if mode == "grounding_cli":
+            # CLI page index jdx feeds the image link names
+            # (run_dpsk_ocr_pdf.py:316: images/{jdx}_{idx}.jpg); turn_idx
+            # is this engine's page index
+            cleaned, dropped = grounding.pdf_cli_clean(t, jdx=int(turn_idxs[pos]))
+            c, m, s, tr, e = cleaned, cleaned, [], dropped, None
+        else:
+            fn = _MODES.get(mode, _extract_plain)
+            c, m, s, tr, e = fn(t)
         clean[pos] = c
         md[pos] = m
         spans_col[pos] = s

@@ -166,7 +166,10 @@ def lsh_candidate_pairs(
 
     The signature table feeds three plan branches (bands, left/right of the
     verify join); without a cache the shingle-explode + 12-way min
-    aggregation — the expensive part — would run three times."""
+    aggregation — the expensive part — would run three times. The cache
+    entry outlives the returned (lazy) DataFrame: sessions running many
+    operators should ``spark.catalog.clearCache()`` after consuming the
+    result (bench.py does), or executor storage accumulates."""
     sig = minhash_signatures(docs, n_perm, k).cache()
     n_bands = n_perm // band_rows
     bands = sig.select(

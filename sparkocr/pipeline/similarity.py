@@ -175,7 +175,8 @@ def embedding_near_dups(
         dim = int(first["d"]) if first else DIM
     planes = hyperplanes(dim, n_planes)
     # cached: both join sides read the signatures, and the 12-plane dot
-    # products are the expensive projection
+    # products are the expensive projection; consumers running many
+    # operators should clearCache() after the action (see dedup.py note)
     sigged = emb.withColumn(
         "sig", lsh_signature_col(F.col("embedding"), planes)
     ).cache()

@@ -49,20 +49,25 @@ def lang_score_sql(col: str, lang: str) -> str:
     return f"(({parts}) * 1000.0 / (length({col}) + 1))"
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
+def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     """Word + regex-token counts per document (JVM regexp, no UDF).
 
     Empty/whitespace-only text counts 0 whitespace tokens — unguarded,
-    split(trim('')) is [''] with size 1."""
+    split(trim('')) is [''] with size 1. ``fingerprint`` appends the md5
+    whole-document fingerprint column (the exact-dup key) in the same
+    projection — one scan instead of a separate fingerprint pass."""
     ws = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    return docs.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         ws.alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))).alias("n_word_tokens"),
         F.length("text").alias("n_chars"),
-    )
+    ]
+    if fingerprint:
+        cols.append(F.substring(F.md5(F.col("text")), 1, 16).alias("fp"))
+    return docs.select(*cols)
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

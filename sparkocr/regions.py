@@ -110,6 +110,58 @@ def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
     )
 
 
+def embed_crops_in_markdown_b64(
+    turns: DataFrame, media: DataFrame, media_key: str = "media_id"
+) -> DataFrame:
+    """E14 full analog (app/utils.py:130-147): splice each crop as a
+    ``data:image/png;base64,...`` URI. The reference crops pixels from the
+    page image and base64s the PNG; here the page's binary payload comes
+    from the media table (``media_key`` == turn_idx — the page id), the
+    codec seam being the multimodal fake codec. Replacement string and
+    count=1-per-placeholder loop match the reference exactly:
+    ``\\n\\n![图片 N](data:image/png;base64,{b64})\\n\\n``.
+
+    JVM end-to-end: one equi-join (media side prunable to key+payload) and
+    an ``aggregate`` fold of first-occurrence replacements."""
+    crops = crop_regions(turns).groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_list(F.struct("img_idx", "crop_path"))).alias("crops")
+    )
+    payloads = media.select(
+        F.col(media_key).cast("int").alias("turn_idx"),
+        # Spark's base64() emits MIME-chunked output (CRLF every 76 chars)
+        # on this build; data: URIs need the unchunked RFC 4648 form, which
+        # is also what the reference's python b64encode produces
+        F.replace(F.base64("payload"), F.lit("\r\n"), F.lit("")).alias("b64"),
+    )
+    j = turns.join(crops, ["conv_id", "turn_idx"], "left").join(
+        payloads, "turn_idx", "left"
+    )
+    embedded = F.when(
+        F.col("crops").isNull() | F.col("b64").isNull(), F.col("markdown_text")
+    ).otherwise(
+        F.aggregate(
+            "crops",
+            F.col("markdown_text"),
+            lambda acc, c: _replace_first(
+                acc,
+                F.concat(
+                    F.lit("**[图片 "),
+                    (c["img_idx"] + 1).cast("string"),
+                    F.lit("]**"),
+                ),
+                F.concat(
+                    F.lit("\n\n![图片 "),
+                    (c["img_idx"] + 1).cast("string"),
+                    F.lit("](data:image/png;base64,"),
+                    F.col("b64"),
+                    F.lit(")\n\n"),
+                ),
+            ),
+        )
+    )
+    return j.select("conv_id", "turn_idx", embedded.alias("markdown_embedded"))
+
+
 def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
     """Per-label first-seen color assignment (E13 app variant analog:
     seeded per-label colors for the box-annotation overlay,
