@@ -77,35 +77,55 @@ def _replace_first(acc, search, repl):
     ).otherwise(acc)
 
 
+def _own_crops_col():
+    """Per-row crop records derived from the row's OWN spans array: image
+    spans in span order, numbered by position — identical records to
+    crop_regions (same is_image rule, same order) but with NO self-join
+    back through the extraction DAG. A join of turns with
+    crop_regions(turns) would run the extractor twice (two MapInPandas
+    branches of the same source) and shuffle; this is a pure projection."""
+    return F.transform(
+        F.filter(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda sp: F.coalesce(sp["is_image"], F.lit(False)),
+        ),
+        lambda sp, i: F.struct(
+            i.alias("img_idx"),
+            F.concat(
+                F.lit("images/"),
+                F.col("turn_idx").cast("string"),
+                F.lit("_"),
+                i.cast("string"),
+                F.lit(".jpg"),
+            ).alias("crop_path"),
+        ),
+    )
+
+
 def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
     """E14 analog: replace ``**[图片 N]**`` (N = 1-based crop order) in
     ``markdown_text`` with a markdown image link to the crop record's path,
-    one replacement per crop in order — a JVM ``aggregate`` fold, no Python.
+    one replacement per crop in order — a JVM ``aggregate`` fold over the
+    row's own image spans: no Python, no shuffle, no second extraction.
 
     Each placeholder is replaced FIRST-occurrence-only, exactly the
     reference's sequential ``str.replace(..., 1)`` loop (app/utils.py:
     139-147): a payload whose OCR'd body legitimately contains the literal
     placeholder string keeps the body copy untouched."""
-    crops = crop_regions(turns).groupBy("conv_id", "turn_idx").agg(
-        F.sort_array(F.collect_list(F.struct("img_idx", "crop_path"))).alias("crops")
-    )
-    j = turns.join(crops, ["conv_id", "turn_idx"], "left")
-    embedded = F.when(F.col("crops").isNull(), F.col("markdown_text")).otherwise(
-        F.aggregate(
-            "crops",
-            F.col("markdown_text"),
-            lambda acc, c: _replace_first(
-                acc,
-                F.concat(
-                    F.lit("**[图片 "),
-                    (c["img_idx"] + 1).cast("string"),
-                    F.lit("]**"),
-                ),
-                F.concat(F.lit("![]("), c["crop_path"], F.lit(")")),
+    embedded = F.aggregate(
+        _own_crops_col(),
+        F.col("markdown_text"),
+        lambda acc, c: _replace_first(
+            acc,
+            F.concat(
+                F.lit("**[图片 "),
+                (c["img_idx"] + 1).cast("string"),
+                F.lit("]**"),
             ),
-        )
+            F.concat(F.lit("![]("), c["crop_path"], F.lit(")")),
+        ),
     )
-    return j.select(
+    return turns.select(
         "conv_id", "turn_idx", embedded.alias("markdown_embedded")
     )
 
@@ -122,10 +142,8 @@ def embed_crops_in_markdown_b64(
     ``\\n\\n![图片 N](data:image/png;base64,{b64})\\n\\n``.
 
     JVM end-to-end: one equi-join (media side prunable to key+payload) and
-    an ``aggregate`` fold of first-occurrence replacements."""
-    crops = crop_regions(turns).groupBy("conv_id", "turn_idx").agg(
-        F.sort_array(F.collect_list(F.struct("img_idx", "crop_path"))).alias("crops")
-    )
+    an ``aggregate`` fold of first-occurrence replacements over the row's
+    own image spans (no second extraction branch, no crop shuffle)."""
     payloads = media.select(
         F.col(media_key).cast("int").alias("turn_idx"),
         # Spark's base64() emits MIME-chunked output (CRLF every 76 chars)
@@ -133,14 +151,10 @@ def embed_crops_in_markdown_b64(
         # is also what the reference's python b64encode produces
         F.replace(F.base64("payload"), F.lit("\r\n"), F.lit("")).alias("b64"),
     )
-    j = turns.join(crops, ["conv_id", "turn_idx"], "left").join(
-        payloads, "turn_idx", "left"
-    )
-    embedded = F.when(
-        F.col("crops").isNull() | F.col("b64").isNull(), F.col("markdown_text")
-    ).otherwise(
+    j = turns.join(payloads, "turn_idx", "left")
+    embedded = F.when(F.col("b64").isNull(), F.col("markdown_text")).otherwise(
         F.aggregate(
-            "crops",
+            _own_crops_col(),
             F.col("markdown_text"),
             lambda acc, c: _replace_first(
                 acc,

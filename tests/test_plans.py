@@ -109,3 +109,47 @@ def test_assembly_two_phase_bounds_group_state(spark, tiny_transcripts):
     plan = _plan(assemble_docs_cli(turns, chunk=4))
     # two aggregation levels: (conv_id, chunk_id) then (conv_id)
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+
+def test_det_assembly_is_pure_jvm(spark, tiny_transcripts):
+    # the _det.mmd variant branches off the raw transcripts: no Python
+    # (no MapInPandas) anywhere in its plan — EOS strip + concat are
+    # whole-stage-codegen expressions
+    from sparkocr.assemble import assemble_docs_det
+
+    plan = _plan(assemble_docs_det(spark.read.parquet(tiny_transcripts)))
+    assert "MapInPandas" not in plan
+    # the EOS-presence filter (skip_truncated) reaches the parquet scan
+    assert "StringContains(text," in plan, plan
+
+
+def test_cli_mode_stays_single_map_stage(spark):
+    # grounding_cli routes through the same one-MapInPandas hot path as
+    # every other mode — the jdx plumbing must not add a stage
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_pdf_cli_clean(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+
+
+def test_markdown_embed_is_projection_only(spark):
+    # crops come from the row's OWN spans array: exactly one MapInPandas
+    # (the extractor) and no shuffle at all — a crop_regions self-join
+    # would run the extractor twice
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_markdown_embed(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    # no groupBy/join shuffle (the only Exchange allowed is the narrow-scan
+    # widening RoundRobin from extract_turns)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_b64_embed_single_join_no_python(spark):
+    # crop fold is a projection over the row's own spans; the only Python
+    # is the extractor, the only join is the media payload lookup
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_markdown_embed_b64(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1  # the extractor
+    assert "Join" in plan
