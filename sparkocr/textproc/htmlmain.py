@@ -1,6 +1,6 @@
 """HTML main-content extraction — readability/trafilatura-style block scoring.
 
-Stdlib-only (``html.parser``): flatten the DOM into block records
+Stdlib-only: flatten the DOM into block records
 ``(tag, text, link_chars, boiler, in_article)``, score each block by
 text-density and link-density, keep high-density low-link blocks outside
 boilerplate containers, and emit the main text plus character spans of the
@@ -13,14 +13,23 @@ corresponds line-for-line; the algorithm follows the published
 readability/trafilatura text-density + link-density heuristic.
 
 Deterministic by construction: fixed tag sets, fixed thresholds, no
-randomness. Entities are decoded by the parser (convert_charrefs=True);
-unclosed tags are tolerated by HTMLParser's best-effort model.
+randomness. Entities are decoded in text data; unclosed tags are tolerated.
+
+Tokenization is a compiled-regex scanner rather than ``html.parser``:
+HTMLParser's char-at-a-time ``goahead`` loop was measured at ~50% of the
+whole extraction hot path. The scanner reproduces HTMLParser's
+(convert_charrefs=True) event stream on the constructs the collector
+consumes — tags with quoted attributes (including ``>`` inside quotes),
+comments, declarations/PIs, script/style CDATA content mode (undecoded,
+terminated only by the matching close tag), ``<br/>`` self-closing, bare
+``<`` as text — verified by a differential test against HTMLParser
+(tests/test_htmlfast.py).
 """
 
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape
 
 # Content inside these is discarded entirely.
 DROP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "iframe"})
@@ -42,97 +51,162 @@ MAX_LINK_DENSITY = 0.33
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
-class _BlockCollector(HTMLParser):
-    """Flatten a document into block records in document order."""
+# Tag-ish constructs at a '<'. Quoted attribute values may contain '>'.
+# Name charset mirrors HTMLParser's tagfind_tolerant (anything but
+# whitespace and '/>' after a leading letter).
+_TAG_RE = re.compile(
+    r"""<(?:
+        (?P<comment>!--)
+      | (?P<decl>![^>]*>)                                   # <!doctype..>, bogus <!..>
+      | (?P<pi>\?[^>]*>)                                    # <?..>
+      | /\s*(?P<end>[a-zA-Z][^\t\n\r\f\ />]*)[^>]*>         # </name junk>
+      | /(?P<endbogus>[^>]*)>                               # </>, </1..> → bogus, swallowed
+      | (?P<start>[a-zA-Z][^\t\n\r\f\ />]*)                 # <name
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>             # attrs ('>' ok in quotes)
+    )""",
+    re.VERBOSE | re.DOTALL,
+)
 
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.blocks: list[dict] = []
-        self._drop_depth = 0
-        self._boiler_depth = 0
-        self._link_depth = 0
-        self._article_depth = 0
-        self._cur_parts: list[str] = []
-        self._cur_link_chars = 0
-        self._cur_tag = "body"
+# HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode, no
+# tag events) until the matching close tag.
+_RAWTEXT = ("script", "style")
+_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
 
-    def _flush(self):
-        raw = "".join(self._cur_parts)
-        text = _WS_RE.sub(" ", raw).strip()
-        if text:
-            self.blocks.append(
-                {
-                    "tag": self._cur_tag,
-                    "text": text,
-                    "link_chars": min(self._cur_link_chars, len(text)),
-                    "boiler": self._boiler_depth > 0,
-                    "in_article": self._article_depth > 0,
-                }
-            )
-        self._cur_parts = []
-        self._cur_link_chars = 0
+# events: 0=start 1=end 2=startend 3=data
+_START, _END, _STARTEND, _DATA = 0, 1, 2, 3
 
-    def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
-        if tag in DROP_TAGS:
-            self._drop_depth += 1
+
+def _iter_events(html: str):
+    """Yield (event, payload) reproducing HTMLParser(convert_charrefs=True)
+    on the collector's event surface. One compiled-regex match per
+    construct instead of a char-at-a-time state machine."""
+    pos, n = 0, len(html)
+    find, match = html.find, _TAG_RE.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            chunk = html[pos:]
+            yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
             return
-        if self._drop_depth:
-            return
-        if tag in BLOCK_TAGS:
-            self._flush()
-            self._cur_tag = tag
-        if tag in BOILER_TAGS:
-            self._boiler_depth += 1
-        if tag in ("article", "main"):
-            self._article_depth += 1
-        if tag == "a":
-            self._link_depth += 1
-
-    def handle_endtag(self, tag):
-        tag = tag.lower()
-        if tag in DROP_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
-            return
-        if self._drop_depth:
-            return
-        if tag in BLOCK_TAGS:
-            self._flush()
-            # text AFTER a closing block tag belongs to the enclosing
-            # context, not the closed tag — without this reset, junk after
-            # </h1> would inherit the heading's keep-exemption
-            self._cur_tag = "body"
-        if tag in BOILER_TAGS:
-            self._boiler_depth = max(0, self._boiler_depth - 1)
-        if tag in ("article", "main"):
-            self._article_depth = max(0, self._article_depth - 1)
-        if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
-
-    def handle_startendtag(self, tag, attrs):
-        if tag.lower() == "br":
-            self._cur_parts.append(" ")
-
-    def handle_data(self, data):
-        if self._drop_depth or not data:
-            return
-        self._cur_parts.append(data)
-        if self._link_depth:
-            self._cur_link_chars += len(_WS_RE.sub(" ", data).strip())
-
-    def close(self):
-        super().close()
-        self._flush()
+        if lt > pos:
+            chunk = html[pos:lt]
+            yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
+        m = match(html, lt)
+        if m is None:
+            # '<' not opening any construct: literal text (HTMLParser
+            # emits it as data and moves one char)
+            yield (_DATA, "<")
+            pos = lt + 1
+            continue
+        if m.group("comment"):
+            e = find("-->", m.end())
+            if e < 0:
+                # unterminated comment: HTMLParser flushes the raw tail as
+                # (entity-decoded) data at close
+                chunk = html[lt:]
+                yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
+                return
+            pos = e + 3
+            continue
+        if m.group("decl") or m.group("pi") or m.group("endbogus") is not None:
+            pos = m.end()
+            continue
+        end_name = m.group("end")
+        if end_name:
+            yield (_END, end_name.lower())
+            pos = m.end()
+            continue
+        name = m.group("start").lower()
+        attrs = m.group("attrs")
+        pos = m.end()
+        if attrs.endswith("/"):
+            yield (_STARTEND, name)
+            continue
+        yield (_START, name)
+        if name in _RAWTEXT:
+            # content mode: raw data until the matching close tag
+            mm = _RAWTEXT_CLOSE[name].search(html, pos)
+            stop = mm.start() if mm else n
+            if stop > pos:
+                yield (_DATA, html[pos:stop])  # raw: no entity decode
+            pos = stop  # the close tag itself parses on the next loop
 
 
 def flatten_blocks(html: str) -> list[dict]:
-    p = _BlockCollector()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass  # best-effort on malformed markup; keep what was collected
-    return p.blocks
+    """Flatten a document into block records in document order."""
+    blocks: list[dict] = []
+    drop_depth = 0
+    boiler_depth = 0
+    link_depth = 0
+    article_depth = 0
+    cur_parts: list[str] = []
+    cur_link_chars = 0
+    cur_tag = "body"
+
+    def flush():
+        nonlocal cur_parts, cur_link_chars
+        raw = "".join(cur_parts)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            blocks.append(
+                {
+                    "tag": cur_tag,
+                    "text": text,
+                    "link_chars": min(cur_link_chars, len(text)),
+                    "boiler": boiler_depth > 0,
+                    "in_article": article_depth > 0,
+                }
+            )
+        cur_parts = []
+        cur_link_chars = 0
+
+    for event, payload in _iter_events(html):
+        if event == _DATA:
+            if drop_depth or not payload:
+                continue
+            cur_parts.append(payload)
+            if link_depth:
+                cur_link_chars += len(_WS_RE.sub(" ", payload).strip())
+        elif event == _START:
+            tag = payload
+            if tag in DROP_TAGS:
+                drop_depth += 1
+                continue
+            if drop_depth:
+                continue
+            if tag in BLOCK_TAGS:
+                flush()
+                cur_tag = tag
+            if tag in BOILER_TAGS:
+                boiler_depth += 1
+            if tag in ("article", "main"):
+                article_depth += 1
+            if tag == "a":
+                link_depth += 1
+        elif event == _END:
+            tag = payload
+            if tag in DROP_TAGS:
+                drop_depth = max(0, drop_depth - 1)
+                continue
+            if drop_depth:
+                continue
+            if tag in BLOCK_TAGS:
+                flush()
+                # text AFTER a closing block tag belongs to the enclosing
+                # context, not the closed tag — without this reset, junk
+                # after </h1> would inherit the heading's keep-exemption
+                cur_tag = "body"
+            if tag in BOILER_TAGS:
+                boiler_depth = max(0, boiler_depth - 1)
+            if tag in ("article", "main"):
+                article_depth = max(0, article_depth - 1)
+            if tag == "a":
+                link_depth = max(0, link_depth - 1)
+        else:  # _STARTEND
+            if payload == "br":
+                cur_parts.append(" ")
+    flush()
+    return blocks
 
 
 def score_blocks(blocks: list[dict]) -> list[bool]:

@@ -30,12 +30,23 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text or "")
 
 
+_HASH_BASE = 1000003
+_HASH_MOD = (1 << 61) - 1
+
+
 def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     """Return the token index where a windowed n-gram repeat completes, or
     None. An n-gram repeats if an identical n-gram starts within
     ``window_size`` tokens back (matching the processor's trailing-window
     scan, ngram_norepeat.py:22-31). N-grams containing a whitelisted token
-    never count (whitelist semantics, ngram_norepeat.py:33)."""
+    never count (whitelist semantics, ngram_norepeat.py:33).
+
+    Implementation: rolling polynomial hash over interned token ids — O(1)
+    per position instead of building and hashing an n-token tuple (which
+    was ~20% of the extraction hot path). A hash hit is verified by actual
+    token-slice comparison before returning, so a 61-bit collision can
+    never produce a false positive (it could only hide a later repeat,
+    p ≈ 2^-61 per pair)."""
     toks = tokenize(text)
     n = ngram_size
     # two occurrences of an n-gram can OVERLAP (a run of n+1 identical
@@ -43,19 +54,39 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     # any repeat is n+1 tokens, not 2n
     if len(toks) < n + 1:
         return None
-    last_seen: dict[tuple, int] = {}
+    intern: dict[str, int] = {}
+    setdefault = intern.setdefault
+    tid = [setdefault(t, len(intern)) + 1 for t in toks]
+    # prefix count of whitelisted tokens → O(1) "gram contains <td>" test
+    pw = [0] * (len(toks) + 1)
+    acc = 0
+    for k, t in enumerate(toks):
+        if t in WHITELIST:
+            acc += 1
+        pw[k + 1] = acc
+    B, MOD = _HASH_BASE, _HASH_MOD
+    pow_n = pow(B, n - 1, MOD)
+    h = 0
+    for k in range(n):
+        h = (h * B + tid[k]) % MOD
+    last: dict[int, int] = {}
+    # Window condition derived from the processor: at generation index
+    # p (= i + n - 1 here), it scans prior n-grams starting at
+    # max(0, p - window)..p - n, i.e. start distance i - j may be up to
+    # window_size - n + 1 (ngram_norepeat.py:25-27).
+    limit = window_size - n + 1
     for i in range(len(toks) - n + 1):
-        gram = tuple(toks[i : i + n])
-        if any(t in WHITELIST for t in gram):
-            continue
-        j = last_seen.get(gram)
-        # Window condition derived from the processor: at generation index
-        # p (= i + n - 1 here), it scans prior n-grams starting at
-        # max(0, p - window)..p - n, i.e. start distance i - j may be up to
-        # window_size - n + 1 (ngram_norepeat.py:25-27).
-        if j is not None and i - j <= window_size - n + 1 and i != j:
-            return i
-        last_seen[gram] = i
+        if i:
+            h = ((h - tid[i - 1] * pow_n) * B + tid[i + n - 1]) % MOD
+        if pw[i + n] == pw[i]:  # no whitelisted token in this gram
+            j = last.get(h)
+            if (
+                j is not None
+                and i - j <= limit
+                and toks[j : j + n] == toks[i : i + n]
+            ):
+                return i
+            last[h] = i
     return None
 
 

@@ -1,0 +1,182 @@
+"""Differential test: the regex-scanner flatten_blocks must reproduce the
+html.parser-based collector (the round-1 implementation, kept here as the
+behavioral reference) on realistic markup, crafted edge cases, and
+hypothesis-generated tag soup."""
+
+from html.parser import HTMLParser
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkocr.textproc.htmlmain import (
+    BLOCK_TAGS,
+    BOILER_TAGS,
+    DROP_TAGS,
+    _WS_RE,
+    flatten_blocks,
+)
+
+
+class _RefCollector(HTMLParser):
+    """The original html.parser implementation, verbatim — the oracle."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks = []
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._article_depth = 0
+        self._cur_parts = []
+        self._cur_link_chars = 0
+        self._cur_tag = "body"
+
+    def _flush(self):
+        raw = "".join(self._cur_parts)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            self.blocks.append(
+                {
+                    "tag": self._cur_tag,
+                    "text": text,
+                    "link_chars": min(self._cur_link_chars, len(text)),
+                    "boiler": self._boiler_depth > 0,
+                    "in_article": self._article_depth > 0,
+                }
+            )
+        self._cur_parts = []
+        self._cur_link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = tag
+        if tag in BOILER_TAGS:
+            self._boiler_depth += 1
+        if tag in ("article", "main"):
+            self._article_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = "body"
+        if tag in BOILER_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        if tag in ("article", "main"):
+            self._article_depth = max(0, self._article_depth - 1)
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag.lower() == "br":
+            self._cur_parts.append(" ")
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        self._cur_parts.append(data)
+        if self._link_depth:
+            self._cur_link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _ref_blocks(html):
+    p = _RefCollector()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p.blocks
+
+
+CASES = [
+    # realistic article page
+    "<html><head><title>T</title><style>p{color:red}</style></head><body>"
+    "<nav><a href='/'>Home</a></nav><article><h1>Big &amp; Bold</h1>"
+    "<p>First paragraph with plenty of running prose to keep here.</p>"
+    "<p>Second &lt;paragraph&gt; with entities &#169; and 中文.</p></article>"
+    "<footer><a href='/t'>T</a></footer></body></html>",
+    # quoted '>' inside attributes
+    '<div><a href="x>y" title=\'a>b\'>link text</a> tail prose here</div>',
+    # script containing tag-like content and entities (raw, undecoded)
+    "<p>before</p><script>if (a<b && c>d) { x = '<div>'; }</script><p>after prose</p>",
+    "<style>p > a { color: red }</style><p>kept paragraph of prose</p>",
+    # unterminated script swallows the rest
+    "<p>kept</p><script>var x = 1;",
+    # comments, conditional junk, doctype, PI
+    "<!DOCTYPE html><!-- c <p>not a block</p> --><?php echo 1 ?><p>real prose</p>",
+    # unterminated comment
+    "<p>kept paragraph</p><!-- dangling comment <p>gone",
+    # self-closing br vs open br, hr
+    "<p>one<br/>two<br>three</p><hr><p>four paragraph prose text</p>",
+    # bogus end tags and bare '<'
+    "<p>a </> b </1x> c < 5 and x<y done</p>",
+    # uppercase tags, end-tag junk
+    "<DIV><P>Upper case paragraph prose</P></DIV \n junk>",
+    # nested drop tags
+    "<svg><script>alert(1)</script><p>inside svg dropped</p></svg><p>kept prose here</p>",
+    # unclosed paragraphs
+    "<div><p>first unclosed paragraph<p>second unclosed paragraph</div>",
+    # link density accounting with nested anchors
+    "<div><a href='/'>l1</a> mid <a href='/'>l2</a> tail words</div>",
+    # entity-only text, numeric refs
+    "<p>&amp;&#65;&#x42;</p><p>&notareal;</p>",
+    # empty and whitespace-only
+    "",
+    "   \n\t  ",
+    # text outside any tag
+    "leading prose before any markup <p>then a paragraph</p> trailing text",
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_scanner_matches_htmlparser_on_cases(i):
+    html = CASES[i]
+    assert flatten_blocks(html) == _ref_blocks(html), html
+
+
+def test_scanner_matches_on_datagen_payloads():
+    from sparkocr.datagen import generate_rows
+
+    n = 0
+    for row in generate_rows("tiny"):
+        if row["tool"] != "html":
+            continue
+        assert flatten_blocks(row["text"]) == _ref_blocks(row["text"])
+        n += 1
+    assert n > 0
+
+
+_soup_atom = st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br/>",
+     "<br>", "<nav>", "</nav>", "<article>", "</article>", "<script>",
+     "</script>", "<!-- c -->", "&amp;", "&#65;", "<", ">", "word ",
+     "longer prose fragment here ", "\n", '<a title="q>t">', "</DIV junk>",
+     "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_soup_atom, min_size=0, max_size=30))
+def test_scanner_matches_htmlparser_on_tag_soup(atoms):
+    html = "".join(atoms)
+    assert flatten_blocks(html) == _ref_blocks(html), html
