@@ -74,12 +74,17 @@ _MODES = {
 }
 
 
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
     """Extract one Arrow batch of transcript rows → TURNS_OUT columns.
 
     A flat per-row loop: the work is genuinely per-payload string algebra
     (an earlier by-mode grouping pass added indirection without any actual
-    vectorization benefit)."""
+    vectorization benefit).
+
+    ``markdown=False`` skips the markdown-variant cleanup pass (grounding
+    payloads with markers run TWO full cleanup passes — labels kept vs
+    dropped — because the reference emits both files); a clean-text-only
+    pipeline halves its grounding work and gets null ``markdown_text``."""
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("").tolist()
     tools = pdf["tool"].fillna("plain")
@@ -98,6 +103,9 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             # is this engine's page index
             cleaned, dropped = grounding.pdf_cli_clean(t, jdx=int(turn_idxs[pos]))
             c, m, s, tr, e = cleaned, cleaned, [], dropped, None
+        elif mode == "grounding" and not markdown:
+            c, s, tr = grounding.clean_grounded(t)
+            m, e = None, None
         else:
             fn = _MODES.get(mode, _extract_plain)
             c, m, s, tr, e = fn(t)
@@ -126,14 +134,25 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf):
-            yield extract_batch(pdf)
+def _map_batches(markdown: bool = True):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield extract_batch(pdf, markdown=markdown)
+
+    return gen
 
 
-def extract_turns(transcripts_df, min_parallelism: int | str = "auto"):
+def extract_turns(
+    transcripts_df, min_parallelism: int | str = "auto", markdown: bool = True
+):
     """transcripts DataFrame → per-turn extraction DataFrame.
+
+    ``markdown=False``: clean-text-only extraction — the markdown variant
+    pass is skipped (``markdown_text`` null). Column pruning cannot reach
+    inside a Python map stage, so pipelines that never read markdown_text
+    (e.g. assembly + dedup feeds) opt out explicitly and skip the second
+    grounding cleanup pass.
 
     Normally a pure MapInPandas projection (no shuffle; assembly shuffles
     later on cleaned text only, per SURVEY.md §4 two-stage design). But a
@@ -160,4 +179,4 @@ def extract_turns(transcripts_df, min_parallelism: int | str = "auto"):
             src = src.repartition(min(target, 256))
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
-    return src.mapInPandas(_map_batches, schema.TURNS_OUT)
+    return src.mapInPandas(_map_batches(markdown), schema.TURNS_OUT)

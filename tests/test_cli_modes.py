@@ -95,3 +95,19 @@ def test_b64_embed_replaces_first_occurrence_only(spark):
     # the body's literal copy survives untouched
     assert "literal **[图片 1]** inside" in md
     assert f"\n\n![图片 1](data:image/png;base64,{b64})\n\n" in md
+
+
+def test_extract_markdown_false_skips_variant_pass(spark):
+    from pyspark.sql import functions as F
+
+    from sparkocr.extract.dispatch import extract_turns
+
+    ref = "<|ref|>title<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
+    rows = [("c", i, ref + f"body {i}" + EOS, "grounding") for i in range(4)]
+    full = extract_turns(_tr(spark, rows)).orderBy("turn_idx").collect()
+    lite = extract_turns(_tr(spark, rows), markdown=False).orderBy("turn_idx").collect()
+    for f_, l in zip(full, lite):
+        assert l.clean_text == f_.clean_text
+        assert l.is_truncated == f_.is_truncated
+        assert [s.asDict() for s in l.spans] == [s.asDict() for s in f_.spans]
+        assert f_.markdown_text is not None and l.markdown_text is None
