@@ -216,7 +216,15 @@ def q_markdown_embed_b64(spark, sf_dir):
     from sparkocr.regions import embed_crops_in_markdown_b64
 
     turns = extract_turns(_img_transcripts(spark, sf_dir))
-    media = synth_media(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    # page identity (conv_id, turn_idx) ← (source, doc_id), payload from
+    # the fake codec's media table
+    media = synth_media(d).join(
+        d.select(
+            F.col("doc_id").alias("media_id"), F.col("source").alias("conv_id")
+        ),
+        "media_id",
+    ).select("conv_id", F.col("media_id").alias("turn_idx"), "payload")
     return embed_crops_in_markdown_b64(turns, media).select(
         F.col("turn_idx").cast("bigint").alias("doc_id"), "markdown_embedded"
     )
@@ -1268,8 +1276,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             ),
             pos AS (
+                -- position enumeration bound: must exceed max clean_text
+                -- length or matches past it are silently missed (document
+                -- texts max 577 chars at every SF; 8192 leaves headroom)
                 SELECT doc_id, (r.range - 1)::INT AS match_start
-                FROM cleaned, range(1, 4096) r
+                FROM cleaned, range(1, 8192) r
                 WHERE r.range <= length(clean_text) - 2
                   AND substr(clean_text, r.range::INT, 3) = 'itl'
             )

@@ -39,23 +39,9 @@ def _ordered_concat(df: DataFrame, key_cols: list[str], order_col: str, text_col
     return agg
 
 
-def assemble_docs_cli(
-    turns: DataFrame,
-    skip_truncated: bool = True,
-    two_phase: bool = True,
-    chunk: int = 4096,
-) -> DataFrame:
-    """CLI-style doc assembly → (conv_id, n_turns, doc_text)."""
-    t = turns
-    if skip_truncated and "is_truncated" in t.columns:
-        t = t.filter(~F.col("is_truncated"))
-    piece = t.select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.concat(F.coalesce(F.col("clean_text"), F.lit("")), F.lit(PAGE_SPLIT_SUFFIX)).alias(
-            "piece"
-        ),
-    )
+def _assemble_ordered(piece: DataFrame, two_phase: bool, chunk: int) -> DataFrame:
+    """(conv_id, turn_idx, piece) → (conv_id, n_turns, doc_text), pieces
+    concatenated in turn order. Shared by the CLI-clean and det variants."""
     if not two_phase:
         agg = _ordered_concat(piece, ["conv_id"], "turn_idx", "piece", "doc_text")
         return agg.select(
@@ -81,6 +67,26 @@ def assemble_docs_cli(
         F.sum("_n").cast("int").alias("n_turns"),
     )
     return p2.select("conv_id", "n_turns", "doc_text")
+
+
+def assemble_docs_cli(
+    turns: DataFrame,
+    skip_truncated: bool = True,
+    two_phase: bool = True,
+    chunk: int = 4096,
+) -> DataFrame:
+    """CLI-style doc assembly → (conv_id, n_turns, doc_text)."""
+    t = turns
+    if skip_truncated and "is_truncated" in t.columns:
+        t = t.filter(~F.col("is_truncated"))
+    piece = t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.concat(F.coalesce(F.col("clean_text"), F.lit("")), F.lit(PAGE_SPLIT_SUFFIX)).alias(
+            "piece"
+        ),
+    )
+    return _assemble_ordered(piece, two_phase, chunk)
 
 
 def assemble_docs_det(
@@ -111,26 +117,7 @@ def assemble_docs_det(
             F.lit(PAGE_SPLIT_SUFFIX),
         ).alias("piece"),
     )
-    if not two_phase:
-        agg = _ordered_concat(piece, ["conv_id"], "turn_idx", "piece", "doc_text")
-        return agg.select(
-            "conv_id", F.col("_n").cast("int").alias("n_turns"), "doc_text"
-        )
-    p1 = _ordered_concat(
-        piece.withColumn("chunk_id", (F.col("turn_idx") / F.lit(chunk)).cast("int")),
-        ["conv_id", "chunk_id"],
-        "turn_idx",
-        "piece",
-        "chunk_text",
-    )
-    pair = F.struct(F.col("chunk_id").alias("k"), F.col("chunk_text").alias("v"))
-    p2 = p1.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
-        ).alias("doc_text"),
-        F.sum("_n").cast("int").alias("n_turns"),
-    )
-    return p2.select("conv_id", "n_turns", "doc_text")
+    return _assemble_ordered(piece, two_phase, chunk)
 
 
 def assemble_docs_app(

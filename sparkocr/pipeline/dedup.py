@@ -109,7 +109,9 @@ def jaccard_pairs(
     DF-capping — ubiquitous shingles carry no discriminative signal), while
     the union denominator keeps every shingle, so reported similarity is a
     conservative lower bound and a pair sharing only hot shingles is not a
-    candidate. ``df_max=None`` restores exact Jaccard (quadratic risk)."""
+    candidate. ``df_max=None`` restores exact Jaccard (quadratic risk).
+    Round-2 behavior change: the default WAS exact — callers needing the
+    old semantics must now pass ``df_max=None`` explicitly."""
     sh = shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:

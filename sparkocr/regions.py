@@ -130,28 +130,31 @@ def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
     )
 
 
-def embed_crops_in_markdown_b64(
-    turns: DataFrame, media: DataFrame, media_key: str = "media_id"
-) -> DataFrame:
+def embed_crops_in_markdown_b64(turns: DataFrame, media: DataFrame) -> DataFrame:
     """E14 full analog (app/utils.py:130-147): splice each crop as a
     ``data:image/png;base64,...`` URI. The reference crops pixels from the
     page image and base64s the PNG; here the page's binary payload comes
-    from the media table (``media_key`` == turn_idx — the page id), the
-    codec seam being the multimodal fake codec. Replacement string and
-    count=1-per-placeholder loop match the reference exactly:
+    from ``media`` — columns ``(conv_id, turn_idx, payload)``, one row per
+    page — the codec seam being the multimodal fake codec. Replacement
+    string and count=1-per-placeholder loop match the reference exactly:
     ``\\n\\n![图片 N](data:image/png;base64,{b64})\\n\\n``.
+
+    The join key is the FULL page identity (conv_id, turn_idx): turn
+    indices restart per conversation, so a turn_idx-only join would hand
+    conversation A's page-0 payload to every other conversation's page 0.
 
     JVM end-to-end: one equi-join (media side prunable to key+payload) and
     an ``aggregate`` fold of first-occurrence replacements over the row's
     own image spans (no second extraction branch, no crop shuffle)."""
     payloads = media.select(
-        F.col(media_key).cast("int").alias("turn_idx"),
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
         # Spark's base64() emits MIME-chunked output (CRLF every 76 chars)
         # on this build; data: URIs need the unchunked RFC 4648 form, which
         # is also what the reference's python b64encode produces
         F.replace(F.base64("payload"), F.lit("\r\n"), F.lit("")).alias("b64"),
     )
-    j = turns.join(payloads, "turn_idx", "left")
+    j = turns.join(payloads, ["conv_id", "turn_idx"], "left")
     embedded = F.when(F.col("b64").isNull(), F.col("markdown_text")).otherwise(
         F.aggregate(
             _own_crops_col(),

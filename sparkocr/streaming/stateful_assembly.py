@@ -25,6 +25,13 @@ arrival order and state persistence across triggers), so the driver's
 correctness record for it is rows-only; the pytest suite instead proves
 the state invariants directly: accumulation across micro-batches, replay
 idempotence, and out-of-order first delivery.
+
+STATE SCHEMA CHANGE: the interval-set layout replaces the round-1
+max-turn watermark. Spark's state-store schema check fails loudly on a
+checkpoint written by the old operator — intended: a watermark state
+cannot be losslessly migrated to interval sets inside
+``applyInPandasWithState``, so restart such a stream from a fresh
+checkpoint directory (counts rebuild from the replayed files).
 """
 
 from __future__ import annotations

@@ -57,6 +57,7 @@ HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _TAG_RE = re.compile(
     r"""<(?:
         (?P<comment>!--)
+      | (?P<marked>!\[)                                     # <![CDATA[ .. ]]>, <![if ..]>
       | (?P<decl>![^>]*>)                                   # <!doctype..>, bogus <!..>
       | (?P<pi>\?[^>]*>)                                    # <?..>
       | /\s*(?P<end>[a-zA-Z][^\t\n\r\f\ />]*)[^>]*>         # </name junk>
@@ -67,13 +68,31 @@ _TAG_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+# A trailing '/' in the attr text is self-closing ONLY when it is not the
+# tail of an unquoted attribute VALUE: HTMLParser parses <a href=http://x/>
+# as value 'http://x/' (start tag), but <br/>, <br />, <a foo/>, <a x="y"/>
+# as self-closing. The '/' belongs to a value iff an '=' introduces an
+# unquoted run reaching the end of the attr text.
+_UNQUOTED_VALUE_TAIL = re.compile(r"=\s*[^\s\"'>]*$")
+
+# _markupbase marked-section handling: name token, then cdata/include/
+# ignore/rcdata/temp close with ']]>', the MS-conditional keywords with
+# ']>'; an unknown/missing keyword raises in HTMLParser (the collector's
+# try/except then keeps only already-flushed blocks) — mirrored by _ABORT.
+_MARKED_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MARKED_KEYWORDS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MS_KEYWORDS = frozenset({"if", "else", "endif"})
+_MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"\]\s*>")
+
 # HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode, no
 # tag events) until the matching close tag.
 _RAWTEXT = ("script", "style")
 _RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
 
-# events: 0=start 1=end 2=startend 3=data
-_START, _END, _STARTEND, _DATA = 0, 1, 2, 3
+# events: 0=start 1=end 2=startend 3=data 4=abort (HTMLParser raised: the
+# collector's try/except keeps only already-flushed blocks, no final flush)
+_START, _END, _STARTEND, _DATA, _ABORT = 0, 1, 2, 3, 4
 
 
 def _iter_events(html: str):
@@ -101,12 +120,31 @@ def _iter_events(html: str):
         if m.group("comment"):
             e = find("-->", m.end())
             if e < 0:
-                # unterminated comment: HTMLParser flushes the raw tail as
-                # (entity-decoded) data at close
-                chunk = html[lt:]
-                yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
-                return
+                # incomplete construct at EOF: goahead(1)'s fallback emits
+                # the RAW slice up to the next '>' (or '<', or one char)
+                # and resumes parsing after it
+                pos = yield from _incomplete(html, lt)
+                continue
             pos = e + 3
+            continue
+        if m.group("marked"):
+            # <![keyword ... : _markupbase semantics — ']]>' close for
+            # cdata-family, ']>' for MS conditionals, raise on anything
+            # else (mirrored as abort)
+            nm = _MARKED_NAME.match(html, m.end())
+            kw = nm.group(0).lower() if nm else ""
+            if kw in _MARKED_KEYWORDS:
+                closer = _MARKED_CLOSE
+            elif kw in _MS_KEYWORDS:
+                closer = _MS_MARKED_CLOSE
+            else:
+                yield (_ABORT, None)
+                return
+            mm = closer.search(html, m.end())
+            if mm is None:
+                pos = yield from _incomplete(html, lt)
+                continue
+            pos = mm.end()
             continue
         if m.group("decl") or m.group("pi") or m.group("endbogus") is not None:
             pos = m.end()
@@ -119,7 +157,7 @@ def _iter_events(html: str):
         name = m.group("start").lower()
         attrs = m.group("attrs")
         pos = m.end()
-        if attrs.endswith("/"):
+        if attrs.endswith("/") and not _UNQUOTED_VALUE_TAIL.search(attrs):
             yield (_STARTEND, name)
             continue
         yield (_START, name)
@@ -130,6 +168,21 @@ def _iter_events(html: str):
             if stop > pos:
                 yield (_DATA, html[pos:stop])  # raw: no entity decode
             pos = stop  # the close tag itself parses on the next loop
+
+
+def _incomplete(html: str, lt: int):
+    """HTMLParser goahead(end=1) fallback for a construct that never
+    terminates: emit the raw (undecoded) slice through the next '>', else
+    through the next '<', else one char — parsing then resumes."""
+    gt = html.find(">", lt + 1)
+    if gt >= 0:
+        k = gt + 1
+    else:
+        k = html.find("<", lt + 1)
+        if k < 0:
+            k = lt + 1
+    yield (_DATA, html[lt:k])
+    return k
 
 
 def flatten_blocks(html: str) -> list[dict]:
@@ -167,6 +220,10 @@ def flatten_blocks(html: str) -> list[dict]:
             cur_parts.append(payload)
             if link_depth:
                 cur_link_chars += len(_WS_RE.sub(" ", payload).strip())
+        elif event == _ABORT:
+            # HTMLParser raised mid-parse: collected blocks survive, the
+            # pending partial block does not (close() never ran)
+            return blocks
         elif event == _START:
             tag = payload
             if tag in DROP_TAGS:

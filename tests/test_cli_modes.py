@@ -82,19 +82,36 @@ def test_b64_embed_replaces_first_occurrence_only(spark):
     # generated placeholder (first occurrence) may be replaced
     body = "text with literal **[图片 1]** inside"
     img = "<|ref|>image<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
-    turns = extract_turns(_tr(spark, [("c", 7, img + body + EOS, "grounding")]))
-    media = spark.createDataFrame(
-        [(7, b"PIXELDATA")], "media_id long, payload binary"
+    # two conversations whose turn indices collide: payload routing must
+    # key on the FULL page identity (conv_id, turn_idx)
+    turns = extract_turns(
+        _tr(
+            spark,
+            [
+                ("c", 7, img + body + EOS, "grounding"),
+                ("c2", 7, img + "other conv body" + EOS, "grounding"),
+            ],
+        )
     )
-    out = embed_crops_in_markdown_b64(turns, media).collect()
-    md = out[0].markdown_embedded
+    media = spark.createDataFrame(
+        [("c", 7, b"PIXELDATA"), ("c2", 7, b"OTHERDATA")],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    out = {
+        r.conv_id: r.markdown_embedded
+        for r in embed_crops_in_markdown_b64(turns, media).collect()
+    }
     import base64
 
+    md = out["c"]
     b64 = base64.b64encode(b"PIXELDATA").decode()
     assert md.count(f"data:image/png;base64,{b64}") == 1
     # the body's literal copy survives untouched
     assert "literal **[图片 1]** inside" in md
     assert f"\n\n![图片 1](data:image/png;base64,{b64})\n\n" in md
+    # same turn_idx, different conversation → that conversation's payload
+    b64_2 = base64.b64encode(b"OTHERDATA").decode()
+    assert b64_2 in out["c2"] and b64 not in out["c2"]
 
 
 def test_extract_markdown_false_skips_variant_pass(spark):

@@ -145,6 +145,21 @@ CASES = [
     "   \n\t  ",
     # text outside any tag
     "leading prose before any markup <p>then a paragraph</p> trailing text",
+    # unquoted attribute values ending in '/' are NOT self-closing
+    "<div><a href=http://example.com/>anchor text</a> tail words</div>",
+    "<p>before</p><script src=http://x.com/a.js/>var hidden;</script><p>after prose</p>",
+    "<a href=a/b/>slashed</a> <a href = x/>spaced</a>",
+    # genuine self-closing forms
+    "<p>a<br/>b</p> <p>c<br />d</p> <div foo/>bare-attr tail</div>",
+    '<div x="y"/>quoted-then-slash tail</div>',
+    # marked sections: CDATA swallowed whole, MS conditionals, unknown kw aborts
+    "<p>before</p><![CDATA[ x > y ]]><p>after paragraph prose</p>",
+    "<p>kept</p><![if !IE]> cond <![endif]><p>tail paragraph prose</p>",
+    "<p>flushed before</p><![weird stuff]><p>never reached</p>",
+    # unterminated constructs resume after the goahead fallback
+    "<p>x</p><!-- broken > <div>real tag after fallback</div>",
+    "<p>x</p><![CDATA[ no close > <p>resumed paragraph prose here</p>",
+    "<p>x</p><div foo",
 ]
 
 
@@ -171,7 +186,9 @@ _soup_atom = st.sampled_from(
      "<br>", "<nav>", "</nav>", "<article>", "</article>", "<script>",
      "</script>", "<!-- c -->", "&amp;", "&#65;", "<", ">", "word ",
      "longer prose fragment here ", "\n", '<a title="q>t">', "</DIV junk>",
-     "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>"]
+     "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>",
+     "<a href=http://x.com/>", "<div foo/>", "<![CDATA[ x > y ]]>",
+     "<![if !IE]>", "<![endif]>"]
 )
 
 
