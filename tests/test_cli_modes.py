@@ -115,8 +115,6 @@ def test_b64_embed_replaces_first_occurrence_only(spark):
 
 
 def test_extract_markdown_false_skips_variant_pass(spark):
-    from pyspark.sql import functions as F
-
     from sparkocr.extract.dispatch import extract_turns
 
     ref = "<|ref|>title<|/ref|><|det|>[[1,2,3,4]]<|/det|>"
