@@ -1,6 +1,8 @@
 """Two-parallelism scaling protocol (BASELINE.md): same extraction job, same
-input, at 8 and 32 pinned cores; report turns/sec at both and scaling
-efficiency = (tput_32 / tput_8) / 4. Writes BENCH/BASELINE.md.
+input, at N and 4N pinned cores; report turns/sec at both and scaling
+efficiency = (tput_4N / tput_N) / 4. Writes BENCH/BASELINE.md. Children
+run via `spark-submit --py-files sparkocr.zip` — the exact deployment
+shape the north rule specifies — commanded over a file channel.
 
 No real multi-node cluster exists in this sandbox; per the driver
 instruction, two pinned parallelism levels on one box substitute for the
@@ -42,9 +44,9 @@ REPO = os.path.dirname(HERE)
 
 CHILD = r"""
 import json, os, sys, time
-sys.path.insert(0, os.environ["SPARKOCR_REPO"])
 cpus = int(sys.argv[1])
 data = sys.argv[2]
+ctrl = sys.argv[3]
 from sparkocr.session import build_session
 from sparkocr.extract.dispatch import extract_turns
 from sparkocr.assemble import assemble_docs_cli
@@ -64,13 +66,26 @@ df = spark.read.parquet(data)
 # full-width warmup: spawn every python worker + JIT, untimed
 extract_turns(df).count()
 out = os.path.join(os.path.dirname(data), f"scaling_turns_{cpus}")
-print("READY", flush=True)
+open(os.path.join(ctrl, "ready"), "w").close()
 
-# then one timed rep per 'go' command from the parent (persistent child:
+
+def _wait(k):
+    # file-based command channel: spark-submit does not reliably forward
+    # the parent's stdin to the python driver process
+    go = os.path.join(ctrl, f"go_{k}")
+    stop = os.path.join(ctrl, "stop")
+    while True:
+        if os.path.exists(stop):
+            return False
+        if os.path.exists(go):
+            return True
+        time.sleep(0.05)
+
+
+# then one timed rep per go_k file from the parent (persistent child:
 # keeps the JVM warm so paired reps run seconds, not minutes, apart)
-for line in sys.stdin:
-    if line.strip() != "go":
-        break
+k = 0
+while _wait(k):
     t0 = time.monotonic()
     extract_turns(df).write.mode("overwrite").parquet(out)
     t_extract = time.monotonic() - t0
@@ -79,54 +94,112 @@ for line in sys.stdin:
     n_docs = assemble_docs_cli(turns).count()
     t_assemble = time.monotonic() - t0
     n = turns.count()
-    print(json.dumps({
+    res = json.dumps({
         "cpus": cpus, "rows": n, "docs": n_docs,
         "extract_sec": round(t_extract, 3),
         "assemble_sec": round(t_assemble, 3),
         "turns_per_sec": round(n / t_extract, 1),
         "e2e_turns_per_sec": round(n / (t_extract + t_assemble), 1),
-    }), flush=True)
+    })
+    tmp = os.path.join(ctrl, f"res_{k}.tmp")
+    with open(tmp, "w") as f:
+        f.write(res)
+    os.rename(tmp, os.path.join(ctrl, f"res_{k}.json"))  # atomic publish
+    k += 1
 spark.stop()
 """
 
 
-class Child:
-    """Persistent pinned benchmark child; one timed rep per go()."""
+def _spark_submit() -> str:
+    import pyspark
 
-    def __init__(self, cpus: int, data: str):
-        env = dict(os.environ, SPARKOCR_REPO=REPO, OMP_NUM_THREADS="1")
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", CHILD,
-               str(cpus), data]
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def _package_zip() -> str:
+    """Zip the sparkocr package for --py-files (the north rule's
+    deployment shape: spark-submit --py-files at each cluster size)."""
+    import zipfile
+
+    path = "/tmp/sparkocr_scaling.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "sparkocr")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+class Child:
+    """Persistent pinned benchmark child launched via ``spark-submit
+    --py-files sparkocr.zip`` (the north rule's deployment shape); one
+    timed rep per go(), commanded over a file channel."""
+
+    def __init__(self, cpus: int, data: str, zip_path: str):
+        import shutil
+        import tempfile
+        import time
+
+        self.ctrl = tempfile.mkdtemp(prefix=f"sparkocr_scaling_{cpus}_")
+        self._k = 0
+        child_py = os.path.join(self.ctrl, "child.py")
+        with open(child_py, "w") as f:
+            f.write(CHILD)
+        env = dict(os.environ, OMP_NUM_THREADS="1")
+        # --driver-memory on the command line: under spark-submit the
+        # driver JVM starts before build_session's conf applies, so the
+        # in-session spark.driver.memory would be ignored
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}",
+            _spark_submit(),
+            "--master", f"local[{cpus}]",
+            "--py-files", zip_path,
+            "--driver-memory", os.environ.get("SPARKOCR_DRIVER_MEM", "24g"),
+            child_py, str(cpus), data, self.ctrl,
+        ]
         self.errlog = f"/tmp/sparkocr_scaling_child_{cpus}.log"
         self.proc = subprocess.Popen(
-            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=open(self.errlog, "w"), text=True, env=env,
+            cmd, stdout=open(self.errlog, "w"), stderr=subprocess.STDOUT,
+            text=True, env=env,
         )
-        while True:
-            line = self.proc.stdout.readline()
-            if not line:
+        ready = os.path.join(self.ctrl, "ready")
+        deadline = time.monotonic() + 900
+        while not os.path.exists(ready):
+            if self.proc.poll() is not None or time.monotonic() > deadline:
                 raise RuntimeError(
-                    f"child local[{cpus}] died during warmup; stderr in {self.errlog}"
+                    f"child local[{cpus}] died during warmup; log in {self.errlog}"
                 )
-            if line.strip() == "READY":
-                break
+            time.sleep(0.1)
+        self._shutil = shutil
 
     def go(self) -> dict:
-        self.proc.stdin.write("go\n")
-        self.proc.stdin.flush()
-        while True:
-            line = self.proc.stdout.readline()
-            if not line:
-                raise RuntimeError("child died mid-rep")
-            if line.startswith("{"):
-                return json.loads(line)
+        import time
+
+        k = self._k
+        self._k += 1
+        open(os.path.join(self.ctrl, f"go_{k}"), "w").close()
+        res = os.path.join(self.ctrl, f"res_{k}.json")
+        deadline = time.monotonic() + 900
+        while not os.path.exists(res):
+            if self.proc.poll() is not None or time.monotonic() > deadline:
+                raise RuntimeError(f"child died mid-rep; log in {self.errlog}")
+            time.sleep(0.05)
+        with open(res) as f:
+            return json.load(f)
 
     def stop(self):
         try:
-            self.proc.stdin.close()
+            open(os.path.join(self.ctrl, "stop"), "w").close()
             self.proc.wait(timeout=60)
         except Exception:
             self.proc.kill()
+        try:
+            self._shutil.rmtree(self.ctrl, ignore_errors=True)
+        except Exception:
+            pass
 
 
 def calibrate() -> float:
@@ -149,9 +222,9 @@ def calibrate() -> float:
     return round(len(_CAL_ROWS) / (time.monotonic() - t0), 1)
 
 
-def run_config(small: int, big: int, data: str, n_pairs: int) -> list[dict]:
-    c_small = Child(small, data)
-    c_big = Child(big, data)
+def run_config(small: int, big: int, data: str, n_pairs: int, zip_path: str) -> list[dict]:
+    c_small = Child(small, data, zip_path)
+    c_big = Child(big, data, zip_path)
     pairs = []
     try:
         for i in range(n_pairs):
@@ -185,9 +258,10 @@ def main():
         n = write_transcripts(data, "bench_lg")
         print(f"generated {n} rows -> {data}", file=sys.stderr)
 
+    zip_path = _package_zip()
     all_pairs = []
     for small, big in ((4, 16), (8, 32)):
-        all_pairs += run_config(small, big, data, n_pairs)
+        all_pairs += run_config(small, big, data, n_pairs, zip_path)
 
     # headline comes from the 4v16 config only, matching the report text
     # (8v32 saturates the shared memory controller and is reported for
@@ -215,13 +289,15 @@ def main():
 
 Protocol per BASELINE.md: identical input (deterministic bench_lg-profile
 transcripts, seed=42, {rb['rows']:,} turns incl. one 100k-turn skew
-conversation scattered across all 128 input files), same DAG, each run
-CPU-pinned via `taskset -c 0..N-1` so a simulated cluster gets exactly its
-cores, full-width untimed warmup pass per JVM, persistent warm children
-with reps alternating between them so both halves of a pair execute
-seconds apart. N vs 4N pinned cores substitutes for N vs 4N executors (no
-multi-node cluster in this sandbox, per driver instruction). Two core
-pairings are measured, both preserving the 4x ratio:
+conversation scattered across all 128 input files), same DAG, each child
+launched via `spark-submit --py-files sparkocr.zip` (the north rule's
+deployment shape), each run CPU-pinned via `taskset -c 0..N-1` so a
+simulated cluster gets exactly its cores, full-width untimed warmup pass
+per JVM, persistent warm children with reps alternating between them so
+both halves of a pair execute seconds apart. N vs 4N pinned cores
+substitutes for N vs 4N executors (no multi-node cluster in this sandbox,
+per driver instruction). Two core pairings are measured, both preserving
+the 4x ratio:
 
 - **4 vs 16**: both configurations stay well inside the box's linear
   memory-bandwidth region — the faithful emulation of a real cluster,
