@@ -37,7 +37,11 @@ def _pipe_row_cells(line: str):
     if _SEP_ROW.match(line):
         return []
     cells = []
-    bounds = [j for j, c in enumerate(line) if c == "|"]
+    bounds = []
+    j = line.find("|")
+    while j >= 0:  # C-speed scan instead of a per-char python loop
+        bounds.append(j)
+        j = line.find("|", j + 1)
     edges = [-1] + bounds + [len(line)]
     for a, b in zip(edges, edges[1:]):
         seg = line[a + 1 : b]

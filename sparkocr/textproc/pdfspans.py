@@ -23,8 +23,8 @@ DEFAULT_W = 1275
 DEFAULT_H = 1650
 
 
-def _round_half_even(x: float) -> int:
-    return int(round(x))  # Python 3 banker's rounding — pinned by tests
+# row bucketing uses int(round(...)) inline: Python 3 banker's rounding —
+# pinned by tests
 
 
 def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAULT_H):
@@ -41,6 +41,7 @@ def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAUL
         page = int(obj.get("page", 0))
         raw = obj["spans"]
         recs = []
+        num = (int, float)
         for i, s in enumerate(raw):
             t = s.get("t", "")
             if not isinstance(t, str):
@@ -51,12 +52,19 @@ def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAUL
             # coordinates must be numbers NOW: a str here would not fail
             # until the sort/denorm below, which run outside this except
             # and would kill the task instead of yielding an error record
-            if not all(isinstance(v, (int, float)) for v in (x1, y1, x2, y2)):
+            if not (
+                isinstance(x1, num) and isinstance(y1, num)
+                and isinstance(x2, num) and isinstance(y2, num)
+            ):
                 raise TypeError("non-numeric bbox")
-            recs.append((page, _round_half_even(y1 / ROW_QUANTUM), x1, i, t, (x1, y1, x2, y2)))
+            recs.append(
+                (page, int(round(y1 / ROW_QUANTUM)), x1, i, t, (x1, y1, x2, y2))
+            )
     except Exception as e:
         return "", [], f"pdfspans parse error: {type(e).__name__}"
-    recs.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    # no key= needed: tuples compare lexicographically and element 3 (the
+    # original index) is unique, so (t, bbox) are never reached
+    recs.sort()
     parts: list[str] = []
     spans: list[dict] = []
     pos = 0
