@@ -21,44 +21,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _crop_path(idx):
+    """``images/{jdx}_{idx}.jpg`` with jdx = turn_idx (run_dpsk_ocr_pdf.py
+    :316-317 naming); ``idx`` is a Column."""
+    return F.concat(
+        F.lit("images/"),
+        F.col("turn_idx").cast("string"),
+        F.lit("_"),
+        idx.cast("string"),
+        F.lit(".jpg"),
+    )
+
+
 def crop_regions(turns: DataFrame) -> DataFrame:
     """Per-turn image-span records → (conv_id, turn_idx, img_idx, crop_path,
     x1..y2). ``img_idx`` numbers image spans in span (match) order within
-    the turn; path mirrors ``images/{jdx}_{idx}.jpg`` with jdx = turn_idx
-    (run_dpsk_ocr_pdf.py:316-317 naming). Image spans are selected by the
-    ``is_image`` flag the extractor computed with the reference's
-    IMAGE_MARK-containment rule — the same rule that numbers markdown
-    placeholders — so crop records and placeholders can never misalign."""
-    s = turns.select(
-        "conv_id",
-        "turn_idx",
-        F.posexplode("spans").alias("span_pos", "sp"),
-    ).filter(F.col("sp.is_image"))
-    # number ALL image spans per turn in span order BEFORE any bbox
-    # validity filter: the reference's placeholder numbering counts every
-    # image match, parse failures included (enumerate over matches_images,
-    # run_dpsk_ocr_pdf.py:316), so a failed-parse span must still consume
-    # an index or crop paths misalign with the numbered placeholders.
-    from pyspark.sql import Window
+    the turn. Image spans are selected by the ``is_image`` flag the
+    extractor computed with the reference's IMAGE_MARK-containment rule —
+    the same rule that numbers markdown placeholders — so crop records and
+    placeholders can never misalign.
 
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("span_pos")
-    s = s.withColumn("img_idx", F.row_number().over(w) - 1)
-    first = F.col("sp.bbox")[0]
-    return s.select(
-        "conv_id",
-        "turn_idx",
-        "img_idx",
-        F.concat(
-            F.lit("images/"),
-            F.col("turn_idx").cast("string"),
-            F.lit("_"),
-            F.col("img_idx").cast("string"),
-            F.lit(".jpg"),
-        ).alias("crop_path"),
-        first[0].alias("x1"),
-        first[1].alias("y1"),
-        first[2].alias("x2"),
-        first[3].alias("y2"),
+    Pure projection: the spans array is already in span order, so the
+    filtered array's POSITION is the image index — no per-page window
+    (which would shuffle the whole turns table on page identity just to
+    number spans each row already holds).
+
+    Numbering counts ALL image spans, bbox parse failures included (the
+    reference enumerates matches_images before cropping,
+    run_dpsk_ocr_pdf.py:316), so a failed-parse span still consumes an
+    index and crop paths align with the numbered placeholders."""
+    recs = F.transform(
+        F.filter(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda sp: F.coalesce(sp["is_image"], F.lit(False)),
+        ),
+        lambda sp, i: F.struct(
+            i.cast("int").alias("img_idx"),
+            _crop_path(i).alias("crop_path"),
+            sp["bbox"][0][0].alias("x1"),
+            sp["bbox"][0][1].alias("y1"),
+            sp["bbox"][0][2].alias("x2"),
+            sp["bbox"][0][3].alias("y2"),
+        ),
+    )
+    return turns.select(
+        "conv_id", "turn_idx", F.explode(recs).alias("r")
+    ).select(
+        "conv_id", "turn_idx",
+        "r.img_idx", "r.crop_path", "r.x1", "r.y1", "r.x2", "r.y2",
     )
 
 
@@ -91,13 +101,7 @@ def _own_crops_col():
         ),
         lambda sp, i: F.struct(
             i.alias("img_idx"),
-            F.concat(
-                F.lit("images/"),
-                F.col("turn_idx").cast("string"),
-                F.lit("_"),
-                i.cast("string"),
-                F.lit(".jpg"),
-            ).alias("crop_path"),
+            _crop_path(i).alias("crop_path"),
         ),
     )
 
@@ -232,23 +236,18 @@ def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
     )
 
 
-def locate(turns: DataFrame, needle: str) -> DataFrame:
-    """Q3 locate mode: every occurrence of ``needle`` in ``clean_text`` →
-    (conv_id, turn_idx, match_start, match_end), 0-based offsets.
+def _match_starts(needle: str):
+    """Array column of 0-based match offsets of ``needle`` in clean_text.
 
-    JVM-only: positions come from splitting on the literal needle and
-    accumulating segment lengths (a fold over ``split``), not a Python UDF.
-    """
-    if not needle:
-        raise ValueError("needle must be non-empty")
+    JVM-only: split on the literal needle (k matches → k+1 parts), then a
+    linear fold over the first k parts accumulates (match offsets, running
+    position) — no Python UDF."""
     lit = F.lit(needle)
-    # split on the literal needle: k matches -> k+1 parts; a linear fold
-    # over the first k parts accumulates (match offsets, running position).
     parts = F.split("clean_text", _re_escape(needle), -1)
     zero = F.struct(
         F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cum")
     )
-    starts = F.aggregate(
+    return F.aggregate(
         F.slice(parts, 1, F.size(parts) - 1),
         zero,
         lambda acc, p: F.struct(
@@ -259,46 +258,65 @@ def locate(turns: DataFrame, needle: str) -> DataFrame:
         ),
         lambda acc: acc["offs"],
     )
-    hits = turns.filter(F.size(parts) > 1).select(
+
+
+def locate(turns: DataFrame, needle: str) -> DataFrame:
+    """Q3 locate mode: every occurrence of ``needle`` in ``clean_text`` →
+    (conv_id, turn_idx, match_start, match_end), 0-based offsets."""
+    if not needle:
+        raise ValueError("needle must be non-empty")
+    starts = _match_starts(needle)
+    hits = turns.filter(F.size(starts) > 0).select(
         "conv_id", "turn_idx", F.explode(starts).alias("match_start")
     )
     return hits.select(
         "conv_id",
         "turn_idx",
         F.col("match_start").cast("int").alias("match_start"),
-        (F.col("match_start") + F.length(lit)).cast("int").alias("match_end"),
+        (F.col("match_start") + len(needle)).cast("int").alias("match_end"),
     )
 
 
 def locate_with_spans(turns: DataFrame, needle: str) -> DataFrame:
     """Locate + any grounded span overlapping each hit (the reference's
-    grounding response to a Locate prompt: the ref box for the needle)."""
-    hits = locate(turns, needle)
-    spans = turns.select(
-        "conv_id", "turn_idx", F.explode("spans").alias("sp")
+    grounding response to a Locate prompt: the ref box for the needle).
+
+    Pure projection: both the match offsets and the candidate spans live
+    on the SAME row, so the overlap pairing is an explode over per-row
+    arrays — a join of locate(turns) back to turns would run the whole
+    extraction DAG twice and shuffle on page identity. A hit with no
+    overlapping span yields exactly one all-null row (explode_outer of the
+    empty filtered array), one row per genuinely overlapping span
+    otherwise — the same left-join-on-overlap semantics."""
+    if not needle:
+        raise ValueError("needle must be non-empty")
+    nlen = len(needle)
+    starts = _match_starts(needle)
+    hits = turns.filter(F.size(starts) > 0).select(
+        "conv_id",
+        "turn_idx",
+        "spans",
+        F.explode(starts).alias("match_start"),
     ).select(
         "conv_id",
         "turn_idx",
+        F.col("match_start").cast("int").alias("match_start"),
+        (F.col("match_start") + nlen).cast("int").alias("match_end"),
+        "spans",
+    )
+    overlapping = F.filter(
+        F.coalesce(F.col("spans"), F.array()),
+        lambda sp: (sp["start"] < F.col("match_end"))
+        & (sp["end"] > F.col("match_start")),
+    )
+    return hits.select(
+        "conv_id", "turn_idx", "match_start", "match_end",
+        F.explode_outer(overlapping).alias("sp"),
+    ).select(
+        "conv_id", "turn_idx", "match_start", "match_end",
         F.col("sp.start").alias("span_start"),
         F.col("sp.end").alias("span_end"),
         F.col("sp.label").alias("label"),
-    )
-    # overlap belongs in the JOIN condition: a left join that only nulls
-    # non-overlapping rows afterwards would duplicate each hit once per
-    # span in the turn; this way a hit with no overlapping span is exactly
-    # one all-null row, and one row per genuinely overlapping span.
-    overlap = (F.col("span_start") < F.col("match_end")) & (
-        F.col("span_end") > F.col("match_start")
-    )
-    return hits.join(
-        spans,
-        (hits.conv_id == spans.conv_id)
-        & (hits.turn_idx == spans.turn_idx)
-        & overlap,
-        "left",
-    ).select(
-        hits.conv_id, hits.turn_idx, "match_start", "match_end",
-        "span_start", "span_end", "label",
     )
 
 

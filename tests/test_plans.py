@@ -153,3 +153,25 @@ def test_b64_embed_single_join_no_python(spark):
     plan = _plan(e.q_markdown_embed_b64(spark, SF_DIR))
     assert plan.count("MapInPandas") == 1  # the extractor
     assert "Join" in plan
+
+
+def test_crop_regions_is_projection_only(spark):
+    # image-span numbering comes from the spans array position: no window
+    # shuffle on page identity, extractor runs once
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_crop_regions(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_locate_with_spans_is_projection_only(spark):
+    # match offsets and candidate spans live on the same row: explode over
+    # per-row arrays, no self-join back through the extraction DAG
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_locate_with_spans(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
