@@ -448,23 +448,20 @@ def q_doc_assembly_app(spark, sf_dir):
 
 
 def q_pipeline_metrics(spark, sf_dir):
-    """mode_metrics + conversation_skew in one entry (merged so the
-    50-entry driver check covers every catalog row; exact columns only —
-    percentiles are approximate by design and stay out of the oracle)."""
+    """mode_metrics + conversation_skew counters in one entry (merged so
+    the 50-entry driver check covers every catalog row; exact columns only
+    — percentiles are approximate by design and stay out of the oracle).
+    Single extraction pass: both finals share a (conv_id, tool) partial
+    aggregate whose exchange Spark reuses."""
     from sparkocr.extract.dispatch import extract_turns
-    from sparkocr.metrics import conversation_skew, mode_metrics
+    from sparkocr.metrics import pipeline_metrics
 
     turns = extract_turns(_doc_transcripts(spark, sf_dir))
-    mm = mode_metrics(turns).select(
+    return pipeline_metrics(turns).select(
         "tool", "n_turns", "n_truncated", "n_errors",
         "chars_in", "chars_out", "avg_chars_out",
+        "n_convs", "n_turns_total", "max_conv_turns",
     )
-    cs = conversation_skew(turns).select(
-        "n_convs", "n_turns_total", "max_conv_turns"
-    )
-    # both sides are metric-row-sized (per-tool / single row): the cross
-    # join is a broadcast of two tiny aggregates
-    return mm.crossJoin(cs)
 
 
 def q_doc_assembly_det(spark, sf_dir):

@@ -48,6 +48,42 @@ def conversation_skew(turns: DataFrame) -> DataFrame:
     )
 
 
+def pipeline_metrics(turns: DataFrame) -> DataFrame:
+    """mode_metrics × conversation-skew exact counters in ONE pass over the
+    extraction output: both finals derive from a shared (conv_id, tool)
+    partial aggregate, so the two branches have an identical child subtree
+    and Spark reuses its shuffle exchange (ReusedExchange) — the upstream
+    extraction runs once, where separate mode_metrics + conversation_skew
+    calls would each recompute it. Excludes the approximate percentile
+    columns (no exact oracle); use conversation_skew for those."""
+    base = turns.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_truncated").cast("int")).alias("n_trunc"),
+        F.sum((F.col("error").isNotNull()).cast("int")).alias("n_err"),
+        F.sum("n_chars_in").alias("sum_in"),
+        F.sum("n_chars_out").alias("sum_out"),
+    )
+    mm = base.groupBy("tool").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("n_trunc").alias("n_truncated"),
+        F.sum("n_err").alias("n_errors"),
+        F.sum("sum_in").alias("chars_in"),
+        F.sum("sum_out").alias("chars_out"),
+        F.round(F.sum("sum_out") / F.sum("n"), 2).alias("avg_chars_out"),
+    )
+    cs = (
+        base.groupBy("conv_id")
+        .agg(F.sum("n").alias("conv_turns"))
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("conv_turns").alias("n_turns_total"),
+            F.max("conv_turns").alias("max_conv_turns"),
+        )
+    )
+    # both sides are metric-row-sized: the cross join broadcasts
+    return mm.crossJoin(cs)
+
+
 def job_summary(turns: DataFrame, wall_sec: float | None = None) -> dict:
     """Driver-side summary dict (lineage manifests embed a subset of this)."""
     row = turns.agg(

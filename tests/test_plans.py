@@ -175,3 +175,17 @@ def test_locate_with_spans_is_projection_only(spark):
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pipeline_metrics_reuses_extraction_exchange(spark):
+    # both metric branches share the (conv_id, tool) partial aggregate:
+    # after AQE finalizes, the second branch reads a ReusedExchange and
+    # the extraction MapInPandas executes once (reuse is a runtime
+    # property — assert on the final adaptive plan, post-collect)
+    import __spark_entry__ as e
+
+    df = e.q_pipeline_metrics(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
