@@ -117,7 +117,31 @@ def _iter_events(html: str):
             yield (_DATA, "<")
             pos = lt + 1
             continue
-        if m.group("comment"):
+        # dispatch on the LAST participating group (one lookup instead of
+        # probing every named group): a start tag always ends with the
+        # (possibly empty) attrs group
+        g = m.lastgroup
+        if g == "attrs":
+            name = m.group("start").lower()
+            attrs = m.group("attrs")
+            pos = m.end()
+            if attrs.endswith("/") and not _UNQUOTED_VALUE_TAIL.search(attrs):
+                yield (_STARTEND, name)
+                continue
+            yield (_START, name)
+            if name in _RAWTEXT:
+                # content mode: raw data until the matching close tag
+                mm = _RAWTEXT_CLOSE[name].search(html, pos)
+                stop = mm.start() if mm else n
+                if stop > pos:
+                    yield (_DATA, html[pos:stop])  # raw: no entity decode
+                pos = stop  # the close tag itself parses on the next loop
+            continue
+        if g == "end":
+            yield (_END, m.group("end").lower())
+            pos = m.end()
+            continue
+        if g == "comment":
             e = find("-->", m.end())
             if e < 0:
                 # incomplete construct at EOF: goahead(1)'s fallback emits
@@ -127,7 +151,7 @@ def _iter_events(html: str):
                 continue
             pos = e + 3
             continue
-        if m.group("marked"):
+        if g == "marked":
             # <![keyword ... : _markupbase semantics — ']]>' close for
             # cdata-family, ']>' for MS conditionals, raise on anything
             # else (mirrored as abort)
@@ -146,28 +170,8 @@ def _iter_events(html: str):
                 continue
             pos = mm.end()
             continue
-        if m.group("decl") or m.group("pi") or m.group("endbogus") is not None:
-            pos = m.end()
-            continue
-        end_name = m.group("end")
-        if end_name:
-            yield (_END, end_name.lower())
-            pos = m.end()
-            continue
-        name = m.group("start").lower()
-        attrs = m.group("attrs")
+        # decl / pi / endbogus: swallowed whole
         pos = m.end()
-        if attrs.endswith("/") and not _UNQUOTED_VALUE_TAIL.search(attrs):
-            yield (_STARTEND, name)
-            continue
-        yield (_START, name)
-        if name in _RAWTEXT:
-            # content mode: raw data until the matching close tag
-            mm = _RAWTEXT_CLOSE[name].search(html, pos)
-            stop = mm.start() if mm else n
-            if stop > pos:
-                yield (_DATA, html[pos:stop])  # raw: no entity decode
-            pos = stop  # the close tag itself parses on the next loop
 
 
 def _incomplete(html: str, lt: int):
