@@ -16,7 +16,12 @@ plain Parquet (SURVEY.md §7, "Iceberg absence" risk):
   (dynamically) overwritten.
 
 All fingerprinting is JVM expressions; no data leaves the executors except
-the per-bucket aggregate rows.
+the per-bucket aggregate rows. Manifest IO goes through the Hadoop
+FileSystem API (not python ``open``), so ``out_dir`` may be any filesystem
+the cluster can reach — hdfs://, s3a://, or a plain local path — exactly
+like the data writes beside it. A crash between delete and rename of a
+manifest leaves it missing, which the resume logic already treats as
+pending: never wrong, at worst one recomputed bucket.
 """
 
 from __future__ import annotations
@@ -28,6 +33,29 @@ from dataclasses import asdict, dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sparkocr.extract.dispatch import EXTRACTOR_VERSION, extract_turns
+
+
+def _fs(spark: SparkSession, path_str: str):
+    """(jvm, FileSystem, Path) for ``path_str`` under the session's Hadoop
+    conf. Checksums off: the local filesystem would otherwise shadow every
+    manifest with a .crc sidecar."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    try:
+        fs.setWriteChecksum(False)
+        fs.setVerifyChecksum(False)
+    except Exception:
+        pass
+    return jvm, fs, jpath
+
+
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise RuntimeError("manifest IO needs an active SparkSession")
+    return s
 
 
 @dataclass
@@ -48,23 +76,49 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(_manifest_dir(out_dir), f"bucket={bucket}.json")
 
 
-def read_manifest(out_dir: str, bucket: int) -> BucketManifest | None:
-    p = _manifest_path(out_dir, bucket)
-    if not os.path.exists(p):
-        return None
+def read_manifest(
+    out_dir: str, bucket: int, spark: SparkSession | None = None
+) -> BucketManifest | None:
     try:
-        with open(p, encoding="utf-8") as f:
-            return BucketManifest(**json.load(f))
+        spark = _active_spark(spark)
+        jvm, fs, p = _fs(spark, _manifest_path(out_dir, bucket))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+        finally:
+            stream.close()
+        return BucketManifest(**json.loads("\n".join(lines)))
     except Exception:
         return None  # unreadable manifest → treat bucket as pending
 
 
-def write_manifest(out_dir: str, m: BucketManifest) -> None:
-    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    tmp = _manifest_path(out_dir, m.bucket) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(asdict(m), f)
-    os.replace(tmp, _manifest_path(out_dir, m.bucket))  # atomic publish
+def write_manifest(
+    out_dir: str, m: BucketManifest, spark: SparkSession | None = None
+) -> None:
+    spark = _active_spark(spark)
+    jvm, fs, mdir = _fs(spark, _manifest_dir(out_dir))
+    fs.mkdirs(mdir)
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(out_dir, m.bucket))
+    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(out_dir, m.bucket) + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(asdict(m)).encode("utf-8")))
+    finally:
+        out.close()
+    # delete+rename: HDFS/S3 rename refuses an existing destination; a
+    # crash in the gap leaves the manifest missing = bucket pending (safe)
+    fs.delete(final, False)
+    fs.rename(tmp, final)
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -112,7 +166,7 @@ def run_extract_job(
     pending: list[int] = []
     skipped: list[int] = []
     for bucket, (n, h) in sorted(fps.items()):
-        m = read_manifest(out_dir, bucket)
+        m = read_manifest(out_dir, bucket, spark)
         if (
             not force
             and m is not None
@@ -127,16 +181,22 @@ def run_extract_job(
     # buckets that VANISHED from the input (all rows deleted) would
     # otherwise keep stale data + manifests forever: neither pending nor
     # skipped, and dynamic overwrite never touches their partition
-    import glob as _glob
-    import shutil as _shutil
-
     live = set(fps)
-    for mp in _glob.glob(os.path.join(_manifest_dir(out_dir), "bucket=*.json")):
-        b = int(os.path.basename(mp)[len("bucket=") : -len(".json")])
+    jvm, fs, _ = _fs(spark, out_dir)
+    glob_path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(_manifest_dir(out_dir), "bucket=*.json")
+    )
+    statuses = fs.globStatus(glob_path)
+    for st in statuses or []:
+        name = st.getPath().getName()
+        b = int(name[len("bucket=") : -len(".json")])
         if b not in live:
-            os.remove(mp)
-            _shutil.rmtree(
-                os.path.join(out_dir, "data", f"bucket={b}"), ignore_errors=True
+            fs.delete(st.getPath(), False)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(out_dir, "data", f"bucket={b}")
+                ),
+                True,
             )
 
     rows_out_total = 0
@@ -168,5 +228,6 @@ def run_extract_job(
                     rows_out=rows_out,
                     extractor_version=EXTRACTOR_VERSION,
                 ),
+                spark,
             )
     return {"processed": pending, "skipped": skipped, "rows_out": rows_out_total}
