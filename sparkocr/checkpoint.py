@@ -37,15 +37,19 @@ from sparkocr.extract.dispatch import EXTRACTOR_VERSION, extract_turns
 
 def _fs(spark: SparkSession, path_str: str):
     """(jvm, FileSystem, Path) for ``path_str`` under the session's Hadoop
-    conf. Checksums off: the local filesystem would otherwise shadow every
-    manifest with a .crc sidecar."""
+    conf. On the local filesystem the cached instance is a checksummed
+    wrapper that shadows every file with a .crc sidecar; we use its RAW
+    inner filesystem for manifest IO instead of flipping checksum flags on
+    the SHARED cached instance (which would silently disable corruption
+    detection for every other reader in the session, Spark's own parquet
+    scans included). Remote filesystems (hdfs/s3a) have no such wrapper
+    and are used as-is."""
     sc = spark.sparkContext
     jvm = sc._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     try:
-        fs.setWriteChecksum(False)
-        fs.setVerifyChecksum(False)
+        fs = fs.getRawFileSystem()  # only ChecksumFileSystem has it
     except Exception:
         pass
     return jvm, fs, jpath
@@ -76,30 +80,32 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(_manifest_dir(out_dir), f"bucket={bucket}.json")
 
 
-def read_manifest(
-    out_dir: str, bucket: int, spark: SparkSession | None = None
-) -> BucketManifest | None:
+def _read_manifest_fs(jvm, fs, path_str: str) -> BucketManifest | None:
+    """Read one manifest through an already-resolved FileSystem. Only the
+    read/parse is error-swallowed (unreadable manifest → pending bucket);
+    infrastructure failures around FS resolution stay loud in callers."""
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
     try:
-        spark = _active_spark(spark)
-        jvm, fs, p = _fs(spark, _manifest_path(out_dir, bucket))
         if not fs.exists(p):
             return None
         stream = fs.open(p)
         try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            lines = []
-            while True:
-                line = reader.readLine()
-                if line is None:
-                    break
-                lines.append(line)
+            bos = jvm.java.io.ByteArrayOutputStream()
+            # one bulk copy instead of a py4j round trip per line
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
         finally:
             stream.close()
-        return BucketManifest(**json.loads("\n".join(lines)))
+        return BucketManifest(**json.loads(bytes(bos.toByteArray()).decode("utf-8")))
     except Exception:
         return None  # unreadable manifest → treat bucket as pending
+
+
+def read_manifest(
+    out_dir: str, bucket: int, spark: SparkSession | None = None
+) -> BucketManifest | None:
+    spark = _active_spark(spark)  # outside any catch: misconfiguration is loud
+    jvm, fs, _ = _fs(spark, out_dir)
+    return _read_manifest_fs(jvm, fs, _manifest_path(out_dir, bucket))
 
 
 def write_manifest(
@@ -116,9 +122,15 @@ def write_manifest(
     finally:
         out.close()
     # delete+rename: HDFS/S3 rename refuses an existing destination; a
-    # crash in the gap leaves the manifest missing = bucket pending (safe)
+    # crash in the gap leaves the manifest missing = bucket pending (safe).
+    # Hadoop reports most failures via a false RETURN, not an exception —
+    # a silent failed publish would make the bucket recompute forever, so
+    # raise loudly instead.
     fs.delete(final, False)
-    fs.rename(tmp, final)
+    if not fs.rename(tmp, final):
+        raise IOError(
+            f"manifest publish failed: rename {_manifest_path(out_dir, m.bucket)}.tmp"
+        )
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -163,10 +175,46 @@ def run_extract_job(
     df = spark.read.parquet(input_path)
     fps = input_fingerprints(df, n_buckets)
 
+    # ONE manifest-directory listing (a per-bucket exists() probe is ~2
+    # remote calls each on object stores — thousands of sequential HEADs
+    # at n_buckets=1024 before any work starts); .json.tmp leftovers from
+    # a crash inside a publish window are swept here too
+    jvm, fs, _ = _fs(spark, out_dir)
+    glob_path = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(_manifest_dir(out_dir), "bucket=*.json*")
+    )
+    existing: set[int] = set()
+    live = set(fps)
+    for st in fs.globStatus(glob_path) or []:
+        name = st.getPath().getName()
+        if name.endswith(".json.tmp"):
+            b = int(name[len("bucket=") : -len(".json.tmp")])
+            if b not in live:
+                fs.delete(st.getPath(), False)  # orphaned publish attempt
+            continue
+        b = int(name[len("bucket=") : -len(".json")])
+        if b not in live:
+            # bucket VANISHED from the input (all rows deleted): drop its
+            # stale manifest + data — neither pending nor skipped, and
+            # dynamic overwrite would never touch its partition
+            fs.delete(st.getPath(), False)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(out_dir, "data", f"bucket={b}")
+                ),
+                True,
+            )
+        else:
+            existing.add(b)
+
     pending: list[int] = []
     skipped: list[int] = []
     for bucket, (n, h) in sorted(fps.items()):
-        m = read_manifest(out_dir, bucket, spark)
+        m = (
+            _read_manifest_fs(jvm, fs, _manifest_path(out_dir, bucket))
+            if bucket in existing
+            else None
+        )
         if (
             not force
             and m is not None
@@ -177,27 +225,6 @@ def run_extract_job(
             skipped.append(bucket)
         else:
             pending.append(bucket)
-
-    # buckets that VANISHED from the input (all rows deleted) would
-    # otherwise keep stale data + manifests forever: neither pending nor
-    # skipped, and dynamic overwrite never touches their partition
-    live = set(fps)
-    jvm, fs, _ = _fs(spark, out_dir)
-    glob_path = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(_manifest_dir(out_dir), "bucket=*.json")
-    )
-    statuses = fs.globStatus(glob_path)
-    for st in statuses or []:
-        name = st.getPath().getName()
-        b = int(name[len("bucket=") : -len(".json")])
-        if b not in live:
-            fs.delete(st.getPath(), False)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(out_dir, "data", f"bucket={b}")
-                ),
-                True,
-            )
 
     rows_out_total = 0
     if pending:

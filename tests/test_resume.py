@@ -89,3 +89,23 @@ def test_input_change_invalidates(spark, tmp_path, first_run):
     r2 = run_extract_job(spark.getActiveSession() or spark, mutated, out, n_buckets=N_BUCKETS)
     assert len(r2["processed"]) >= 1
     assert len(r2["processed"]) < len(r1["processed"])  # most buckets untouched
+
+
+def test_orphaned_tmp_manifests_swept(spark, tiny_transcripts, first_run):
+    # a crash inside the publish window leaves bucket=N.json.tmp; for a
+    # bucket no longer in the input it must be swept, not accumulate
+    out, _ = first_run
+    orphan = os.path.join(out, "_manifests", "bucket=9999.json.tmp")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert not os.path.exists(orphan)
+
+
+def test_manifest_io_leaves_no_crc_sidecars(first_run):
+    # manifest IO must use the RAW local filesystem, not the checksummed
+    # wrapper (which would both litter .crc files and, if checksums were
+    # instead globally disabled, kill corruption detection session-wide)
+    out, _ = first_run
+    mdir = os.path.join(out, "_manifests")
+    assert not [f for f in os.listdir(mdir) if f.endswith(".crc")]
