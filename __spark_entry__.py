@@ -1494,9 +1494,13 @@ def oracle_sql() -> dict[str, str]:
             FROM cand JOIN sig s1 ON id1 = s1.doc_id JOIN sig s2 ON id2 = s2.doc_id
         """,
         "doc_token_counts": r"""
+            -- full-whitespace trim mirrors the Spark side (sql trim()
+            -- strips only spaces)
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+                        THEN 0
+                        ELSE length(regexp_split_to_array(
+                             regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                    END AS n_ws_tokens,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
                    length(text) AS n_chars,

@@ -43,29 +43,24 @@ def asof_join(
     right[key] == left[key] and right[right_time] <= left[left_time]
     (ties: the right row wins — it is 'already known' at that instant;
     among equal-time right rows, max ``right_tiebreak`` wins).
-    Left rows with no prior right row keep nulls."""
+    Left rows with no prior right row keep nulls. Right rows with a NULL
+    ``right_time`` are dropped: ``right_time <= left_time`` is never true
+    for null (the SQL comparison semantics every oracle uses), but ASC
+    ordering puts nulls FIRST, so an unfiltered null-time row would be
+    carried to every left row before the first real right row —
+    fabricating matches."""
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None).cast(
-            "struct<" + ",".join(
-                f"{f.name}:{f.dataType.simpleString()}"
-                for f in right.select(*right_cols).schema.fields
-            ) + ">"
-        ).alias("_rrow"),
+        F.lit(None).cast(right.select(*right_cols).schema).alias("_rrow"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(right_time).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            "struct<" + ",".join(
-                f"{f.name}:{f.dataType.simpleString()}"
-                for f in left.schema.fields
-            ) + ">"
-        ).alias("_lrow"),
+        F.lit(None).cast(left.schema).alias("_lrow"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
     )
     u = l_tag.unionByName(r_tag)

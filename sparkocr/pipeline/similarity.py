@@ -22,6 +22,23 @@ N_PLANES = 12
 _SEED = 42
 
 
+def _embedding_matrix(embs, dim: int) -> np.ndarray:
+    """[batch, dim] float64 matrix from an Arrow column of embeddings,
+    tolerating null or wrong-dimension rows by substituting the zero
+    vector — the brute-force cosine path yields NULL for those rows
+    (zero-norm guard), so the bucketed paths must not crash the task on
+    the same data; a zero row signs to signature 0 / nearest-to-origin
+    cell and its exact cosine is null downstream either way."""
+    mat = np.zeros((len(embs), dim), dtype=np.float64)
+    for i, v in enumerate(embs):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,):
+            mat[i] = a
+    return mat
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -71,14 +88,13 @@ def lsh_signature_col(emb_col, planes: np.ndarray):
     import pandas as pd
 
     planes_t = planes.T.copy()  # [dim, n_planes]
+    dim = planes.shape[1]
     weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
 
     def _sig(embs):
         if not len(embs):
             return pd.Series([], dtype="int64")
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in embs], dtype=np.float64
-        )
+        mat = _embedding_matrix(embs, dim)
         bits = (mat @ planes_t) > 0
         return pd.Series(bits @ weights, dtype="int64")
 
@@ -125,11 +141,12 @@ def ivf_cell_col(emb_col, centroids: np.ndarray):
 
     c = centroids.astype(np.float64)
     c_sq = (c * c).sum(axis=1)
+    dim = c.shape[1]
 
     def _cell(embs):
         if not len(embs):
             return pd.Series([], dtype="int32")
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in embs])
+        mat = _embedding_matrix(embs, dim)
         d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T) + c_sq[None, :]
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
@@ -171,7 +188,13 @@ def embedding_near_dups(
     MinHash-LSH dedup. ``dim`` is read from the data when not given (a
     hard-coded dimension would crash on any non-64-dim table)."""
     if dim is None:
-        first = emb.select(F.size("embedding").alias("d")).first()
+        # null embeddings excluded: size(null) is null and int(None) would
+        # crash dim detection on an unlucky first row
+        first = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
         dim = int(first["d"]) if first else DIM
     planes = hyperplanes(dim, n_planes)
     # cached: both join sides read the signatures, and the 12-plane dot

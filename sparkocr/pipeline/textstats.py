@@ -52,13 +52,18 @@ def lang_score_sql(col: str, lang: str) -> str:
 def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     """Word + regex-token counts per document (JVM regexp, no UDF).
 
-    Empty/whitespace-only text counts 0 whitespace tokens — unguarded,
-    split(trim('')) is [''] with size 1. ``fingerprint`` appends the md5
-    whole-document fingerprint column (the exact-dup key) in the same
-    projection — one scan instead of a separate fingerprint pass."""
-    ws = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    Empty/whitespace-only text counts 0 whitespace tokens — the guard
+    strips ALL whitespace classes (``trim()`` strips only spaces, so
+    tab/newline-only text would otherwise count phantom tokens).
+    ``fingerprint`` appends the md5 whole-document fingerprint column (the
+    exact-dup key) in the same projection — one scan instead of a separate
+    fingerprint pass."""
+    # full-whitespace trim: trim() strips only ' ', so '\ta b' would split
+    # into a phantom leading token and tab/newline-only text would count 2
+    fulltrim = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    ws = F.when(F.length(fulltrim) == 0, F.lit(0)).otherwise(
+        F.size(F.split(fulltrim, r"\s+"))
+    )
     cols = [
         F.col("doc_id"),
         ws.alias("n_ws_tokens"),
@@ -115,7 +120,14 @@ def md5_fingerprints(docs: DataFrame, prefix_len: int = 16) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BASE = 257
-_MOD = (1 << 61) - 1
+# Mersenne prime 2^31-1: every term (byte * pow < 2^8 * 2^31) and the
+# 16-term window sum (< 2^43) stay inside int64, so the vectorized
+# arithmetic computes the TRUE polynomial hash mod _MOD. A 2^61-1 modulus
+# would silently overflow int64 in the products, yielding a
+# wrap-then-mod function no independent reimplementation of the
+# documented hash could reproduce (pinned by the big-int differential
+# test in tests/test_chunk_fps.py).
+_MOD = (1 << 31) - 1
 _WINDOW = 16
 _CHUNK_MASK = (1 << 6) - 1  # ~64-byte expected chunk length
 

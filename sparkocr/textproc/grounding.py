@@ -59,10 +59,16 @@ DEFAULT_H = 1650
 # to literal_eval. Skips ast's parse+compile (~40% of grounding time).
 _INT = r"(?:0|[1-9]\d*)"
 _BOX = rf"\[\s*{_INT}\s*,\s*{_INT}\s*,\s*{_INT}\s*,\s*{_INT}\s*\]"
+# re.ASCII: unicode \s/\d would admit NBSP whitespace and e.g. Arabic-Indic
+# digits (which int() happily parses) that literal_eval — and the
+# reference's eval — reject as SyntaxError; the fast path must never
+# accept what the fallback rejects
 _FAST_COORDS_RE = re.compile(
-    rf"^\s*\[\s*{_BOX}(?:\s*,\s*{_BOX})*(?:\s*,)?\s*\]\s*$"
+    rf"^\s*\[\s*{_BOX}(?:\s*,\s*{_BOX})*(?:\s*,)?\s*\]\s*$", re.ASCII
 )
-_BOX_RE = re.compile(r"\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]")
+_BOX_RE = re.compile(
+    r"\[\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\]", re.ASCII
+)
 
 
 def parse_bbox(coords_text: str, width: int = DEFAULT_W, height: int = DEFAULT_H):

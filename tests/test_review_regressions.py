@@ -329,3 +329,64 @@ def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
     assert capped.count() == 0  # hot shingle excluded -> no candidates
     uncapped = jaccard_pairs(docs, k=8, threshold=0.0, df_max=None)
     assert uncapped.count() == 12 * 11 // 2  # every pair shares the prefix
+
+
+def test_parse_bbox_fast_path_rejects_unicode_digits_and_whitespace():
+    # literal_eval (and the reference's eval) raise SyntaxError on NBSP
+    # whitespace and non-ASCII digits; the fast path must not accept them
+    assert grounding.parse_bbox("[[1,2,3,4]] ") is None
+    assert grounding.parse_bbox("[[1٢,2,3,4]]") is None  # Arabic-Indic 2
+    assert grounding.parse_bbox("[[1,2,3,4]]") == [
+        [int(1 / 999 * 1275), int(2 / 999 * 1650),
+         int(3 / 999 * 1275), int(4 / 999 * 1650)]
+    ]
+
+
+def test_asof_join_ignores_null_right_times(spark):
+    """A right row with NULL time must never match (right_time <= left_time
+    is never true for null) — NULLS FIRST ordering would otherwise carry it
+    to every left row before the first real right row."""
+    import datetime as dt
+
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    t = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t, 1)], "k string, lt timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 99), ("k", t + dt.timedelta(days=1), 100)],
+        "k string, rt timestamp, rid int",
+    )
+    out = asof_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        right_cols=["rid"],
+    ).collect()
+    # the only non-null right row is AFTER the left row; the null-time row
+    # must not be fabricated as a match
+    assert len(out) == 1 and out[0].rid_asof is None
+
+
+def test_similarity_tolerates_null_embeddings(spark):
+    """One null embedding row must not crash the bucketed ANN paths — the
+    brute-force path nulls it; the LSH/IVF paths zero it."""
+    from sparkocr.pipeline.similarity import embedding_near_dups, lsh_topk
+
+    rows = [(0, [1.0] * 8), (1, None), (2, [1.0] * 8), (3, [0.5] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = lsh_topk(emb, [1.0] * 8, k=3, n_planes=6)
+    ids = [r.vec_id for r in top.collect()]
+    assert 0 in ids and 2 in ids
+    dups = embedding_near_dups(emb, threshold=0.9, n_planes=6).collect()
+    assert {(r.id1, r.id2) for r in dups} == {(0, 2)}
+
+
+def test_token_counts_whitespace_only_and_edges(spark):
+    from sparkocr.pipeline.textstats import token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "   \n\t  "), (1, "\ta b"), (2, ""), (3, "one two")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_ws_tokens for r in token_counts(docs).collect()}
+    assert got == {0: 0, 1: 2, 2: 0, 3: 2}
