@@ -54,11 +54,14 @@ def pipeline_metrics(turns: DataFrame) -> DataFrame:
     partial aggregate, so the two branches have an identical child subtree
     and Spark reuses its shuffle exchange (ReusedExchange) — the upstream
     extraction runs once, where separate mode_metrics + conversation_skew
-    calls would each recompute it. Excludes the approximate percentile
-    columns (no exact oracle); use conversation_skew for those."""
+    calls would each recompute it. Carries every exact mode_metrics
+    counter (truncation, repeat flags, errors, chars); only the
+    approximate percentile columns are excluded (no exact oracle) — use
+    conversation_skew for those."""
     base = turns.groupBy("conv_id", "tool").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_truncated").cast("int")).alias("n_trunc"),
+        F.sum(F.col("has_repeat").cast("int")).alias("n_rep"),
         F.sum((F.col("error").isNotNull()).cast("int")).alias("n_err"),
         F.sum("n_chars_in").alias("sum_in"),
         F.sum("n_chars_out").alias("sum_out"),
@@ -66,6 +69,7 @@ def pipeline_metrics(turns: DataFrame) -> DataFrame:
     mm = base.groupBy("tool").agg(
         F.sum("n").alias("n_turns"),
         F.sum("n_trunc").alias("n_truncated"),
+        F.sum("n_rep").alias("n_repeat_flagged"),
         F.sum("n_err").alias("n_errors"),
         F.sum("sum_in").alias("chars_in"),
         F.sum("sum_out").alias("chars_out"),

@@ -65,20 +65,20 @@ def decode_image_real(payload: bytes, meta: dict):  # pragma: no cover
 
 
 def _fake_decode_stats(payload: bytes) -> tuple[int, float, int]:
-    """Deterministic fake decode: byte stats + rolling checksum. Stands in
+    """Deterministic fake decode: byte stats + crc32 checksum. Stands in
     for per-pixel statistics a real decoder would produce; stable across
-    runs and processes (no hash seed dependence)."""
-    if payload is None:
+    runs and processes (no hash seed dependence). All C-speed — an earlier
+    per-byte python rolling hash cost ~1 s of executor CPU per 10 MB
+    payload on the hot mapInPandas path."""
+    if not payload:
         return 0, 0.0, 0
+    import zlib
+
+    import numpy as np
+
     n = len(payload)
-    if n == 0:
-        return 0, 0.0, 0
-    total = 0
-    csum = 0
-    for b in payload:
-        total += b
-        csum = (csum * 131 + b) % (1 << 61)
-    return n, total / n, csum
+    total = int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64))
+    return n, total / n, zlib.crc32(payload)
 
 
 def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,7 +119,13 @@ def resize_plan(media: DataFrame, target: int = 640) -> DataFrame:
     pixel work on the real-codec seam."""
     w = F.col("meta.width")
     h = F.col("meta.height")
-    scale = F.least(F.lit(target) / w, F.lit(target) / h)
+    # zero/negative dims → null plan row, not a job abort: plain `/` under
+    # Spark's default ANSI mode throws DIVIDE_BY_ZERO and kills the stage
+    # on a single degenerate row (the fake-decode path tolerates h == 0
+    # the same way)
+    scale = F.when(
+        (w > 0) & (h > 0), F.least(F.lit(target) / w, F.lit(target) / h)
+    )
     return media.select(
         "media_id",
         w.alias("width"),
@@ -148,11 +154,17 @@ def sample_frames_batches(n_sample: int):
                 take = min(n_sample, nf)
                 if take <= 0 or not len(payload):
                     continue
-                frame_len = max(len(payload) // nf, 1)
+                # even-split byte bounds: frame i = payload[bounds[i]:
+                # bounds[i+1]] — every byte belongs to exactly one frame
+                # (fixed-width slicing both dropped the modulo tail and
+                # sliced past the end for nf > len, emitting phantom
+                # zero-byte frames)
+                npay = len(payload)
+                bounds = [i * npay // nf for i in range(nf + 1)]
                 for j in range(take):
                     # evenly spaced frame indices over [0, nf)
                     fi = (j * nf) // take
-                    chunk = payload[fi * frame_len : (fi + 1) * frame_len]
+                    chunk = payload[bounds[fi] : bounds[fi + 1]]
                     _, _, csum = _fake_decode_stats(chunk)
                     rows.append((media_id, fi, csum, len(chunk)))
             yield pd.DataFrame(

@@ -23,7 +23,6 @@ import ast
 import re
 
 _POINT_RE = re.compile(r"\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)")
-_LABELED_RE = re.compile(r"^\s*([^:]*?)\s*:\s*(\(.*\))\s*$")
 
 
 def _parse_point(s: str):
@@ -42,10 +41,18 @@ def _parse_segment(s: str):
 
 
 def _parse_labeled(s: str):
-    m = _LABELED_RE.match(s or "")
-    if not m:
-        return None, _parse_point(s)
-    return m.group(1), _parse_point(m.group(2))
+    """``"LABEL: (x,y)"`` → (label, point). The label is everything before
+    the first colon; the point is searched in the remainder, so trailing
+    text after the ')' (a period, units) keeps the label associated — an
+    end-anchored regex would silently drop the label while keeping the
+    point."""
+    s = s or ""
+    if ":" in s:
+        label, _, rest = s.partition(":")
+        pt = _parse_point(rest)
+        if pt is not None:
+            return label.strip(), pt
+    return None, _parse_point(s)
 
 
 def has_geometry(text: str) -> bool:

@@ -16,7 +16,8 @@ import re
 _NL_RUN = re.compile(r"\n{3,}")
 _TRAIL_WS = re.compile(r"[ \t]+(?=\n)")
 _TD_RE = re.compile(r"<td[^>]*>(.*?)</td>", re.DOTALL | re.IGNORECASE)
-_SEP_ROW = re.compile(r"^\s*\|?\s*:?-{3,}:?\s*(\|\s*:?-{3,}:?\s*)*\|?\s*$")
+# GFM delimiter rows need only ONE dash per column ('|-|-|' is valid)
+_SEP_ROW = re.compile(r"^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$")
 
 
 def normalize_markdown(text: str) -> str:
@@ -65,7 +66,12 @@ def extract_markdown(text: str):
     fenced: list[tuple[int, int]] = []  # [start, end) char ranges in norm
     fence_start = 0
     for line in norm.split("\n"):
-        fence = line.lstrip().startswith("```")
+        ls = line.lstrip()
+        # a fence DELIMITER line is backticks + info string; per CommonMark
+        # the info string cannot contain backticks, so an inline-code line
+        # like ```x``` is NOT a fence and must not toggle (it would
+        # swallow every table cell in the rest of the document)
+        fence = ls.startswith("```") and "```" not in ls[3:]
         if fence and not in_fence:
             in_fence = True
             fence_start = pos
@@ -84,6 +90,8 @@ def extract_markdown(text: str):
     for m in _TD_RE.finditer(norm):
         if any(a <= m.start(1) < b for a, b in fenced):
             continue
+        if m.end(1) == m.start(1):
+            continue  # empty <td></td>: match the pipe extractor's filter
         spans.append(
             {"start": m.start(1), "end": m.end(1), "label": "cell", "bbox": None}
         )

@@ -390,3 +390,66 @@ def test_token_counts_whitespace_only_and_edges(spark):
     )
     got = {r.doc_id: r.n_ws_tokens for r in token_counts(docs).collect()}
     assert got == {0: 0, 1: 2, 2: 0, 3: 2}
+
+
+def test_resize_plan_tolerates_zero_dims(spark):
+    # ANSI mode turns a plain division into DIVIDE_BY_ZERO: a degenerate
+    # media row must yield a null plan, not abort the stage
+    from sparkocr.pipeline.multimodal import resize_plan
+
+    media = spark.createDataFrame(
+        [(1, b"x", ("image", 0, 100, 1, "c")), (2, b"y", ("image", 200, 100, 1, "c"))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_frames:int,codec:string>",
+    )
+    rows = {r.media_id: r for r in resize_plan(media, target=640).collect()}
+    assert rows[1].scale is None and rows[1].out_w is None
+    assert rows[2].out_w == 640
+
+
+def test_inline_code_line_does_not_open_fence():
+    from sparkocr.textproc.mdtable import extract_markdown
+
+    norm, spans = extract_markdown("```code```\n| a | b |")
+    assert [norm[s["start"]:s["end"]] for s in spans] == ["a", "b"]
+
+
+def test_single_dash_separator_row_excluded():
+    from sparkocr.textproc.mdtable import extract_markdown
+
+    norm, spans = extract_markdown("| a |\n|-|\n| 1 |")
+    assert [norm[s["start"]:s["end"]] for s in spans] == ["a", "1"]
+
+
+def test_empty_td_cell_dropped_like_empty_pipe_cell():
+    from sparkocr.textproc.mdtable import extract_markdown
+
+    norm, spans = extract_markdown("<table><tr><td></td><td>x</td></tr></table>")
+    assert [norm[s["start"]:s["end"]] for s in spans] == ["x"]
+
+
+def test_geometry_label_survives_trailing_text():
+    from sparkocr.textproc.geometry import _parse_labeled
+
+    assert _parse_labeled("A: (1,2).") == ("A", (1.0, 2.0))
+    assert _parse_labeled("A: (1,2)") == ("A", (1.0, 2.0))
+    assert _parse_labeled("(1,2)") == (None, (1.0, 2.0))
+
+
+def test_sample_frames_cover_all_bytes_no_phantoms(spark):
+    from sparkocr.pipeline.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        # 3-byte payload with 8 declared frames: no phantom out-of-range
+        # slices; 10 bytes over 3 frames: the modulo tail is covered
+        [(1, b"abc", ("video", 10, 10, 8, "c")),
+         (2, b"0123456789", ("video", 10, 10, 3, "c"))],
+        "media_id long, payload binary, "
+        "meta struct<media_type:string,width:int,height:int,n_frames:int,codec:string>",
+    )
+    rows = sample_frames(media, n_sample=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.media_id, []).append(r)
+    assert sum(r.n_bytes for r in by[2]) == 10  # 3 frames all sampled, full coverage
+    assert all(r.n_bytes <= 3 for r in by[1])   # never slices past the payload
