@@ -27,14 +27,25 @@ from pyspark.sql import DataFrame, functions as F
 from sparkocr.textproc.grounding import PAGE_SPLIT as PAGE_SPLIT_SUFFIX
 
 
-def _ordered_concat(df: DataFrame, key_cols: list[str], order_col: str, text_col: str, out_col: str):
-    """groupBy(key).agg: concat(text ordered by order_col) — JVM only."""
+def _ordered_concat(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    text_col: str,
+    out_col: str,
+    extra_agg=None,
+):
+    """groupBy(key).agg: concat(text ordered by order_col) — JVM only.
+    ``extra_agg`` rides in the same aggregation (default: row count as
+    ``_n``) so callers never need a second pass over the upstream DAG."""
     pair = F.struct(F.col(order_col).alias("k"), F.col(text_col).alias("v"))
+    if extra_agg is None:
+        extra_agg = F.count(F.lit(1)).alias("_n")
     agg = df.groupBy(*key_cols).agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
         ).alias(out_col),
-        F.count(F.lit(1)).alias("_n"),
+        extra_agg,
     )
     return agg
 
@@ -59,12 +70,9 @@ def _assemble_ordered(piece: DataFrame, two_phase: bool, chunk: int) -> DataFram
     # Phase 2: merge ordered chunks per conversation; n_turns rides in the
     # same aggregation (a separate count branch would recompute the whole
     # extraction DAG upstream).
-    pair = F.struct(F.col("chunk_id").alias("k"), F.col("chunk_text").alias("v"))
-    p2 = p1.groupBy("conv_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(pair)), lambda x: x["v"]), ""
-        ).alias("doc_text"),
-        F.sum("_n").cast("int").alias("n_turns"),
+    p2 = _ordered_concat(
+        p1, ["conv_id"], "chunk_id", "chunk_text", "doc_text",
+        extra_agg=F.sum("_n").cast("int").alias("n_turns"),
     )
     return p2.select("conv_id", "n_turns", "doc_text")
 
@@ -130,7 +138,12 @@ def assemble_docs_app(
     CLI-only, app/processors.py:613-614), so every input turn is labeled."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # tie-break on the text: duplicate (conv_id, turn_idx) rows (an
+    # at-least-once upstream replaying a re-extracted turn) would
+    # otherwise get page numbers in partition-arrival order, making
+    # doc_text differ between runs — the CLI path's array_sort on
+    # struct(k, v) tie-breaks on v the same way
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", F.col(text_col))
     labeled = turns.withColumn("_jdx", F.row_number().over(w) - 1).select(
         "conv_id",
         F.col("_jdx").alias("order_k"),

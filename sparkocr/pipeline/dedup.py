@@ -25,10 +25,20 @@ N_PERM = 12  # minhash permutations
 BAND_ROWS = 3  # rows per LSH band → 4 bands
 
 
+def _dedup_key():
+    """Canonical exact-dup key: md5(text), with null-text rows keyed by
+    their own doc_id — md5(NULL) is NULL and grouping on it would collapse
+    every null-text doc into one bogus 'duplicate' group (dedup_corpus
+    would then silently drop all but one of them)."""
+    return F.coalesce(
+        F.md5("text"), F.concat(F.lit("null:"), F.col("doc_id").cast("string"))
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text): keep min doc_id as canonical."""
     return (
-        docs.select("doc_id", F.md5("text").alias("h"))
+        docs.select("doc_id", _dedup_key().alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -38,13 +48,9 @@ def dedup_corpus(docs: DataFrame) -> DataFrame:
     """The materialization step after exact_dedup: keep one canonical row
     (min doc_id) per distinct text, preserving all original columns — the
     output corpus a training pipeline actually feeds downstream. One
-    shuffle (the groupBy) + a semi-join back on the canonical key."""
-    keep = (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    shuffle (the groupBy) + a semi-join back on the canonical key (the key
+    definition lives once, in exact_dedup)."""
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     return docs.join(keep, "doc_id", "left_semi")
 
 
@@ -161,10 +167,18 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) 
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE
+    docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE,
+    bucket_max: int = 10_000,
 ) -> DataFrame:
     """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
     with estimated similarity = fraction of agreeing minhashes.
+
+    ``bucket_max`` caps band-bucket membership before the self-join: a
+    cluster of d exact/near-identical docs shares every band hash and
+    would emit n_bands·d²/2 join rows (the same hot-key quadratic
+    jaccard_pairs' df_max guards against). Members of a capped bucket
+    lose that bucket's candidates — run exact_dedup first so boilerplate
+    clusters collapse before LSH; ``bucket_max=None`` disables the cap.
 
     The signature table feeds three plan branches (bands, left/right of the
     verify join); without a cache the shingle-explode + 12-way min
@@ -172,6 +186,12 @@ def lsh_candidate_pairs(
     entry outlives the returned (lazy) DataFrame: sessions running many
     operators should ``spark.catalog.clearCache()`` after consuming the
     result (bench.py does), or executor storage accumulates."""
+    if n_perm % band_rows != 0:
+        raise ValueError(
+            f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
+            "remainder permutations would be paid for but silently dropped "
+            "from banding, changing the S-curve from the requested one"
+        )
     sig = minhash_signatures(docs, n_perm, k).cache()
     n_bands = n_perm // band_rows
     bands = sig.select(
@@ -195,6 +215,14 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
+    if bucket_max is not None:
+        small = (
+            stacked.groupBy("band_id", "bh")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= bucket_max)
+            .select("band_id", "bh")
+        )
+        stacked = stacked.join(small, ["band_id", "bh"], "left_semi")
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -261,12 +289,24 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash64()("text").alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, bucket_max: int = 10_000
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
 
     The 4-chunk pigeonhole only guarantees candidate coverage for
     ``max_hamming <= 3`` (4 differing bits can land one per chunk); a
     larger radius would silently drop qualifying pairs, so it is rejected.
+
+    ``bucket_max`` caps (chunk_id, chunk) bucket membership before the
+    self-join: a chunk value shared by d docs emits d² join rows, and a
+    16-bit chunk has only 65536 values — notably every empty/whitespace
+    doc simhashes to 0 and would land in one bucket. Members of a capped
+    bucket can still pair through their other three chunks, but the
+    pigeonhole completeness guarantee no longer covers them (standard
+    blocking trade-off; dedup exact/empty docs first).
+    ``bucket_max=None`` disables the cap.
+
     Signatures cached: both sides of the block join read them, and the
     Arrow-batched hash UDF is the expensive stage."""
     if max_hamming > 3:
@@ -290,6 +330,14 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "simhash", "e.chunk_id", "e.chunk")
+    if bucket_max is not None:
+        small = (
+            chunks.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= bucket_max)
+            .select("chunk_id", "chunk")
+        )
+        chunks = chunks.join(small, ["chunk_id", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

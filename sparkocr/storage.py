@@ -29,9 +29,16 @@ def save_turns_bucketed(
     """Persist per-turn output hash-bucketed and sorted by
     (conv_id, turn_idx): bucket pruning for point lookups, shuffle-free
     grouping for assembly, and in-bucket sort order that matches the
-    stable output ordering the golden surface requires."""
+    stable output ordering the golden surface requires.
+
+    The pre-write repartition matters: native bucketing writes one file
+    per (task, bucket) pair, so an unrepartitioned input with T tasks
+    emits up to T×n_buckets small files; repartitioning on conv_id uses
+    the same murmur3-mod assignment as the bucket spec, giving each task
+    exactly one bucket → one file per bucket."""
     (
-        turns.write.mode(mode)
+        turns.repartition(n_buckets, "conv_id")
+        .write.mode(mode)
         .bucketBy(n_buckets, "conv_id")
         .sortBy("conv_id", "turn_idx")
         .format("parquet")

@@ -94,8 +94,14 @@ def track_conversations(
     batch_rows = 0
     for pdf in pdfs:
         for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
-            t = int(turn_idx)
             batch_rows += 1
+            # file sources force-nullable the declared schema: a null
+            # turn_idx arrives as NaN and int(NaN) would crash the
+            # micro-batch, which the checkpoint then replays forever —
+            # skip the malformed row instead of crash-looping the stream
+            if turn_idx is None or turn_idx != turn_idx:
+                continue
+            t = int(turn_idx)
             if _seen(starts, ends, t):
                 continue  # replayed (or gap-absorbed) turn
             _insert(starts, ends, t)

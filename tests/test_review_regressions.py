@@ -453,3 +453,107 @@ def test_sample_frames_cover_all_bytes_no_phantoms(spark):
         by.setdefault(r.media_id, []).append(r)
     assert sum(r.n_bytes for r in by[2]) == 10  # 3 frames all sampled, full coverage
     assert all(r.n_bytes <= 3 for r in by[1])   # never slices past the payload
+
+
+def test_null_text_docs_are_not_duplicates(spark):
+    from sparkocr.pipeline.dedup import dedup_corpus, exact_dedup
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "real"), (3, "real")],
+        "doc_id long, text string",
+    )
+    groups = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
+    # md5(NULL) is NULL: without per-doc keys both null docs would
+    # collapse into one bogus duplicate group
+    assert groups[0] == 1 and groups[1] == 1 and groups[2] == 2
+    kept = sorted(r.doc_id for r in dedup_corpus(docs).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_lsh_rejects_indivisible_bands(spark):
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame([(0, "abcdefghij")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_candidate_pairs(docs, n_perm=12, band_rows=5)
+
+
+def test_lsh_bucket_cap_bounds_dup_cluster_fanout(spark):
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+
+    # 12 identical docs share every band hash: with the cap below the
+    # cluster size no candidate pairs are emitted from those buckets
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    assert lsh_candidate_pairs(docs, n_perm=4, band_rows=2, bucket_max=8).count() == 0
+    assert (
+        lsh_candidate_pairs(docs, n_perm=4, band_rows=2, bucket_max=None).count()
+        == 12 * 11 // 2
+    )
+
+
+def test_simhash_bucket_cap_bounds_empty_doc_fanout(spark):
+    from sparkocr.pipeline.dedup import simhash_near_dups
+
+    # empty docs all simhash to 0: the bucket cap keeps them from pairing
+    # quadratically
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(10)] + [(100, "some real text here")],
+        "doc_id long, text string",
+    )
+    assert simhash_near_dups(docs, bucket_max=5).count() == 0
+    assert simhash_near_dups(docs, bucket_max=None).count() == 10 * 9 // 2
+
+
+def test_app_assembly_deterministic_on_duplicate_turn_idx(spark):
+    from sparkocr.assemble import assemble_docs_app
+
+    rows = [("c", 0, "bbb"), ("c", 0, "aaa"), ("c", 1, "ccc")]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, clean_text string"
+    )
+    outs = {assemble_docs_app(turns).collect()[0].doc_text for _ in range(3)}
+    assert len(outs) == 1  # stable across runs
+    # tie-break on text: 'aaa' is page 1, 'bbb' page 2
+    assert outs.pop().index("aaa") < 80
+
+
+def test_stateful_stream_skips_null_turn_idx(spark, tmp_path):
+    import datetime as dt
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr.streaming.stateful_assembly import streaming_conversation_progress
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+         ("text", pa.string()), ("tool", pa.string()),
+         ("ts", pa.timestamp("us", tz="UTC"))]
+    )
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"conv_id": ["A", "A", "A"], "turn_idx": [0, None, 1],
+             "role": ["u"] * 3, "text": ["x", "y", "z"], "tool": ["plain"] * 3,
+             "ts": [ts] * 3},
+            schema=schema,
+        ),
+        os.path.join(d, "f0.parquet"),
+    )
+    q = (
+        streaming_conversation_progress(spark, d)
+        .writeStream.format("memory")
+        .queryName("conv_progress_null")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (row,) = spark.sql("SELECT * FROM conv_progress_null").collect()
+    # malformed row skipped, stream completes instead of crash-looping
+    assert (row.n_turns, row.batch_rows) == (2, 3)
