@@ -29,19 +29,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # the extraction surface itself is oracle-checked).
 # --------------------------------------------------------------------------
 
+def _coords():
+    """The doc-dependent det coords literal shared by every synthetic
+    grounding fixture (one definition: the three transcript builders and
+    the oracle SQL must all agree on it)."""
+    return F.concat(
+        F.lit("[["),
+        (F.col("doc_id") % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
+        (F.col("doc_id") % 999).cast("string"), F.lit(","),
+        ((F.col("doc_id") * 13) % 999).cast("string"),
+        F.lit("]]"),
+    )
+
+
 def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One grounding turn per document: a title ref with doc-dependent
     coords + the doc text + EOS for all but every 7th doc (truncation case).
     conv_id = source, turn_idx = doc_id."""
     d = _t(spark, sf_dir, "documents")
-    coords = F.concat(
-        F.lit("[["),
-        (F.col("doc_id") % 999).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
-        (F.col("doc_id") % 999 + 0).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 13) % 999).cast("string"),
-        F.lit("]]"),
-    )
+    coords = _coords()
     text = F.concat(
         F.lit("<|ref|>title<|/ref|><|det|>"), coords, F.lit("<|/det|>"),
         F.col("text"),
@@ -74,14 +81,7 @@ def _img_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface): image ref + doc text + EOS; every 5th doc additionally gets a
     repeated-text body that trips the windowed n-gram repeat detector."""
     d = _t(spark, sf_dir, "documents")
-    coords = F.concat(
-        F.lit("[["),
-        (F.col("doc_id") % 999).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
-        ((F.col("doc_id") % 999) + 0).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 13) % 999).cast("string"),
-        F.lit("]]"),
-    )
+    coords = _coords()
     body = F.when(
         F.col("doc_id") % 5 == 0, F.repeat(F.substring("text", 1, 40), 8)
     ).otherwise(F.col("text"))
@@ -480,14 +480,7 @@ def _cli_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and latex colon-eq tokens (→ the per-other-match replace chain), EOS on
     all but every 7th doc (→ SKIP_REPEAT drop)."""
     d = _t(spark, sf_dir, "documents")
-    coords = F.concat(
-        F.lit("[["),
-        (F.col("doc_id") % 999).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 7) % 999).cast("string"), F.lit(","),
-        (F.col("doc_id") % 999).cast("string"), F.lit(","),
-        ((F.col("doc_id") * 13) % 999).cast("string"),
-        F.lit("]]"),
-    )
+    coords = _coords()
     text = F.concat(
         F.lit("<|ref|>image<|/ref|><|det|>"), coords, F.lit("<|/det|>"),
         F.col("text"),

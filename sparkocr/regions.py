@@ -237,11 +237,25 @@ def label_color_map(turns: DataFrame, seed: int = 42) -> DataFrame:
 
 
 def _match_starts(needle: str):
-    """Array column of 0-based match offsets of ``needle`` in clean_text.
+    """Array column of 0-based match offsets of ``needle`` in clean_text,
+    OVERLAPPING occurrences included (position-scan semantics: 'abab' in
+    'ababab' matches at 0 AND 2).
 
-    JVM-only: split on the literal needle (k matches → k+1 parts), then a
-    linear fold over the first k parts accumulates (match offsets, running
-    position) — no Python UDF."""
+    JVM-only, two strategies: a needle with no proper border (no prefix
+    that is also a suffix) cannot self-overlap, so the cheap split fold —
+    O(matches) — is exact; a self-overlapping needle falls back to
+    position enumeration (an L-element array per row — activated only for
+    bordered needles, where split would silently skip offsets inside
+    earlier matches)."""
+    n = len(needle)
+    if any(needle[:k] == needle[-k:] for k in range(1, n)):
+        return F.when(
+            F.length("clean_text") >= n,
+            F.filter(
+                F.sequence(F.lit(0), F.length("clean_text") - n),
+                lambda i: F.col("clean_text").substr(i + 1, F.lit(n)) == needle,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
     lit = F.lit(needle)
     parts = F.split("clean_text", _re_escape(needle), -1)
     zero = F.struct(

@@ -35,12 +35,14 @@ from html import unescape
 DROP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "iframe"})
 # Classic boilerplate containers: their blocks are down-weighted.
 BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
-# Tags that open a new text block.
+# Tags that open a new text block. <br> is NOT one: it is a line break —
+# splitting at it would score each short line as its own (droppable)
+# block, so both <br> and <br/> join with a space instead.
 BLOCK_TAGS = frozenset(
     {
         "p", "div", "article", "section", "main", "body", "li", "td", "th",
         "h1", "h2", "h3", "h4", "h5", "h6", "pre", "blockquote", "table",
-        "ul", "ol", "tr", "figure", "figcaption", "br", "hr",
+        "ul", "ol", "tr", "figure", "figcaption", "hr",
     }
 )
 
@@ -86,9 +88,18 @@ _MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")
 _MS_MARKED_CLOSE = re.compile(r"\]\s*>")
 
 # HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode, no
-# tag events) until the matching close tag.
+# tag events) until a close tag whose NAME equals the element — the
+# lookahead rejects '</scriptx' (HTMLParser parses the full end-tag name
+# and stays in CDATA mode on mismatch, emitting it as data).
 _RAWTEXT = ("script", "style")
-_RAWTEXT_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT}
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}(?![-.a-zA-Z0-9:_])", re.IGNORECASE)
+    for t in _RAWTEXT
+}
+
+# HTMLParser's comment close is '--\s*>' (whitespace allowed), not the
+# literal '-->'
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 # events: 0=start 1=end 2=startend 3=data 4=abort (HTMLParser raised: the
 # collector's try/except keeps only already-flushed blocks, no final flush)
@@ -142,14 +153,14 @@ def _iter_events(html: str):
             pos = m.end()
             continue
         if g == "comment":
-            e = find("-->", m.end())
-            if e < 0:
+            mm = _COMMENT_CLOSE.search(html, m.end())
+            if mm is None:
                 # incomplete construct at EOF: goahead(1)'s fallback emits
                 # the RAW slice up to the next '>' (or '<', or one char)
                 # and resumes parsing after it
                 pos = yield from _incomplete(html, lt)
                 continue
-            pos = e + 3
+            pos = mm.end()
             continue
         if g == "marked":
             # <![keyword ... : _markupbase semantics — ']]>' close for
@@ -217,6 +228,66 @@ def flatten_blocks(html: str) -> list[dict]:
         cur_parts = []
         cur_link_chars = 0
 
+    head_drop = 0  # open <head> drops, implicitly closable at <body>
+
+    def on_start(tag):
+        nonlocal drop_depth, boiler_depth, article_depth, link_depth
+        nonlocal cur_tag, head_drop
+        if tag == "body" and head_drop:
+            # HTML5 tag omission: <body> implies </head> — without this a
+            # document omitting </head> drops its entire body
+            drop_depth = max(0, drop_depth - head_drop)
+            head_drop = 0
+        if tag in DROP_TAGS:
+            drop_depth += 1
+            if tag == "head":
+                head_drop += 1
+            return
+        if drop_depth:
+            return
+        if tag == "br":
+            cur_parts.append(" ")  # line break, not a block boundary
+            return
+        if tag in BLOCK_TAGS:
+            flush()
+            cur_tag = tag
+        if tag in BOILER_TAGS:
+            # boiler containers are block boundaries too: pending OUTER
+            # text must flush before the depth rises, or bare text inside
+            # nav/footer (no inner block tag) would be attributed to
+            # whatever flush comes after the container closes and escape
+            # the boilerplate filter
+            flush()
+            boiler_depth += 1
+        if tag in ("article", "main"):
+            article_depth += 1
+        if tag == "a":
+            link_depth += 1
+
+    def on_end(tag):
+        nonlocal drop_depth, boiler_depth, article_depth, link_depth
+        nonlocal cur_tag, head_drop
+        if tag in DROP_TAGS:
+            drop_depth = max(0, drop_depth - 1)
+            if tag == "head" and head_drop:
+                head_drop -= 1
+            return
+        if drop_depth:
+            return
+        if tag in BLOCK_TAGS:
+            flush()
+            # text AFTER a closing block tag belongs to the enclosing
+            # context, not the closed tag — without this reset, junk
+            # after </h1> would inherit the heading's keep-exemption
+            cur_tag = "body"
+        if tag in BOILER_TAGS:
+            flush()  # text inside the container flushes while boiler > 0
+            boiler_depth = max(0, boiler_depth - 1)
+        if tag in ("article", "main"):
+            article_depth = max(0, article_depth - 1)
+        if tag == "a":
+            link_depth = max(0, link_depth - 1)
+
     for event, payload in _iter_events(html):
         if event == _DATA:
             if drop_depth or not payload:
@@ -229,43 +300,17 @@ def flatten_blocks(html: str) -> list[dict]:
             # pending partial block does not (close() never ran)
             return blocks
         elif event == _START:
-            tag = payload
-            if tag in DROP_TAGS:
-                drop_depth += 1
-                continue
-            if drop_depth:
-                continue
-            if tag in BLOCK_TAGS:
-                flush()
-                cur_tag = tag
-            if tag in BOILER_TAGS:
-                boiler_depth += 1
-            if tag in ("article", "main"):
-                article_depth += 1
-            if tag == "a":
-                link_depth += 1
+            on_start(payload)
         elif event == _END:
-            tag = payload
-            if tag in DROP_TAGS:
-                drop_depth = max(0, drop_depth - 1)
-                continue
-            if drop_depth:
-                continue
-            if tag in BLOCK_TAGS:
-                flush()
-                # text AFTER a closing block tag belongs to the enclosing
-                # context, not the closed tag — without this reset, junk
-                # after </h1> would inherit the heading's keep-exemption
-                cur_tag = "body"
-            if tag in BOILER_TAGS:
-                boiler_depth = max(0, boiler_depth - 1)
-            if tag in ("article", "main"):
-                article_depth = max(0, article_depth - 1)
-            if tag == "a":
-                link_depth = max(0, link_depth - 1)
-        else:  # _STARTEND
+            on_end(payload)
+        else:  # _STARTEND: HTMLParser's default is starttag-then-endtag;
+            # <br/> stays a plain space like <br>
             if payload == "br":
-                cur_parts.append(" ")
+                if not drop_depth:
+                    cur_parts.append(" ")
+            else:
+                on_start(payload)
+                on_end(payload)
     flush()
     return blocks
 

@@ -19,7 +19,9 @@ from sparkocr.textproc.htmlmain import (
 
 
 class _RefCollector(HTMLParser):
-    """The original html.parser implementation, verbatim — the oracle."""
+    """html.parser-driven implementation of the CURRENT collector
+    semantics — the tokenization oracle (the collector logic itself is
+    mirrored line-for-line from flatten_blocks)."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -31,6 +33,7 @@ class _RefCollector(HTMLParser):
         self._cur_parts = []
         self._cur_link_chars = 0
         self._cur_tag = "body"
+        self._head_drop = 0
 
     def _flush(self):
         raw = "".join(self._cur_parts)
@@ -50,15 +53,24 @@ class _RefCollector(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
+        if tag == "body" and self._head_drop:
+            self._drop_depth = max(0, self._drop_depth - self._head_drop)
+            self._head_drop = 0
         if tag in DROP_TAGS:
             self._drop_depth += 1
+            if tag == "head":
+                self._head_drop += 1
             return
         if self._drop_depth:
+            return
+        if tag == "br":
+            self._cur_parts.append(" ")
             return
         if tag in BLOCK_TAGS:
             self._flush()
             self._cur_tag = tag
         if tag in BOILER_TAGS:
+            self._flush()
             self._boiler_depth += 1
         if tag in ("article", "main"):
             self._article_depth += 1
@@ -69,6 +81,8 @@ class _RefCollector(HTMLParser):
         tag = tag.lower()
         if tag in DROP_TAGS:
             self._drop_depth = max(0, self._drop_depth - 1)
+            if tag == "head" and self._head_drop:
+                self._head_drop -= 1
             return
         if self._drop_depth:
             return
@@ -76,6 +90,7 @@ class _RefCollector(HTMLParser):
             self._flush()
             self._cur_tag = "body"
         if tag in BOILER_TAGS:
+            self._flush()
             self._boiler_depth = max(0, self._boiler_depth - 1)
         if tag in ("article", "main"):
             self._article_depth = max(0, self._article_depth - 1)
@@ -84,7 +99,11 @@ class _RefCollector(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         if tag.lower() == "br":
-            self._cur_parts.append(" ")
+            if not self._drop_depth:
+                self._cur_parts.append(" ")
+            return
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def handle_data(self, data):
         if self._drop_depth or not data:
@@ -158,6 +177,15 @@ CASES = [
     "<p>flushed before</p><![weird stuff]><p>never reached</p>",
     # unterminated constructs resume after the goahead fallback
     "<p>x</p><!-- broken > <div>real tag after fallback</div>",
+    # whitespace-tolerant comment close, rawtext name boundary, implied
+    # </head>, bare text in boiler containers, br-separated short lines
+    "a<!-- c -- >b<p>paragraph of real prose content goes here ok</p>",
+    "<script>var a = 1; </scriptx> more</script><p>after prose here</p>",
+    "<html><head><title>t</title><body><p>body prose long enough to keep</p></body></html>",
+    "<body><p>Main article body text long enough to keep.</p>"
+    "<footer>Copyright 2026 Acme Corporation, all rights reserved worldwide.</footer></body>",
+    "<body><p>line one is short<br>line two is short<br>line three is short</p></body>",
+    "<div><hr/>after self-closing rule prose text</div>",
     "<p>x</p><![CDATA[ no close > <p>resumed paragraph prose here</p>",
     "<p>x</p><div foo",
 ]

@@ -557,3 +557,46 @@ def test_stateful_stream_skips_null_turn_idx(spark, tmp_path):
     (row,) = spark.sql("SELECT * FROM conv_progress_null").collect()
     # malformed row skipped, stream completes instead of crash-looping
     assert (row.n_turns, row.batch_rows) == (2, 3)
+
+
+def test_html_bare_boiler_text_dropped_and_body_survives_unclosed_head():
+    from sparkocr.textproc.htmlmain import extract_html_main
+
+    # bare text in <footer> (no inner block tag) must carry the boiler flag
+    text, _ = extract_html_main(
+        "<body><p>Main article body text long enough to keep.</p>"
+        "<footer>Copyright 2026 Acme Corporation, all rights reserved.</footer></body>"
+    )
+    assert "Main article body" in text and "Copyright" not in text
+    # HTML5 tag omission: <body> implies </head>
+    text, _ = extract_html_main(
+        "<html><head><title>t</title><body>"
+        "<p>body prose long enough to keep for sure ok</p></body></html>"
+    )
+    assert "body prose" in text
+    # <br>-separated short lines join into one scored block
+    text, _ = extract_html_main(
+        "<body><p>line one is short<br>line two is short<br>also short</p></body>"
+    )
+    assert "line one is short line two is short also short" == text
+
+
+def test_locate_counts_overlapping_matches(spark):
+    from pyspark.sql import functions as F
+
+    from sparkocr.regions import locate
+
+    turns = spark.createDataFrame(
+        [("c", 0, "ababab"), ("c", 1, "xx"), ("c", 2, "")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    got = sorted(
+        (r.turn_idx, r.match_start) for r in locate(turns, "abab").collect()
+    )
+    # position-scan semantics: overlapping occurrences both count
+    assert got == [(0, 0), (0, 2)]
+    # non-self-overlapping needles keep the cheap split-fold path
+    got2 = sorted(
+        (r.turn_idx, r.match_start) for r in locate(turns, "ab").collect()
+    )
+    assert got2 == [(0, 0), (0, 2), (0, 4)]
