@@ -587,8 +587,11 @@ def q_segment_customer_coverage(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     totals = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    # no broadcast hint: customer is data-sized (unlike nation/region) —
+    # a forced broadcast would OOM at scale; AQE picks broadcast when the
+    # side is actually small
     ordering = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
