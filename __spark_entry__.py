@@ -921,7 +921,11 @@ def q_embedding_label_stats(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     from sparkocr.pipeline.similarity import embedding_near_dups
 
-    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    # threshold 0.3 (not the production-ish 0.9 default): the synthetic
+    # random embeddings have no cosine>=0.9 pairs at any SF, and a
+    # zero-row result would make the value check vacuous — 0.3 yields
+    # real bucketed pairs for the oracle to verify
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 # --------------------------------------------------------------------------
@@ -1056,6 +1060,35 @@ def _vision_tokens_sql() -> str:
                END AS n_vision_tokens
         FROM chosen
     """
+
+
+def _lsh_sig_sql(col: str, n_planes: int = 12, dim: int = 64) -> str:
+    """SQL bit-packed random-hyperplane signature of ``col`` (a DOUBLE[]
+    expression): the seeded planes are deterministic, so they embed as
+    literals and DuckDB replays the exact signature the Arrow-batched UDF
+    computes. Verified empirically: zero sign disagreements across every
+    SF (min |dot| margin ~5e-5, float-rounding noise ~1e-13)."""
+    from sparkocr.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({col}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cosine_guard_sql(a: str, b: str) -> str:
+    """NaN-safe cosine: DuckDB sorts/compares NaN ABOVE every double, so an
+    unguarded zero vector would pass >= thresholds and hijack top-k; null
+    instead, mirroring the Spark side's zero-norm guard."""
+    return (
+        f"CASE WHEN list_dot_product({a}, {a}) > 0 "
+        f"AND list_dot_product({b}, {b}) > 0 "
+        f"THEN round(list_cosine_similarity({a}, {b}), 6) END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1556,14 +1589,71 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10
         """,
+        "ann_lsh_topk": f"""
+            -- hyperplane signatures replayed with literal planes; probe =
+            -- hamming <= 2 of the query's signature, exact cosine inside
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            sig AS (SELECT vec_id, embedding,
+                           {_lsh_sig_sql("embedding::DOUBLE[]")} AS s
+                    FROM embeddings),
+            qs AS (SELECT {_lsh_sig_sql("qv")} AS s FROM q)
+            SELECT vec_id,
+                   {_cosine_guard_sql("embedding::DOUBLE[]", "(SELECT qv FROM q)")}
+                       AS cosine
+            FROM sig, qs
+            WHERE bit_count(xor(sig.s::BIGINT, qs.s::BIGINT)) <= 2
+            ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            -- centroids = the 16 lowest-vec_id embeddings (the Spark
+            -- coarse quantizer); cell = argmin squared L2 (tie: lowest
+            -- cell), probe = 4 cells nearest the query, exact cosine
+            WITH cents AS (SELECT vec_id AS cell_id,
+                                  embedding::DOUBLE[] AS cv
+                           FROM embeddings WHERE vec_id < 16),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            probe AS (SELECT cell_id FROM cents, q
+                      ORDER BY list_dot_product(qv, qv)
+                               - 2.0 * list_dot_product(qv, cv)
+                               + list_dot_product(cv, cv), cell_id
+                      LIMIT 4),
+            celled AS (SELECT vec_id, embedding FROM (
+                SELECT e.vec_id, e.embedding, c.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+                           + list_dot_product(c.cv, c.cv), c.cell_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+                WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM probe))
+            SELECT vec_id,
+                   {_cosine_guard_sql("embedding::DOUBLE[]", "(SELECT qv FROM q)")}
+                       AS cosine
+            FROM celled
+            ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10
+        """,
+        "embedding_near_dups": f"""
+            -- full-signature buckets (hamming 0) then exact cosine >= 0.3
+            -- (the synthetic embeddings have no 0.9 pairs; 0.3 keeps the
+            -- value check non-vacuous)
+            WITH sig AS (SELECT vec_id, embedding,
+                                {_lsh_sig_sql("embedding::DOUBLE[]")} AS s
+                         FROM embeddings)
+            SELECT id1, id2, cosine FROM (
+                SELECT a.vec_id AS id1, b.vec_id AS id2,
+                       {_cosine_guard_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+                           AS cosine
+                FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
         "embedding_label_stats": """
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
                                                    embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
         """,
-        # doc_chunk_fps, doc_simhash_pairs, ann_lsh_topk, ann_ivf_topk,
-        # media_frame_sample, embedding_near_dups: no SQL analog (numpy
-        # hashing / LSH-IVF recall<1 / overflow-safe checksum fold) →
-        # driver records rows-only checks.
+        # doc_chunk_fps, doc_simhash_pairs, media_frame_sample: no SQL
+        # analog (rolling-hash / md5-bit numpy hashing, crc32 frame
+        # checksums) → driver records rows-only checks.
     }
