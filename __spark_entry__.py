@@ -836,6 +836,7 @@ def q_doc_lang_id(spark, sf_dir):
 
 
 def q_doc_chunk_fps(spark, sf_dir):
+    # chunk count + first fingerprint, oracle-replayed positionally
     from sparkocr.pipeline.textstats import chunk_fingerprints
 
     return chunk_fingerprints(_t(spark, sf_dir, "documents")).select(
@@ -846,7 +847,9 @@ def q_doc_chunk_fps(spark, sf_dir):
 def q_doc_simhash_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import simhash_near_dups
 
-    # 3 = the largest radius the 4-chunk blocking covers completely
+    # 3 = the largest radius the 4-chunk blocking covers completely —
+    # which is exactly what lets the oracle verify it against the
+    # brute-force all-pairs hamming definition
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -872,8 +875,8 @@ def q_media_decode_resize(spark, sf_dir):
 
 
 def q_media_frame_sample(spark, sf_dir):
-    # frame checksums come from the deterministic fake codec (not
-    # SQL-expressible without overflow-safe fold) -> rows-only check
+    # even-split frame slices + md5-prefix checksums, fully replayed by
+    # the SQL oracle (frame bytes are the ASCII payload text)
     from sparkocr.pipeline.multimodal import sample_frames, synth_media
 
     return sample_frames(synth_media(_t(spark, sf_dir, "documents")), n_sample=4)
@@ -1078,6 +1081,71 @@ def _lsh_sig_sql(col: str, n_planes: int = 12, dim: int = 64) -> str:
             f"CASE WHEN list_dot_product({col}, {lit}) > 0 THEN {1 << i} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql() -> str:
+    """CTE computing each doc's 64-bit SimHash exactly as
+    ``_simhash64_impl`` does: whitespace tokens, token hash = first 8
+    md5-digest bytes as uint64, per-bit majority vote, packed into a
+    SIGNED int64 (bit 63 contributes the int64 minimum, matching numpy's
+    uint64→int64 wrap)."""
+    votes = ", ".join(
+        # cast each bit to signed BEFORE the -1: the expression would
+        # otherwise stay UBIGINT and underflow on 0 - 1
+        f"sum(2 * ((h >> {j}) & 1)::BIGINT - 1) AS v{j}" for j in range(64)
+    )
+    low_bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63)
+    )
+    sig = (
+        f"(CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END "
+        f"+ ({low_bits}))"
+    )
+    return f"""
+        toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t.tok), 1, 16))::UBIGINT AS h
+            FROM documents,
+                 unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS t(tok)),
+        votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+        sigs AS (
+            SELECT d.doc_id, coalesce({sig}, 0)::BIGINT AS sig
+            FROM documents d LEFT JOIN votes v USING (doc_id))
+    """
+
+
+def _chunk_fps_sql() -> str:
+    """SQL replay of the rolling-hash content-defined chunker for the
+    columns the entry exposes (chunk count + first fingerprint): windowed
+    polynomial base 257 mod 2^31-1 over the ASCII bytes (each 16-term
+    window sum < 2^44, safe in BIGINT), boundary where the low 6 bits are
+    all ones. Position bound 4096 exceeds every fixture text length
+    (max 577)."""
+    from sparkocr.pipeline.textstats import _BASE, _CHUNK_MASK, _MOD, _WINDOW
+
+    terms = " + ".join(
+        # ::BIGINT before the multiply: ord() is INT32 and byte * 2^31-ish
+        # power overflows 32 bits
+        f"ord(substr(text, i + {k + 1}, 1))::BIGINT * {pow(_BASE, _WINDOW - 1 - k, _MOD)}"
+        for k in range(_WINDOW)
+    )
+    return f"""
+        pos AS (
+            SELECT doc_id, text, r.range::INT AS i
+            FROM documents, range(0, 4096) r
+            WHERE length(text) >= {_WINDOW}
+              AND r.range <= length(text) - {_WINDOW}),
+        cuts AS (
+            SELECT doc_id, i + {_WINDOW} AS cut
+            FROM pos
+            WHERE (({terms}) % {_MOD}) & {_CHUNK_MASK} = {_CHUNK_MASK}),
+        cagg AS (
+            SELECT c.doc_id, min(c.cut) AS first_cut,
+                   count(*) FILTER (WHERE c.cut < length(d.text)) AS n_cuts
+            FROM cuts c JOIN documents d USING (doc_id)
+            GROUP BY c.doc_id)
+    """
 
 
 def _cosine_guard_sql(a: str, b: str) -> str:
@@ -1589,6 +1657,54 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 10
         """,
+        "doc_chunk_fps": f"""
+            -- content-defined chunk boundaries replayed positionally;
+            -- first chunk = text up to the first cut (whole text when no
+            -- cut or text shorter than the window)
+            WITH {_chunk_fps_sql()}
+            SELECT d.doc_id,
+                   (CASE WHEN length(d.text) < 16 THEN 1
+                         ELSE coalesce(c.n_cuts, 0) + 1 END)::INT AS n_chunks,
+                   substr(md5(CASE WHEN c.first_cut IS NULL THEN d.text
+                                   ELSE substr(d.text, 1, c.first_cut) END),
+                          1, 12) AS first_fp
+            FROM documents d LEFT JOIN cagg c USING (doc_id)
+        """,
+        "doc_simhash_pairs": f"""
+            -- brute-force hamming <= 3 over SQL-replayed simhashes: the
+            -- 4-chunk blocking is COMPLETE for radius 3 (pigeonhole), so
+            -- the blocked Spark result equals this exhaustive definition
+            WITH {_simhash_sql()}
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   bit_count(xor(a.sig, b.sig))::INT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "media_frame_sample": """
+            -- even-split byte bounds per frame, evenly sampled indices
+            -- (j*nf)//take, 60-bit md5-prefix checksum per slice — the
+            -- exact fake-codec arithmetic (payload = ASCII text bytes)
+            WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7 + 2)
+                            ELSE 1 END AS nf,
+                       length(text) AS n
+                FROM documents),
+            s AS (SELECT *, least(4, nf) AS take FROM m),
+            f AS (
+                SELECT media_id, text, nf, n,
+                       ((r.range * nf) // take)::INT AS frame_idx
+                FROM s, range(0, 4) r WHERE r.range < take)
+            SELECT media_id, frame_idx,
+                   CASE WHEN e > b THEN
+                        ('0x' || substr(md5(substr(text, b + 1, e - b)), 1, 15))::BIGINT
+                        ELSE 0 END AS frame_checksum,
+                   (e - b)::INT AS n_bytes
+            FROM (SELECT media_id, text, frame_idx,
+                         (frame_idx * n) // nf AS b,
+                         ((frame_idx + 1) * n) // nf AS e
+                  FROM f)
+        """,
         "ann_lsh_topk": f"""
             -- hyperplane signatures replayed with literal planes; probe =
             -- hamming <= 2 of the query's signature, exact cosine inside
@@ -1653,7 +1769,4 @@ def oracle_sql() -> dict[str, str]:
                                                    embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
         """,
-        # doc_chunk_fps, doc_simhash_pairs, media_frame_sample: no SQL
-        # analog (rolling-hash / md5-bit numpy hashing, crc32 frame
-        # checksums) → driver records rows-only checks.
     }

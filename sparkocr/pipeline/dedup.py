@@ -247,7 +247,7 @@ def lsh_candidate_pairs(
 
 
 # --------------------------------------------------------------------------
-# SimHash (64-bit) — Arrow-batched numpy; rows-only oracle
+# SimHash (64-bit) — Arrow-batched numpy; oracle-verified via brute hamming
 # --------------------------------------------------------------------------
 
 

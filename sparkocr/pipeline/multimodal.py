@@ -65,20 +65,22 @@ def decode_image_real(payload: bytes, meta: dict):  # pragma: no cover
 
 
 def _fake_decode_stats(payload: bytes) -> tuple[int, float, int]:
-    """Deterministic fake decode: byte stats + crc32 checksum. Stands in
-    for per-pixel statistics a real decoder would produce; stable across
-    runs and processes (no hash seed dependence). All C-speed — an earlier
-    per-byte python rolling hash cost ~1 s of executor CPU per 10 MB
-    payload on the hot mapInPandas path."""
+    """Deterministic fake decode: byte stats + a 60-bit md5-prefix
+    checksum. Stands in for per-pixel statistics a real decoder would
+    produce; stable across runs and processes (no hash seed dependence),
+    engine-portable (any SQL engine with md5 replays it — DuckDB has no
+    crc32), and C-speed — an earlier per-byte python rolling hash cost
+    ~1 s of executor CPU per 10 MB payload on the hot mapInPandas path."""
     if not payload:
         return 0, 0.0, 0
-    import zlib
+    import hashlib
 
     import numpy as np
 
     n = len(payload)
     total = int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64))
-    return n, total / n, zlib.crc32(payload)
+    csum = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return n, total / n, csum
 
 
 def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
