@@ -72,6 +72,10 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
+    # full coverage reached in round 2: every entry is value-checked —
+    # a new entry without an oracle silently downgrades to rows-only,
+    # so adding one must be a deliberate (test-updating) decision
+    assert set(ORACLES) == set(QUERIES)
 
 
 def test_catalog_fits_driver_check_cap():
