@@ -3,8 +3,8 @@
 ``entry(spark)`` — flagship extraction DAG on sf0.001.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data-pipeline operators), each ``(spark, sf_dir) -> DataFrame``.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (omitted only for
-genuinely non-SQL-expressible ops; the driver then records rows-only).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents, one per entry
+(full coverage: every catalog query is value-checked).
 
 Column names are aliased identically on both sides (the driver hashes
 values after sorting columns by name).
@@ -902,8 +902,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    # IVF probe: recall < 1 by design -> rows-only driver check; pytest
-    # asserts recall against brute force instead
+    # IVF probe: recall < 1 by design vs brute force (pytest asserts the
+    # recall); the oracle replays the same cell assignment + probe, so the
+    # probed result itself is value-checked exactly
     from sparkocr.pipeline.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)

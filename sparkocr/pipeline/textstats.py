@@ -116,7 +116,7 @@ def md5_fingerprints(docs: DataFrame, prefix_len: int = 16) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Rolling-hash content-defined chunk fingerprints (Rabin-Karp style):
-# Arrow-batched numpy, no per-row Python UDF; no SQL analog (rows-only check)
+# Arrow-batched numpy, no per-row Python UDF; oracle replays it positionally
 # --------------------------------------------------------------------------
 
 _BASE = 257
