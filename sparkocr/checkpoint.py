@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -70,6 +71,9 @@ class BucketManifest:
     rows_out: int
     extractor_version: str
     status: str = "complete"
+
+
+_MANIFEST_NAME_RE = re.compile(r"^bucket=(\d+)\.json(\.tmp)?$")
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -187,12 +191,17 @@ def run_extract_job(
     live = set(fps)
     for st in fs.globStatus(glob_path) or []:
         name = st.getPath().getName()
-        if name.endswith(".json.tmp"):
-            b = int(name[len("bucket=") : -len(".json.tmp")])
+        # strict name check: the glob also matches strays like
+        # bucket=3.json.bak or editor backups — skip them instead of
+        # aborting the whole job on int()
+        nm = _MANIFEST_NAME_RE.match(name)
+        if nm is None:
+            continue
+        b = int(nm.group(1))
+        if nm.group(2):  # .tmp suffix
             if b not in live:
                 fs.delete(st.getPath(), False)  # orphaned publish attempt
             continue
-        b = int(name[len("bucket=") : -len(".json")])
         if b not in live:
             # bucket VANISHED from the input (all rows deleted): drop its
             # stale manifest + data — neither pending nor skipped, and

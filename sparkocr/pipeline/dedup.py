@@ -17,7 +17,7 @@ band is hot; shingle explosion multiplies rows ~n_chars/stride so we shingle
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 SHINGLE = 8  # character shingle width
@@ -100,9 +100,53 @@ def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
 DF_MAX = 1000  # default document-frequency cap on candidate-join shingles
 
 
+def _observe_cap(
+    counts: DataFrame, n_col: str, cap: int, obs: Observation | None
+) -> DataFrame:
+    """Attach cap-drop metrics to a bucket/df-counts node.
+
+    The caps in this module silently drop hot buckets from the candidate
+    join; without a counter the resulting under-count is invisible at
+    scale. When ``obs`` (a fresh ``pyspark.sql.Observation`` — one per
+    call, Spark forbids reuse) is passed, the SAME action that consumes
+    the operator's output also materializes, at zero extra cost:
+
+    - ``capped_buckets``: how many buckets/shingles exceeded the cap
+    - ``capped_rows``: total membership of those buckets (the d in the
+      avoided d² join blow-up — the magnitude of what was dropped)
+    """
+    if obs is None:
+        return counts
+    over = F.col(n_col) > F.lit(cap)
+    return counts.observe(
+        obs,
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("capped_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col(n_col))), F.lit(0)).alias("capped_rows"),
+    )
+
+
+def cap_metrics_get(obs: Observation) -> dict | None:
+    """Read a ``cap_metrics`` Observation safely.
+
+    When AQE empty-relation propagation collapses the operator's output
+    (e.g. every candidate was capped away), the CollectMetrics node is
+    pruned from the re-optimized plan and Spark publishes an EMPTY
+    schema-less row — ``Observation.get`` then dies in ``toPyRow`` with a
+    bare ``AssertionError`` (observed on PySpark 4.1). Returns ``None``
+    for that "metrics unavailable" case instead; callers needing exact
+    drop counts for an empty-output run should recompute the bucket
+    histogram explicitly. Blocks until the observed query's first action,
+    exactly like ``Observation.get``."""
+    jrow = obs._jo.getRow()  # same wait semantics as Observation.get
+    if jrow.size() == 0:
+        return None
+    return obs.get
+
+
 def jaccard_pairs(
     docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5,
     df_max: int | None = DF_MAX,
+    cap_metrics: Observation | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
     candidate shingle. Join key = shingle (shuffle), no cross join.
@@ -117,16 +161,19 @@ def jaccard_pairs(
     conservative lower bound and a pair sharing only hot shingles is not a
     candidate. ``df_max=None`` restores exact Jaccard (quadratic risk).
     Round-2 behavior change: the default WAS exact — callers needing the
-    old semantics must now pass ``df_max=None`` explicitly."""
+    old semantics must now pass ``df_max=None`` explicitly.
+
+    ``cap_metrics``: optional fresh ``Observation``; after the consuming
+    action, ``.get`` reports capped_buckets / capped_rows (how many
+    shingles the df cap dropped and their total membership)."""
     sh = shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= df_max)
-            .select("sh")
+        counts = _observe_cap(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+            "df", df_max, cap_metrics,
         )
+        keep = counts.filter(F.col("df") <= df_max).select("sh")
         cand_sh = sh.join(keep, "sh", "left_semi")
     else:
         cand_sh = sh
@@ -169,6 +216,7 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) 
 def lsh_candidate_pairs(
     docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE,
     bucket_max: int = 10_000,
+    cap_metrics: Observation | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
     with estimated similarity = fraction of agreeing minhashes.
@@ -178,7 +226,9 @@ def lsh_candidate_pairs(
     would emit n_bands·d²/2 join rows (the same hot-key quadratic
     jaccard_pairs' df_max guards against). Members of a capped bucket
     lose that bucket's candidates — run exact_dedup first so boilerplate
-    clusters collapse before LSH; ``bucket_max=None`` disables the cap.
+    clusters collapse before LSH; ``bucket_max=None`` disables the cap,
+    and ``cap_metrics`` (a fresh ``Observation``, read via
+    ``cap_metrics_get``) reports how much the cap dropped.
 
     The signature table feeds three plan branches (bands, left/right of the
     verify join); without a cache the shingle-explode + 12-way min
@@ -216,12 +266,11 @@ def lsh_candidate_pairs(
         ).alias("e"),
     ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
     if bucket_max is not None:
-        small = (
-            stacked.groupBy("band_id", "bh")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .filter(F.col("bn") <= bucket_max)
-            .select("band_id", "bh")
+        counts = _observe_cap(
+            stacked.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("bn")),
+            "bn", bucket_max, cap_metrics,
         )
+        small = counts.filter(F.col("bn") <= bucket_max).select("band_id", "bh")
         stacked = stacked.join(small, ["band_id", "bh"], "left_semi")
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
@@ -290,7 +339,8 @@ def simhash_docs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 3, bucket_max: int = 10_000
+    docs: DataFrame, max_hamming: int = 3, bucket_max: int = 10_000,
+    cap_metrics: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
 
@@ -305,7 +355,8 @@ def simhash_near_dups(
     bucket can still pair through their other three chunks, but the
     pigeonhole completeness guarantee no longer covers them (standard
     blocking trade-off; dedup exact/empty docs first).
-    ``bucket_max=None`` disables the cap.
+    ``bucket_max=None`` disables the cap; ``cap_metrics`` (read via
+    ``cap_metrics_get``) reports how much the cap dropped.
 
     Signatures cached: both sides of the block join read them, and the
     Arrow-batched hash UDF is the expensive stage."""
@@ -331,12 +382,11 @@ def simhash_near_dups(
         ).alias("e"),
     ).select("doc_id", "simhash", "e.chunk_id", "e.chunk")
     if bucket_max is not None:
-        small = (
-            chunks.groupBy("chunk_id", "chunk")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .filter(F.col("bn") <= bucket_max)
-            .select("chunk_id", "chunk")
+        counts = _observe_cap(
+            chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("bn")),
+            "bn", bucket_max, cap_metrics,
         )
+        small = counts.filter(F.col("bn") <= bucket_max).select("chunk_id", "chunk")
         chunks = chunks.join(small, ["chunk_id", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

@@ -187,8 +187,12 @@ def _iter_events(html: str):
 
 def _incomplete(html: str, lt: int):
     """HTMLParser goahead(end=1) fallback for a construct that never
-    terminates: emit the raw (undecoded) slice through the next '>', else
-    through the next '<', else one char — parsing then resumes."""
+    terminates: emit the slice through the next '>', else through the next
+    '<', else one char — parsing then resumes.  goahead applies
+    ``unescape`` to this slice when convert_charrefs is on (CPython
+    ``if self.convert_charrefs and not self.cdata_elem:
+    self.handle_data(unescape(rawdata[i:k]))``), so charrefs inside an
+    unterminated comment/decl/marked section ARE decoded."""
     gt = html.find(">", lt + 1)
     if gt >= 0:
         k = gt + 1
@@ -196,7 +200,8 @@ def _incomplete(html: str, lt: int):
         k = html.find("<", lt + 1)
         if k < 0:
             k = lt + 1
-    yield (_DATA, html[lt:k])
+    chunk = html[lt:k]
+    yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
     return k
 
 

@@ -188,6 +188,12 @@ CASES = [
     "<div><hr/>after self-closing rule prose text</div>",
     "<p>x</p><![CDATA[ no close > <p>resumed paragraph prose here</p>",
     "<p>x</p><div foo",
+    # unterminated constructs whose goahead fallback slice contains
+    # charrefs: HTMLParser(convert_charrefs=True) unescapes that slice
+    "<p>x</p><!-- broken &#65; > <p>tail paragraph prose goes here</p>",
+    "<p>x</p><![CDATA[ has &amp; > <p>resumed paragraph prose here</p>",
+    "<p>x</p><!DOCTYPE &#x42;",
+    "<p>x</p><!-- broken &amp; no close at all",
 ]
 
 
@@ -216,7 +222,7 @@ _soup_atom = st.sampled_from(
      "longer prose fragment here ", "\n", '<a title="q>t">', "</DIV junk>",
      "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>",
      "<a href=http://x.com/>", "<div foo/>", "<![CDATA[ x > y ]]>",
-     "<![if !IE]>", "<![endif]>"]
+     "<![if !IE]>", "<![endif]>", "<!-- broken &#65; >", "<!DOCTYPE &amp;"]
 )
 
 

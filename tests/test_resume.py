@@ -102,6 +102,29 @@ def test_orphaned_tmp_manifests_swept(spark, tiny_transcripts, first_run):
     assert not os.path.exists(orphan)
 
 
+def test_stray_manifest_names_are_skipped(spark, tiny_transcripts, first_run):
+    # the manifest-directory glob (bucket=*.json*) also matches editor
+    # backups / partial-upload suffixes; they must be skipped, not abort
+    # the job with ValueError on int()
+    out, r1 = first_run
+    mdir = os.path.join(out, "_manifests")
+    strays = ["bucket=3.json.bak", "bucket=x.json", "bucket=2.json.tmp.old"]
+    for name in strays:
+        with open(os.path.join(mdir, name), "w") as f:
+            f.write("junk")
+    try:
+        r2 = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+        assert r2["processed"] == []
+        assert sorted(r2["skipped"]) == sorted(r1["processed"])
+        for name in strays:  # left alone, neither parsed nor deleted
+            assert os.path.exists(os.path.join(mdir, name))
+    finally:
+        for name in strays:
+            p = os.path.join(mdir, name)
+            if os.path.exists(p):
+                os.remove(p)
+
+
 def test_manifest_io_leaves_no_crc_sidecars(first_run):
     # manifest IO must use the RAW local filesystem, not the checksummed
     # wrapper (which would both litter .crc files and, if checksums were

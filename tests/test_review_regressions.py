@@ -331,6 +331,71 @@ def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark):
     assert uncapped.count() == 12 * 11 // 2  # every pair shares the prefix
 
 
+def test_cap_drops_are_observable(spark):
+    """The df/bucket caps silently drop hot buckets from the candidate
+    joins; the optional cap_metrics Observation must surface how many
+    buckets were dropped and their total membership at zero extra
+    actions (ADVICE r2: silent near-dup undercount was invisible)."""
+    from pyspark.sql import Observation
+
+    from sparkocr.pipeline.dedup import (
+        cap_metrics_get,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        simhash_near_dups,
+    )
+
+    # 12 docs sharing ONLY a hot 8-char prefix (capped away), plus a pair
+    # sharing distinct cold text so the operator output is non-empty (an
+    # all-empty output lets AQE prune the metrics node — separate case below)
+    docs = spark.createDataFrame(
+        [(i, "AAAAAAAA" + chr(ord("a") + i) * 16) for i in range(12)]
+        + [(100, "BBBBBBBBBBBBBBBB"), (101, "BBBBBBBBBBBBBBBB")],
+        "doc_id long, text string",
+    )
+    obs = Observation()
+    out = jaccard_pairs(docs, k=8, threshold=0.0, df_max=8, cap_metrics=obs)
+    assert out.count() == 1  # only the cold B-pair survives
+    # exactly the hot prefix shingle is over-cap, with all 12 docs in it
+    assert cap_metrics_get(obs) == {"capped_buckets": 1, "capped_rows": 12}
+
+    # 10 identical docs (capped) + one distinct near-pair (survives)
+    dup = spark.createDataFrame(
+        [(i, "identical text payload shared by all docs") for i in range(10)]
+        + [(100, "another payload entirely"), (101, "another payload entirely")],
+        "doc_id long, text string",
+    )
+    obs2 = Observation()
+    assert lsh_candidate_pairs(
+        dup, n_perm=4, band_rows=2, bucket_max=8, cap_metrics=obs2
+    ).count() == 1
+    # 2 bands, every hot band-bucket holds the 10 identical docs
+    assert cap_metrics_get(obs2) == {"capped_buckets": 2, "capped_rows": 20}
+
+    obs3 = Observation()
+    assert simhash_near_dups(dup, bucket_max=5, cap_metrics=obs3).count() == 1
+    # 4 chunks, each hot bucket holds the 10 identical simhashes
+    assert cap_metrics_get(obs3) == {"capped_buckets": 4, "capped_rows": 40}
+
+    # nothing over cap -> explicit zeros, not nulls
+    obs4 = Observation()
+    lsh_candidate_pairs(
+        dup, n_perm=4, band_rows=2, bucket_max=1000, cap_metrics=obs4
+    ).count()
+    assert cap_metrics_get(obs4) == {"capped_buckets": 0, "capped_rows": 0}
+
+    # EMPTY operator output: AQE empty-relation propagation prunes the
+    # CollectMetrics node and Spark publishes a schema-less empty row;
+    # the safe accessor reports "unavailable" instead of the raw
+    # Observation.get AssertionError
+    only_hot = docs.filter("doc_id < 100")
+    obs5 = Observation()
+    assert jaccard_pairs(
+        only_hot, k=8, threshold=0.0, df_max=8, cap_metrics=obs5
+    ).count() == 0
+    assert cap_metrics_get(obs5) is None
+
+
 def test_parse_bbox_fast_path_rejects_unicode_digits_and_whitespace():
     # literal_eval (and the reference's eval) raise SyntaxError on NBSP
     # whitespace and non-ASCII digits; the fast path must not accept them
