@@ -687,9 +687,13 @@ def q_asof_latest_order(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
     )
+    # chunk_seconds engages the skew-safe two-phase plan: the last-carry
+    # window partitions on (user, 30-day chunk) so one hyperactive user
+    # can never pin the whole sort into a single task
     j = asof_join(
         e, o, key="user_id", left_time="ts", right_time="otime",
         right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
+        chunk_seconds=30 * 86400,
     )
     return j.select(
         "event_id", "user_id",
@@ -725,22 +729,16 @@ def q_orders_range_join(spark, sf_dir):
 
 
 def q_event_sessions(spark, sf_dir):
-    from pyspark.sql import Window
+    """30-min-gap sessionization per user. session_counts' fractional-epoch
+    arithmetic matches the DuckDB oracle exactly (unix_timestamp() would
+    truncate); chunk_seconds engages the skew-safe two-phase plan — break
+    counting per (user, week) window + boundary gaps over one summary row
+    per chunk, so a bot user with 10^9 events is #weeks tasks, not one."""
+    from sparkocr.pipeline.relational_ext import session_counts
 
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional epoch seconds: unix_timestamp() truncates to whole seconds
-    # and a 1800.4 s gap straddling the threshold would sessionize
-    # differently from the fractional-epoch oracle. NTZ columns can't cast
-    # to double directly; via timestamp is exact (session tz is UTC).
-    ts_s = F.col("ts").cast("timestamp").cast("double")
-    gap = ts_s - F.lag(ts_s).over(w)
-    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(w) + 1
-    # max session id per user == number of 30-min sessions
-    return (
-        e.withColumn("sess", sess)
-        .groupBy("user_id")
-        .agg(F.max("sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    return session_counts(
+        e, key="user_id", time="ts", gap_seconds=1800, chunk_seconds=7 * 86400
     )
 
 

@@ -14,6 +14,17 @@ preferred strategy for custom operators — no UDFs, fully Catalyst-visible):
   top, so Catalyst gets a shuffle-hash/broadcast join on the bucket key
   instead of a banded nested loop; each left row probes its own and the
   preceding bucket (intervals bounded by `max_span`).
+- **sessionization**: per-key session counts under a max-gap rule.
+
+Skew note (the 100 TB story): a window partitioned on a bare key puts a
+hot key's entire history into ONE sort task — AQE skew-splitting does not
+apply inside window partitions. `asof_join` and `session_counts` therefore
+take ``chunk_seconds``: when set, phase 1 runs the window per
+(key, time-chunk) — a hot key's 10^9 rows become #chunks independent
+tasks — and phase 2 carries boundary state between chunks over ONE summary
+row per (key, chunk), the same two-phase trick `assemble.py` uses for
+concat skew. Semantics are identical (property-tested against the
+single-window path); chunked is the default on the catalog queries.
 """
 
 from __future__ import annotations
@@ -38,6 +49,7 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     right_tiebreak: str | None = None,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     right[key] == left[key] and right[right_time] <= left[left_time]
@@ -48,7 +60,15 @@ def asof_join(
     for null (the SQL comparison semantics every oracle uses), but ASC
     ordering puts nulls FIRST, so an unfiltered null-time row would be
     carried to every left row before the first real right row —
-    fabricating matches."""
+    fabricating matches.
+
+    ``chunk_seconds``: when set, the skew-safe two-phase plan — the
+    last-carry window runs per (key, time-chunk) so a hot key's rows
+    split across #chunks tasks; cross-chunk carry goes through one
+    summary row per (key, chunk) (the per-chunk latest right row,
+    last-carried over strictly earlier chunks). Identical results; use
+    it whenever one key can dominate a partition. ``None`` keeps the
+    single-window plan (fine for bounded keys)."""
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -72,17 +92,117 @@ def asof_join(
         # would let a null-tiebreak row beat every real value). Left rows'
         # third key is null but _side already orders them after rights.
         order.append(F.col(f"_rrow.{right_tiebreak}").asc_nulls_first())
-    w = (
-        Window.partitionBy("_k")
+
+    def _project(carried: DataFrame, rcol: str) -> DataFrame:
+        return carried.filter(F.col("_side") == 1).select(
+            "_lrow.*",
+            *[F.col(f"{rcol}.{c}").alias(c + suffix) for c in right_cols],
+        )
+
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return _project(u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w)), "_r")
+
+    # phase 1: within-chunk last-carry — window keyed on (key, chunk), so a
+    # hot key's work is #chunks tasks, not one
+    u = u.withColumn("_chunk", F.floor(_epoch_s("_t") / chunk_seconds))
+    w_local = (
+        Window.partitionBy("_k", "_chunk")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.withColumn("_r", F.last("_rrow", ignorenulls=True).over(w))
-    out = carried.filter(F.col("_side") == 1).select(
-        "_lrow.*",
-        *[F.col(f"_r.{c}").alias(c + suffix) for c in right_cols],
+    local = u.withColumn("_r_local", F.last("_rrow", ignorenulls=True).over(w_local))
+    # chunk summaries: the latest right row per (key, chunk) — max_by over
+    # (time, tiebreak) among right rows only (left rows get a NULL ordering
+    # key, which max_by ignores); chunks with no right rows keep NULL state
+    skey = [F.col("_t")]
+    if right_tiebreak is not None:
+        skey.append(F.col(f"_rrow.{right_tiebreak}"))
+    summaries = u.groupBy("_k", "_chunk").agg(
+        F.max_by(
+            F.col("_rrow"), F.when(F.col("_side") == 0, F.struct(*skey))
+        ).alias("_state")
     )
-    return out
+    # phase 2: carry state across chunks — ONE row per (key, chunk), so the
+    # per-key window is bounded by #chunks regardless of row skew
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = summaries.select(
+        "_k", "_chunk", F.last("_state", ignorenulls=True).over(w_carry).alias("_r_prev")
+    )
+    joined = local.join(prev, ["_k", "_chunk"], "left").withColumn(
+        "_r", F.coalesce(F.col("_r_local"), F.col("_r_prev"))
+    )
+    return _project(joined, "_r")
+
+
+def session_counts(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap_seconds: float,
+    chunk_seconds: int | None = None,
+) -> DataFrame:
+    """Per-key sessionization: (key, n_sessions, n_events), where a new
+    session starts at any gap > ``gap_seconds`` between consecutive events
+    (ordered by time; equal-time events never open a gap, so no tiebreak
+    column is needed for counts).
+
+    ``chunk_seconds``: when set, the skew-safe two-phase plan — phase 1
+    counts within-chunk session breaks per (key, time-chunk) window and
+    reduces each chunk to one summary row (n_breaks, first/last ts,
+    n_events); phase 2 adds boundary breaks between consecutive chunk
+    summaries (gap from the previous chunk's last event to this chunk's
+    first) over a per-key window that sees #chunks rows, not #events.
+    total sessions = within breaks + boundary breaks + 1."""
+    ts = _epoch_s(time)
+    e = events.select(F.col(key).alias("_k"), ts.alias("_ts"))
+    if chunk_seconds is None:
+        w = Window.partitionBy("_k").orderBy("_ts")
+        gap = F.col("_ts") - F.lag("_ts").over(w)
+        brk = F.when(gap > gap_seconds, 1).otherwise(0)
+        return (
+            e.withColumn("_brk", brk)
+            .groupBy("_k")
+            .agg(
+                (F.sum("_brk") + F.lit(1)).alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(F.col("_k").alias(key), "n_sessions", "n_events")
+        )
+    e = e.withColumn("_chunk", F.floor(F.col("_ts") / chunk_seconds))
+    w_local = Window.partitionBy("_k", "_chunk").orderBy("_ts")
+    gap = F.col("_ts") - F.lag("_ts").over(w_local)
+    brk = F.when(gap > gap_seconds, 1).otherwise(0)
+    per_chunk = (
+        e.withColumn("_brk", brk)
+        .groupBy("_k", "_chunk")
+        .agg(
+            F.sum("_brk").alias("_n_breaks"),
+            F.min("_ts").alias("_first_ts"),
+            F.max("_ts").alias("_last_ts"),
+            F.count(F.lit(1)).alias("_n_events"),
+        )
+    )
+    w_carry = Window.partitionBy("_k").orderBy("_chunk")
+    bgap = F.col("_first_ts") - F.lag("_last_ts").over(w_carry)
+    bbrk = F.when(bgap > gap_seconds, 1).otherwise(0)
+    return (
+        per_chunk.withColumn("_bbrk", bbrk)
+        .groupBy("_k")
+        .agg(
+            (F.sum("_n_breaks") + F.sum("_bbrk") + F.lit(1)).alias("n_sessions"),
+            F.sum("_n_events").alias("n_events"),
+        )
+        .select(F.col("_k").alias(key), "n_sessions", "n_events")
+    )
 
 
 def range_join(

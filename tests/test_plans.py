@@ -177,6 +177,73 @@ def test_locate_with_spans_is_projection_only(spark):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_asof_chunked_splits_hot_key(spark):
+    # skew hardening: one key holding ~1e5 rows must NOT become a single
+    # window sort task — the chunked plan's phase-1 window partitions on
+    # (key, time-chunk), visible as a two-column hashpartitioning Exchange
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    left = (
+        spark.range(100_000)
+        .select(
+            F.lit("hot").alias("k"),
+            (F.lit(1_700_000_000) + F.col("id")).cast("timestamp").alias("t"),
+            F.col("id").alias("lid"),
+        )
+    )
+    right = (
+        spark.range(100)
+        .select(
+            F.lit("hot").alias("k"),
+            (F.lit(1_700_000_000) + F.col("id") * 1000).cast("timestamp").alias("rt"),
+            F.col("id").alias("rid"),
+        )
+    )
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        right_cols=["rid"], right_tiebreak="rid", chunk_seconds=3600,
+    )
+    plan = _plan(out)
+    # phase-1 window runs per (key, chunk): 100k rows / 3600s chunks = 28
+    # independent tasks for the hot key instead of one
+    assert re.search(r"hashpartitioning\(_k#\d+L?, _chunk#\d+", plan), plan
+    # and the results match the single-window plan on a subsample
+    sub = left.filter(F.col("lid") % 100 == 0)
+    kw = dict(key="k", left_time="t", right_time="rt",
+              right_cols=["rid"], right_tiebreak="rid")
+    got = {r.lid: r.rid_asof
+           for r in asof_join(sub, right, chunk_seconds=3600, **kw).collect()}
+    want = {r.lid: r.rid_asof for r in asof_join(sub, right, **kw).collect()}
+    assert got == want
+
+
+def test_session_counts_chunked_splits_hot_key(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import session_counts
+
+    # non-literal key (a literal would be constant-folded out of the
+    # partitioning): one hot user holds all 100k events
+    ev = spark.range(100_000).select(
+        F.concat(
+            F.lit("bot"), F.substring(F.col("id").cast("string"), 1, 0)
+        ).alias("u"),
+        (F.lit(1_700_000_000) + F.col("id") * 7).cast("timestamp").alias("ts"),
+    )
+    out = session_counts(ev, key="u", time="ts", gap_seconds=5, chunk_seconds=3600)
+    plan = _plan(out)
+    assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan), plan
+    row = out.collect()[0]
+    # every consecutive gap is 7s > 5s: each event its own session
+    assert (row.n_sessions, row.n_events) == (100_000, 100_000)
+
+
 def test_pipeline_metrics_reuses_extraction_exchange(spark):
     # both metric branches share the (conv_id, tool) partial aggregate:
     # after AQE finalizes, the second branch reads a ReusedExchange and

@@ -98,3 +98,54 @@ def test_asof_join_matches_bruteforce_model(spark):
         cands = [(rt, tb, rid) for (rk, rt, rid, tb) in rrows if rk == k and rt <= t]
         want[lid] = max(cands)[2] if cands else None
     assert got == want
+
+    # the chunked two-phase plan is semantically identical at every chunk
+    # width — including widths smaller than the data span (many boundary
+    # carries) and much larger (single chunk degenerates to phase 1 only)
+    for cs in (1800, 3600, 86400, 365 * 86400):
+        chunked = {
+            r.lid: r.rid_asof
+            for r in asof_join(
+                left, right, key="k", left_time="t", right_time="rt",
+                right_cols=["rid", "tb"], right_tiebreak="tb",
+                chunk_seconds=cs,
+            ).collect()
+        }
+        assert chunked == want, cs
+
+
+def test_session_counts_chunked_matches_model(spark):
+    """Chunked sessionization == unchunked == brute-force model, on data
+    crafted to hit exact-threshold gaps (==gap never splits; >gap does)
+    and equal-time ties, including gaps that straddle chunk boundaries."""
+    from sparkocr.pipeline.relational_ext import session_counts
+
+    rng = random.Random(11)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in ("a", "b", "c"):
+        t = 0.0
+        for _ in range(200):
+            # steps sampled around the 1800s threshold: exactly equal,
+            # just over, just under, zero (tie), and huge
+            t += rng.choice([0.0, 1.0, 1799.0, 1800.0, 1800.5, 1801.0, 90000.0])
+            rows.append((u, base + dt.timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+
+    want = {}
+    by_u = {}
+    for u, ts in rows:
+        by_u.setdefault(u, []).append(ts.timestamp())
+    for u, v in by_u.items():
+        v.sort()
+        breaks = sum(1 for x, y in zip(v, v[1:]) if y - x > 1800)
+        want[u] = (breaks + 1, len(v))
+
+    for cs in (None, 1800, 3600, 86400, 10**9):
+        got = {
+            r.u: (r.n_sessions, r.n_events)
+            for r in session_counts(
+                df, key="u", time="ts", gap_seconds=1800, chunk_seconds=cs
+            ).collect()
+        }
+        assert got == want, cs
