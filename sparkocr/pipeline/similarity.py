@@ -126,11 +126,55 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_
 
 def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> np.ndarray:
     """Deterministic coarse-quantizer centroids: the ``n_cells`` lowest
-    vec_id embeddings (k-means seeding without the iterations — at 10^9
-    vectors you'd train real centroids offline on a sample; the cell
-    assignment/probe machinery below is identical either way)."""
+    vec_id embeddings (k-means seeding without the iterations — kept as
+    the catalog/oracle quantizer because it is SQL-replayable; the cell
+    assignment/probe machinery below is identical either way). For real
+    recall on clustered data use ``ivf_centroids_kmeans``."""
     rows = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
     return np.asarray([[float(v) for v in r["embedding"]] for r in rows])
+
+
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 1024,
+    n_iter: int = 10,
+    seed: int = _SEED,
+) -> np.ndarray:
+    """Trained coarse-quantizer centroids: deterministic sample + small
+    driver-side k-means (Lloyd, fixed iteration count).
+
+    The sample is the ``sample_size`` rows with the lowest
+    md5(seed || vec_id) — a hash order, so it is stable across
+    partition layout, cluster size, and engine (``df.sample`` is none of
+    those); only ``sample_size`` rows ever reach the driver. Init = first
+    ``n_cells`` sample rows in hash order; a cluster that loses all
+    members keeps its previous centroid (deterministic, no respawn
+    randomness). First-n seeding (``ivf_centroids``) assigns near-zero
+    inertia weight to clusters the first rows never visit; on clustered
+    data this trainer recovers the real cell structure and measurably
+    beats it on recall (tests/test_similarity_recall.py)."""
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([[float(v) for v in r["embedding"]] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("ivf_centroids_kmeans: no non-null embeddings to train on")
+    k = min(n_cells, len(X))
+    cents = X[:k].copy()
+    for _ in range(n_iter):
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
 
 
 def ivf_cell_col(emb_col, centroids: np.ndarray):
@@ -179,6 +223,18 @@ def ivf_topk(
     )
 
 
+def detect_dim(emb: DataFrame) -> int:
+    """Embedding dimension from the first non-null row (size(null) is null
+    and int(None) would crash on an unlucky first row); DIM if the table
+    has no non-null embeddings."""
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("d"))
+        .first()
+    )
+    return int(first["d"]) if first else DIM
+
+
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES,
     dim: int | None = None,
@@ -188,14 +244,7 @@ def embedding_near_dups(
     MinHash-LSH dedup. ``dim`` is read from the data when not given (a
     hard-coded dimension would crash on any non-64-dim table)."""
     if dim is None:
-        # null embeddings excluded: size(null) is null and int(None) would
-        # crash dim detection on an unlucky first row
-        first = (
-            emb.filter(F.col("embedding").isNotNull())
-            .select(F.size("embedding").alias("d"))
-            .first()
-        )
-        dim = int(first["d"]) if first else DIM
+        dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes)
     # cached: both join sides read the signatures, and the 12-plane dot
     # products are the expensive projection; consumers running many

@@ -1,0 +1,169 @@
+"""Materialized ANN index: probe results equal the recompute-everything
+operators, the probe scan reads ONLY the probed partitions (partition
+pruning asserted on the plan), and the trained (k-means) coarse quantizer
+beats first-n seeding on clustered data."""
+
+import re
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    row = emb.filter("vec_id = 0").select("embedding").first()
+    return [float(v) for v in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def lsh_index(emb, tmp_path_factory):
+    from sparkocr.pipeline.ann_index import build_lsh_index
+
+    path = str(tmp_path_factory.mktemp("ann") / "lsh")
+    build_lsh_index(emb, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def ivf_index(emb, tmp_path_factory):
+    from sparkocr.pipeline.ann_index import build_ivf_index
+    from sparkocr.pipeline.similarity import ivf_centroids
+
+    path = str(tmp_path_factory.mktemp("ann") / "ivf")
+    # first-n trainer: the probe must then match similarity.ivf_topk exactly
+    build_ivf_index(emb, path, n_cells=16, trainer=ivf_centroids)
+    return path
+
+
+def _rows(df):
+    return [(r.vec_id, r.cosine) for r in df.collect()]
+
+
+def test_lsh_indexed_matches_operator(spark, emb, query, lsh_index):
+    from sparkocr.pipeline.ann_index import lsh_topk_indexed
+    from sparkocr.pipeline.similarity import lsh_topk
+
+    want = _rows(lsh_topk(emb, query, k=10))
+    got = _rows(lsh_topk_indexed(spark, lsh_index, query, k=10))
+    assert got == want
+
+
+def test_ivf_indexed_matches_operator(spark, emb, query, ivf_index):
+    from sparkocr.pipeline.ann_index import ivf_topk_indexed
+    from sparkocr.pipeline.similarity import ivf_topk
+
+    want = _rows(ivf_topk(emb, query, k=10, n_cells=16, n_probe=4))
+    got = _rows(ivf_topk_indexed(spark, ivf_index, query, k=10, n_probe=4))
+    assert got == want
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_probe_prunes_partitions(spark, query, lsh_index):
+    from sparkocr.pipeline.ann_index import lsh_topk_indexed
+
+    plan = _plan(lsh_topk_indexed(spark, lsh_index, query, k=10))
+    # the isin on the partition column must land in PartitionFilters (the
+    # scan lists only the probed sig= directories), NOT in PushedFilters /
+    # a post-scan Filter over all data
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(r"sig#\d+L? IN", m.group(1)), m.group(1)
+
+
+def test_ivf_probe_prunes_partitions(spark, query, ivf_index):
+    from sparkocr.pipeline.ann_index import ivf_topk_indexed
+
+    plan = _plan(ivf_topk_indexed(spark, ivf_index, query, k=10, n_probe=4))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(r"cell#\d+ IN", m.group(1)), m.group(1)
+
+
+def test_lsh_index_one_file_per_signature(lsh_index):
+    # repartition("sig") before partitionBy: each sig= directory holds ONE
+    # parquet file, not one per input task (the small-files explosion)
+    import os
+
+    vdir = f"{lsh_index}/vectors"
+    sig_dirs = [d for d in os.listdir(vdir) if d.startswith("sig=")]
+    assert sig_dirs
+    for d in sig_dirs:
+        files = [f for f in os.listdir(os.path.join(vdir, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_kmeans_centroids_beat_first_n_on_clustered_data(spark, tmp_path):
+    """8 well-separated gaussian clusters, with the low vec_ids all drawn
+    from ONE cluster — first-n seeding then wastes most cells on one blob
+    while k-means recovers the true structure, so probe recall@10 against
+    brute force must be strictly better."""
+    from sparkocr.pipeline.ann_index import build_ivf_index, ivf_topk_indexed
+    from sparkocr.pipeline.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    # noise 2.5 vs center scale 5: wide clusters, so the near-duplicate
+    # first-n centroids (all from cluster 0) scatter each true cluster's
+    # members across several cells and a 1-cell probe misses most of the
+    # top-10; trained centroids recover the 8 real cells (margin verified
+    # against a numpy model: 0.4 vs 1.0 at this seed)
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 5.0
+    rows = []
+    vid = 0
+    # first 64 ids: cluster 0 only (poisons first-n seeding)
+    for _ in range(64):
+        rows.append((vid, [float(v) for v in centers[0] + rng.randn(16) * 2.5]))
+        vid += 1
+    for c in range(1, 8):
+        for _ in range(64):
+            rows.append((vid, [float(v) for v in centers[c] + rng.randn(16) * 2.5]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [float(v) for v in centers[5] + rng.randn(16) * 2.5]
+    exact = {r.vec_id for r in cosine_topk(emb, query, k=10).collect()}
+
+    def recall(trainer):
+        path = str(tmp_path / trainer.__name__)
+        build_ivf_index(emb, path, n_cells=8, trainer=trainer)
+        got = {
+            r.vec_id
+            for r in ivf_topk_indexed(spark, path, query, k=10, n_probe=1).collect()
+        }
+        return len(got & exact) / 10
+
+    r_first = recall(ivf_centroids)
+    r_kmeans = recall(ivf_centroids_kmeans)
+    assert r_kmeans == 1.0, r_kmeans  # the true cluster is one cell
+    assert r_first < 1.0, r_first  # degenerate seeding demonstrably loses
+    assert r_kmeans > r_first, (r_kmeans, r_first)
+
+
+def test_kmeans_centroids_deterministic(spark):
+    from sparkocr.pipeline.similarity import ivf_centroids_kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = ivf_centroids_kmeans(emb, n_cells=8, sample_size=128)
+    # repartitioned input must give the identical centroids (hash-ordered
+    # sample, not partition-order sample)
+    b = ivf_centroids_kmeans(emb.repartition(7), n_cells=8, sample_size=128)
+    assert np.array_equal(a, b)
+
+
+def test_wrong_kind_rejected(spark, query, lsh_index):
+    from sparkocr.pipeline.ann_index import ivf_topk_indexed
+
+    with pytest.raises(ValueError, match="kind=lsh"):
+        ivf_topk_indexed(spark, lsh_index, query)
