@@ -810,7 +810,14 @@ def q_doc_minhash(spark, sf_dir):
 def q_doc_lsh_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), n_perm=4, band_rows=2, k=8)
+    # bucket_max=9 exercises the hot-bucket cap under the oracle: the
+    # sf0.01 corpus has band buckets of up to 14 docs, so the capped
+    # semi-join branch actually DROPS buckets and the SQL mirror applies
+    # the identical membership filter (value-checking the cap path, not
+    # just its no-op default)
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), n_perm=4, band_rows=2, k=8, bucket_max=9
+    )
 
 
 def q_doc_token_counts(spark, sf_dir):
@@ -1579,9 +1586,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 0 AS band_id, md5(mh_0 || ',' || mh_1) AS bh FROM sig
                 UNION ALL
                 SELECT doc_id, 1 AS band_id, md5(mh_2 || ',' || mh_3) AS bh FROM sig),
+            -- hot-bucket cap mirrors lsh_candidate_pairs(bucket_max=9):
+            -- buckets with more than 9 members leave the candidate join
+            keep AS (SELECT band_id, bh FROM (
+                         SELECT band_id, bh, count(*) AS bn
+                         FROM bands GROUP BY 1, 2)
+                     WHERE bn <= 9),
+            fb AS (SELECT b.doc_id, b.band_id, b.bh FROM bands b
+                   JOIN keep k ON b.band_id = k.band_id AND b.bh = k.bh),
             cand AS (
                 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                FROM bands a JOIN bands b
+                FROM fb a JOIN fb b
                 ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
             SELECT id1, id2,
                    round(((s1.mh_0 = s2.mh_0)::INT + (s1.mh_1 = s2.mh_1)::INT +

@@ -89,9 +89,13 @@ def main() -> dict:
     ):
         timed(name, lambda n=name: catalog[n](spark, sf_dir).count())
         # LSH/simhash operators cache their signature tables for multi-
-        # branch plans; drop them between queries so the suite does not
-        # accumulate executor storage across unrelated operators
-        spark.catalog.clearCache()
+        # branch plans; release exactly those between queries so the suite
+        # does not accumulate executor storage across unrelated operators
+        # (release_all only touches operator-registered caches, not any a
+        # user of this session created)
+        from sparkocr.pipeline import caching
+
+        caching.release_all()
 
     total = round(sum(times.values()), 3)
     result = {

@@ -1,0 +1,54 @@
+"""Scoped lifecycle for operator-internal caches.
+
+Several operators cache an intermediate that feeds multiple plan branches
+(minhash signatures, simhash signatures, shingles, LSH signatures). The
+operator returns a LAZY DataFrame, so it cannot unpersist in a
+try/finally — the cache must survive until the caller's action. Before
+round 3 those handles were simply dropped: a long-lived session running
+many operators accumulated executor storage until someone called
+``spark.catalog.clearCache()`` (which also evicts caches the USER created
+— too blunt for a shared session).
+
+Operators now register their internal caches here; callers release exactly
+those after the consuming action::
+
+    pairs = lsh_candidate_pairs(docs)
+    rows = pairs.collect()          # action — cache did its job
+    caching.release_all()           # drop ONLY operator-internal caches
+
+``release_all`` is idempotent and never touches user-created caches.
+bench.py calls it between queries; tests assert the cache manager is
+empty afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Cache ``df`` and track the handle for later ``release_all``."""
+    df.cache()
+    _LIVE.append(df)
+    return df
+
+
+def live_count() -> int:
+    return len(_LIVE)
+
+
+def release_all() -> int:
+    """Unpersist every operator-internal cache registered since the last
+    release. Returns how many were released. Safe to call with a stopped
+    session (handles are dropped regardless)."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session gone: nothing to evict, just drop the handle
+    return n

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
+from sparkocr.pipeline import caching
+
 SHINGLE = 8  # character shingle width
 N_PERM = 12  # minhash permutations
 BAND_ROWS = 3  # rows per LSH band → 4 bands
@@ -166,7 +168,7 @@ def jaccard_pairs(
     ``cap_metrics``: optional fresh ``Observation``; after the consuming
     action, ``.get`` reports capped_buckets / capped_rows (how many
     shingles the df cap dropped and their total membership)."""
-    sh = shingles(docs, k).cache()
+    sh = caching.register(shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
         counts = _observe_cap(
@@ -233,16 +235,17 @@ def lsh_candidate_pairs(
     The signature table feeds three plan branches (bands, left/right of the
     verify join); without a cache the shingle-explode + 12-way min
     aggregation — the expensive part — would run three times. The cache
-    entry outlives the returned (lazy) DataFrame: sessions running many
-    operators should ``spark.catalog.clearCache()`` after consuming the
-    result (bench.py does), or executor storage accumulates."""
+    entry outlives the returned (lazy) DataFrame: it is registered with
+    ``sparkocr.pipeline.caching`` — call ``caching.release_all()`` after
+    the consuming action (bench.py does), or executor storage
+    accumulates."""
     if n_perm % band_rows != 0:
         raise ValueError(
             f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
             "remainder permutations would be paid for but silently dropped "
             "from banding, changing the S-curve from the requested one"
         )
-    sig = minhash_signatures(docs, n_perm, k).cache()
+    sig = caching.register(minhash_signatures(docs, n_perm, k))
     n_bands = n_perm // band_rows
     bands = sig.select(
         "doc_id",
@@ -365,7 +368,7 @@ def simhash_near_dups(
             f"max_hamming={max_hamming}: 4-chunk blocking is only complete "
             "for distances <= 3 (pigeonhole); larger radii would drop pairs"
         )
-    sig = simhash_docs(docs).cache()
+    sig = caching.register(simhash_docs(docs))
     chunks = sig.select(
         "doc_id",
         "simhash",

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from sparkocr.pipeline import caching
+
 DIM = 64
 N_PLANES = 12
 _SEED = 42
@@ -247,11 +249,11 @@ def embedding_near_dups(
         dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes)
     # cached: both join sides read the signatures, and the 12-plane dot
-    # products are the expensive projection; consumers running many
-    # operators should clearCache() after the action (see dedup.py note)
-    sigged = emb.withColumn(
-        "sig", lsh_signature_col(F.col("embedding"), planes)
-    ).cache()
+    # products are the expensive projection; registered with caching —
+    # consumers call caching.release_all() after the action (dedup.py note)
+    sigged = caching.register(
+        emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+    )
     a, b = sigged.alias("a"), sigged.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))

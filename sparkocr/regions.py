@@ -241,21 +241,42 @@ def _match_starts(needle: str):
     OVERLAPPING occurrences included (position-scan semantics: 'abab' in
     'ababab' matches at 0 AND 2).
 
-    JVM-only, two strategies: a needle with no proper border (no prefix
-    that is also a suffix) cannot self-overlap, so the cheap split fold —
-    O(matches) — is exact; a self-overlapping needle falls back to
-    position enumeration (an L-element array per row — activated only for
-    bordered needles, where split would silently skip offsets inside
-    earlier matches)."""
+    JVM-only, two strategies, both O(L + matches) per row:
+
+    - a needle with no proper border (no prefix that is also a suffix)
+      cannot self-overlap, so splitting ON the needle and cumulating part
+      lengths (+ needle length per boundary) recovers every offset;
+    - a self-overlapping needle splits on the ZERO-WIDTH lookahead
+      ``(?=needle)`` instead: Java's split places a boundary at every
+      match position including overlapping ones (the matcher advances one
+      char after a zero-width match), so boundaries = match starts with
+      nothing consumed. One linear regex pass — the previous
+      per-position ``substr`` enumeration was O(L) per candidate (UTF8
+      char-offset scan), i.e. quadratic on multi-MB payloads, besides
+      materializing an L-element transient array per row. Java 8+ drops
+      the empty leading part of a zero-width match at position 0, so a
+      text starting with the needle contributes offset 0 explicitly."""
     n = len(needle)
     if any(needle[:k] == needle[-k:] for k in range(1, n)):
-        return F.when(
-            F.length("clean_text") >= n,
-            F.filter(
-                F.sequence(F.lit(0), F.length("clean_text") - n),
-                lambda i: F.col("clean_text").substr(i + 1, F.lit(n)) == needle,
+        parts = F.split("clean_text", f"(?={_re_escape(needle)})", -1)
+        zero = F.struct(
+            F.array().cast("array<int>").alias("offs"), F.lit(0).alias("cum")
+        )
+        folded = F.aggregate(
+            F.slice(parts, 1, F.size(parts) - 1),
+            zero,
+            lambda acc, p: F.struct(
+                F.array_append(
+                    acc["offs"], (acc["cum"] + F.length(p)).cast("int")
+                ).alias("offs"),
+                (acc["cum"] + F.length(p)).alias("cum"),
             ),
-        ).otherwise(F.array().cast("array<int>"))
+            lambda acc: acc["offs"],
+        )
+        return F.when(
+            F.col("clean_text").startswith(needle),
+            F.concat(F.array(F.lit(0)), folded),
+        ).otherwise(folded)
     lit = F.lit(needle)
     parts = F.split("clean_text", _re_escape(needle), -1)
     zero = F.struct(

@@ -1,0 +1,79 @@
+"""Operator-internal cache lifecycle: every operator that caches an
+intermediate registers it with sparkocr.pipeline.caching, and
+release_all() after the consuming action leaves the session's cache
+manager empty — without evicting caches the user created."""
+
+import pytest
+
+from sparkocr.pipeline import caching
+
+
+def _cache_manager(spark):
+    return spark._jsparkSession.sharedState().cacheManager()
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"some document text payload number {i} with shared words") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_each_caching_operator_releases_clean(spark, docs, emb):
+    from sparkocr.pipeline.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        simhash_near_dups,
+    )
+    from sparkocr.pipeline.similarity import embedding_near_dups
+
+    cm = _cache_manager(spark)
+    caching.release_all()  # start clean regardless of other tests
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+    ops = [
+        lambda: jaccard_pairs(docs, threshold=0.0),
+        lambda: lsh_candidate_pairs(docs, n_perm=4, band_rows=2),
+        lambda: simhash_near_dups(docs),
+        lambda: embedding_near_dups(emb, threshold=0.0),
+    ]
+    for op in ops:
+        op().count()  # consuming action — the internal cache was used
+        assert not cm.isEmpty()  # it IS cached until released
+        assert caching.release_all() >= 1
+        assert cm.isEmpty()  # and fully evicted after
+
+
+def test_release_all_spares_user_caches(spark, docs):
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+
+    cm = _cache_manager(spark)
+    caching.release_all()
+    spark.catalog.clearCache()
+
+    mine = docs.select("doc_id", F.length("text").alias("n")).cache()
+    try:
+        mine.count()
+        lsh_candidate_pairs(docs, n_perm=4, band_rows=2).count()
+        caching.release_all()
+        # the operator's cache is gone but the user's survives
+        assert not cm.isEmpty()
+        assert cm.lookupCachedData(mine._jdf).isDefined()
+    finally:
+        mine.unpersist()
+    assert cm.isEmpty()
+
+
+def test_release_all_idempotent(spark):
+    caching.release_all()
+    assert caching.release_all() == 0
+    assert caching.live_count() == 0

@@ -665,3 +665,40 @@ def test_locate_counts_overlapping_matches(spark):
         (r.turn_idx, r.match_start) for r in locate(turns, "ab").collect()
     )
     assert got2 == [(0, 0), (0, 2), (0, 4)]
+
+
+def test_bordered_locate_linear_on_multi_mb_payload(spark):
+    """The bordered-needle path is one zero-width-lookahead split (linear
+    in text length), not a per-position substr enumeration — which was
+    O(L) per candidate, i.e. quadratic on multi-MB clean_text, besides
+    materializing an L-element transient array per row. Exact Python
+    overlap semantics on a 2 MB payload with scattered matches, needle at
+    position 0 included (Java drops the zero-width leading empty part)."""
+    import re as _re
+
+    from sparkocr.regions import locate
+
+    # 2 MB of filler with overlapping 'ababa' islands sprinkled through
+    # (each contributes matches at i AND i+2), starting with one at 0
+    filler = "xy" * 10_000
+    text = "aba" + ("ababa" + filler) * 100
+    assert len(text) > 2_000_000
+    turns = spark.createDataFrame(
+        [("c", 0, text)], "conv_id string, turn_idx int, clean_text string"
+    )
+    got = sorted(r.match_start for r in locate(turns, "aba").collect())
+    want = [m.start() for m in _re.finditer(r"(?=aba)", text)]
+    assert want[0] == 0 and len(want) == 201
+    assert got == want
+
+
+def test_bordered_locate_dense_overlaps(spark):
+    """Every position matching: 'aa' in 'a'*2000 -> 1999 overlapping
+    offsets, exact."""
+    from sparkocr.regions import locate
+
+    turns = spark.createDataFrame(
+        [("c", 0, "a" * 2000)], "conv_id string, turn_idx int, clean_text string"
+    )
+    got = sorted(r.match_start for r in locate(turns, "aa").collect())
+    assert got == list(range(1999))
