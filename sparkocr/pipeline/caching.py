@@ -16,12 +16,21 @@ those after the consuming action::
     rows = pairs.collect()          # action — cache did its job
     caching.release_all()           # drop ONLY operator-internal caches
 
-``release_all`` is idempotent and never touches user-created caches.
-bench.py calls it between queries; tests assert the cache manager is
-empty afterwards.
+``release_all`` is idempotent and never touches user-created caches — but
+it IS process-global: it drops the internal caches of EVERY not-yet-
+consumed operator, so it fits the sequential build-consume-release pattern
+(bench.py, the driver) only. When several operators are constructed before
+any is consumed, scope each one instead::
+
+    with caching.scope():           # releases only caches registered inside
+        pairs = lsh_candidate_pairs(docs)
+        rows = pairs.collect()
+    other.count()                   # its cache was registered outside: alive
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -41,10 +50,27 @@ def live_count() -> int:
 
 def release_all() -> int:
     """Unpersist every operator-internal cache registered since the last
-    release. Returns how many were released. Safe to call with a stopped
-    session (handles are dropped regardless)."""
+    release (process-global — see module docstring for the interleaved-
+    operators caveat and ``scope``). Returns how many were released. Safe
+    to call with a stopped session (handles are dropped regardless)."""
+    return _release_from(0)
+
+
+@contextmanager
+def scope():
+    """Release, on exit, only the operator caches registered INSIDE this
+    block — construction-time scoping, so operators built outside the
+    block keep their caches. Nested scopes release their own suffix."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        _release_from(mark)
+
+
+def _release_from(mark: int) -> int:
     n = 0
-    while _LIVE:
+    while len(_LIVE) > mark:
         df = _LIVE.pop()
         try:
             df.unpersist()

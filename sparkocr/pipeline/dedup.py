@@ -102,6 +102,17 @@ def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
 DF_MAX = 1000  # default document-frequency cap on candidate-join shingles
 
 
+def _require_cap(cap, cap_metrics) -> None:
+    """Passing cap_metrics with the cap disabled is a silent no-op whose
+    later read dies deep in Observation internals — reject it up front."""
+    if cap_metrics is not None and cap is None:
+        raise ValueError(
+            "cap_metrics passed but the cap is disabled (None): no "
+            "CollectMetrics node is ever attached, so reading the "
+            "Observation would fail — drop cap_metrics or set a cap"
+        )
+
+
 def _observe_cap(
     counts: DataFrame, n_col: str, cap: int, obs: Observation | None
 ) -> DataFrame:
@@ -139,6 +150,12 @@ def cap_metrics_get(obs: Observation) -> dict | None:
     drop counts for an empty-output run should recompute the bucket
     histogram explicitly. Blocks until the observed query's first action,
     exactly like ``Observation.get``."""
+    if obs._jo is None:
+        raise ValueError(
+            "Observation was never attached to a plan: pass it as "
+            "cap_metrics to an operator WITH the cap enabled, and run an "
+            "action, before reading it"
+        )
     jrow = obs._jo.getRow()  # same wait semantics as Observation.get
     if jrow.size() == 0:
         return None
@@ -168,6 +185,7 @@ def jaccard_pairs(
     ``cap_metrics``: optional fresh ``Observation``; after the consuming
     action, ``.get`` reports capped_buckets / capped_rows (how many
     shingles the df cap dropped and their total membership)."""
+    _require_cap(df_max, cap_metrics)
     sh = caching.register(shingles(docs, k))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if df_max is not None:
@@ -239,6 +257,7 @@ def lsh_candidate_pairs(
     ``sparkocr.pipeline.caching`` — call ``caching.release_all()`` after
     the consuming action (bench.py does), or executor storage
     accumulates."""
+    _require_cap(bucket_max, cap_metrics)
     if n_perm % band_rows != 0:
         raise ValueError(
             f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
@@ -363,6 +382,7 @@ def simhash_near_dups(
 
     Signatures cached: both sides of the block join read them, and the
     Arrow-batched hash UDF is the expensive stage."""
+    _require_cap(bucket_max, cap_metrics)
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 4-chunk blocking is only complete "

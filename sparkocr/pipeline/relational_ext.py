@@ -66,9 +66,16 @@ def asof_join(
     last-carry window runs per (key, time-chunk) so a hot key's rows
     split across #chunks tasks; cross-chunk carry goes through one
     summary row per (key, chunk) (the per-chunk latest right row,
-    last-carried over strictly earlier chunks). Identical results; use
-    it whenever one key can dominate a partition. ``None`` keeps the
-    single-window plan (fine for bounded keys)."""
+    last-carried over strictly earlier chunks). Identical results
+    (null keys/times included — the carry join is null-safe to match
+    window partitioning semantics). Cost trade-off vs the single
+    window: the summaries aggregate re-reads both inputs (no exchange
+    reuse with the window subtree), but it map-side partial-aggregates
+    to one row per (key, chunk) before its shuffle and Catalyst prunes
+    it to the key/time/right columns — so the price of skew immunity is
+    one narrow re-scan, not a second full shuffle. Use it whenever one
+    key can dominate a partition; ``None`` keeps the single-window,
+    single-scan plan (fine for bounded keys)."""
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -135,10 +142,23 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = summaries.select(
-        "_k", "_chunk", F.last("_state", ignorenulls=True).over(w_carry).alias("_r_prev")
+        F.col("_k").alias("_pk"),
+        F.col("_chunk").alias("_pchunk"),
+        F.last("_state", ignorenulls=True).over(w_carry).alias("_r_prev"),
     )
-    joined = local.join(prev, ["_k", "_chunk"], "left").withColumn(
-        "_r", F.coalesce(F.col("_r_local"), F.col("_r_prev"))
+    # null-safe join: the unchunked window PARTITIONS null keys together
+    # (they do match each other), and a null left-time lands in a null
+    # chunk — a plain equality join would silently drop the cross-chunk
+    # carry for exactly those rows while the within-chunk phase kept them
+    joined = (
+        local.join(
+            prev,
+            F.col("_k").eqNullSafe(F.col("_pk"))
+            & F.col("_chunk").eqNullSafe(F.col("_pchunk")),
+            "left",
+        )
+        .drop("_pk", "_pchunk")
+        .withColumn("_r", F.coalesce(F.col("_r_local"), F.col("_r_prev")))
     )
     return _project(joined, "_r")
 

@@ -211,7 +211,10 @@ def ivf_topk(
     cents = ivf_centroids(emb, n_cells)
     qv = np.asarray(query, dtype=np.float64)
     d = ((cents - qv[None, :]) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d)[:n_probe]]
+    # stable sort: duplicate centroids (first-n seeding over exact-dup
+    # embeddings) tie on distance, and the probe set must match
+    # ann_index.ivf_topk_indexed's cell choice bit-for-bit
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
     celled = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
     q = F.array(*[F.lit(float(v)) for v in query])
     return (

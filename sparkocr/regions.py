@@ -241,7 +241,12 @@ def _match_starts(needle: str):
     OVERLAPPING occurrences included (position-scan semantics: 'abab' in
     'ababab' matches at 0 AND 2).
 
-    JVM-only, two strategies, both O(L + matches) per row:
+    JVM-only, two strategies, both one linear pass over the text plus an
+    O(matches²) offset fold (``array_append`` copies the accumulator per
+    boundary — negligible for realistic needle frequencies, quadratic on
+    degenerate dense-match payloads like a needle of dots against a
+    megabyte dot-ruler; both strategies share this fold, so density, not
+    borderedness, is the only caveat):
 
     - a needle with no proper border (no prefix that is also a suffix)
       cannot self-overlap, so splitting ON the needle and cumulating part

@@ -77,3 +77,49 @@ def test_release_all_idempotent(spark):
     caching.release_all()
     assert caching.release_all() == 0
     assert caching.live_count() == 0
+
+
+def test_scope_releases_only_inner_caches(spark, docs):
+    """Interleaved operators: a scope must release only caches registered
+    inside it, leaving an operator constructed outside with its cache
+    intact for its later action (code-review finding: release_all is
+    process-global)."""
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs, simhash_near_dups
+
+    cm = _cache_manager(spark)
+    caching.release_all()
+    spark.catalog.clearCache()
+
+    outer = simhash_near_dups(docs)  # registers its signature cache NOW
+    n_before = caching.live_count()
+    with caching.scope():
+        inner = lsh_candidate_pairs(docs, n_perm=4, band_rows=2)
+        inner.count()
+    # the scope released lsh's caches, but simhash's survives for its action
+    assert caching.live_count() == n_before
+    outer.count()
+    assert not cm.isEmpty()
+    caching.release_all()
+    assert cm.isEmpty()
+
+
+def test_cap_metrics_with_disabled_cap_rejected(spark, docs):
+    from pyspark.sql import Observation
+
+    from sparkocr.pipeline.dedup import (
+        cap_metrics_get,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        simhash_near_dups,
+    )
+
+    with pytest.raises(ValueError, match="cap is disabled"):
+        jaccard_pairs(docs, df_max=None, cap_metrics=Observation())
+    with pytest.raises(ValueError, match="cap is disabled"):
+        lsh_candidate_pairs(docs, n_perm=4, band_rows=2,
+                            bucket_max=None, cap_metrics=Observation())
+    with pytest.raises(ValueError, match="cap is disabled"):
+        simhash_near_dups(docs, bucket_max=None, cap_metrics=Observation())
+    # reading a never-attached Observation: clear error, not AttributeError
+    with pytest.raises(ValueError, match="never attached"):
+        cap_metrics_get(Observation())

@@ -114,6 +114,57 @@ def test_asof_join_matches_bruteforce_model(spark):
         assert chunked == want, cs
 
 
+def test_asof_chunked_null_tiebreak_boundary(spark):
+    """Boundary carry (max_by over a struct key) must rank a NULL tiebreak
+    below every real value — same as the window path's asc_nulls_first —
+    and drop null right-times, when the deciding rows sit in an EARLIER
+    chunk than the left row (the phase-2 carry path)."""
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(days=10), 1)], "k string, t timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", t0, "null_tb", None), ("k", t0, "real_tb", 5),
+         ("k", None, "null_time", 9)],
+        "k string, rt timestamp, rid string, tb int",
+    )
+    for cs in (None, 86400):
+        r = asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            right_cols=["rid", "tb"], right_tiebreak="tb", chunk_seconds=cs,
+        ).collect()
+        assert (r[0].rid_asof, r[0].tb_asof) == ("real_tb", 5), cs
+
+
+def test_asof_chunked_null_keys_match_unchunked(spark):
+    """Window partitionBy groups NULL keys together (they DO match each
+    other); the chunked phase-2 carry join must be null-safe or null-key
+    left rows silently lose cross-chunk matches (code-review finding)."""
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [(None, t0 + dt.timedelta(days=40), 1),  # cross-chunk null-key
+         (None, t0 + dt.timedelta(hours=1), 2),  # same-chunk null-key
+         ("k", t0 + dt.timedelta(days=40), 3),
+         (None, None, 4)],                       # null key AND null time
+        "k string, t timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [(None, t0, "r_null", 1), ("k", t0, "r_k", 2)],
+        "k string, rt timestamp, rid string, tb int",
+    )
+    kw = dict(key="k", left_time="t", right_time="rt",
+              right_cols=["rid", "tb"], right_tiebreak="tb")
+    want = {r.lid: r.rid_asof for r in asof_join(left, right, **kw).collect()}
+    got = {r.lid: r.rid_asof
+           for r in asof_join(left, right, chunk_seconds=30 * 86400, **kw).collect()}
+    assert want == {1: "r_null", 2: "r_null", 3: "r_k", 4: None}
+    assert got == want
+
+
 def test_session_counts_chunked_matches_model(spark):
     """Chunked sessionization == unchunked == brute-force model, on data
     crafted to hit exact-threshold gaps (==gap never splits; >gap does)
