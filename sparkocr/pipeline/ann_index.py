@@ -71,6 +71,12 @@ def build_lsh_index(
     dim: int | None = None,
 ) -> None:
     """Materialize ``emb`` partitioned by LSH signature at ``path``."""
+    if emb.isEmpty():
+        # partitionBy over zero rows writes only _SUCCESS: the probe would
+        # later die with an opaque UNABLE_TO_INFER_SCHEMA — fail loudly at
+        # build time instead (matches build_ivf_index, whose trainer
+        # rejects an empty table)
+        raise ValueError("build_lsh_index: input table has no rows")
     if dim is None:
         dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes, seed)

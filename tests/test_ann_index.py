@@ -162,6 +162,19 @@ def test_kmeans_centroids_deterministic(spark):
     assert np.array_equal(a, b)
 
 
+def test_empty_table_rejected_at_build(spark, tmp_path):
+    """An index over zero rows writes only _SUCCESS; the probe would later
+    die with an opaque UNABLE_TO_INFER_SCHEMA — both builders must fail
+    loudly up front instead."""
+    from sparkocr.pipeline.ann_index import build_ivf_index, build_lsh_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no rows"):
+        build_lsh_index(empty, str(tmp_path / "lsh"), dim=8)
+    with pytest.raises(ValueError, match="no non-null embeddings"):
+        build_ivf_index(empty, str(tmp_path / "ivf"), n_cells=4)
+
+
 def test_wrong_kind_rejected(spark, query, lsh_index):
     from sparkocr.pipeline.ann_index import ivf_topk_indexed
 
