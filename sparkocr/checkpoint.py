@@ -175,7 +175,27 @@ def run_extract_job(
 
     Returns {"processed": [...], "skipped": [...], "rows_out": int}.
     """
+    # dynamic partition overwrite only for THIS job's writes: leaving it
+    # set would silently change the caller's own later
+    # overwrite+partitionBy writes from replace-all-partitions to
+    # replace-touched-partitions (stale data, no error) — restore on exit
+    prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_extract_job(spark, input_path, out_dir, n_buckets, force)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_overwrite
+        )
+
+
+def _run_extract_job(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    n_buckets: int,
+    force: bool,
+) -> dict:
     df = spark.read.parquet(input_path)
     fps = input_fingerprints(df, n_buckets)
 

@@ -131,8 +131,23 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> np.ndarray:
     vec_id embeddings (k-means seeding without the iterations — kept as
     the catalog/oracle quantizer because it is SQL-replayable; the cell
     assignment/probe machinery below is identical either way). For real
-    recall on clustered data use ``ivf_centroids_kmeans``."""
-    rows = emb.orderBy("vec_id").limit(n_cells).select("embedding").collect()
+    recall on clustered data use ``ivf_centroids_kmeans``.
+
+    Null / wrong-dimension rows are skipped (every other path zero-fills
+    or nulls them — ``_embedding_matrix``; a crash here would violate the
+    module's null-tolerance invariant) and an empty/unusable table raises
+    a clear error instead of a numpy broadcast failure downstream."""
+    dim = detect_dim(emb)
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == dim)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select("embedding")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_centroids: no usable (non-null) embeddings")
     return np.asarray([[float(v) for v in r["embedding"]] for r in rows])
 
 
@@ -157,8 +172,13 @@ def ivf_centroids_kmeans(
     data this trainer recovers the real cell structure and measurably
     beats it on recall (tests/test_similarity_recall.py)."""
     h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
+    dim = detect_dim(emb)
     rows = (
         emb.filter(F.col("embedding").isNotNull())
+        # wrong-dimension rows would make np.asarray raise on an
+        # inhomogeneous sample; the executor paths zero-fill them, the
+        # trainer just leaves them out
+        .filter(F.size("embedding") == dim)
         .select("vec_id", "embedding", h.alias("_h"))
         .orderBy("_h", "vec_id")
         .limit(sample_size)

@@ -33,6 +33,16 @@ from html import unescape
 
 # Content inside these is discarded entirely.
 DROP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "iframe"})
+
+# Start tags that may legitimately appear INSIDE <head>: any other start
+# tag implies </head> (HTML5 tag omission) — a page omitting both </head>
+# and <body> (common in scraped/hand-written HTML) must not lose its whole
+# body. Text alone does not trigger the release (tags-only approximation
+# of the spec, which also ends head at non-whitespace text).
+HEAD_CONTENT_TAGS = frozenset(
+    {"head", "title", "meta", "link", "base", "basefont", "bgsound",
+     "style", "script", "noscript", "noframes", "template", "html"}
+)
 # Classic boilerplate containers: their blocks are down-weighted.
 BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
 # Tags that open a new text block. <br> is NOT one: it is a line break —
@@ -112,6 +122,15 @@ def _iter_events(html: str):
     construct instead of a char-at-a-time state machine."""
     pos, n = 0, len(html)
     find, match = html.find, _TAG_RE.match
+    # Anti-quadratic memo: every construct except '<!--'/'<![' needs a '>'
+    # to match, and '>'-lessness is a suffix property — once a failed
+    # match discovers there is no '>' from some index on, every later '<'
+    # can skip the regex (whose attrs run scans to end-of-string before
+    # failing: '<a ' * N was O(N²), a one-row CPU DoS in the extraction
+    # task) and the comment/marked close searches (which also need '>').
+    # Output is byte-identical; only the scan cost changes.
+    no_gt = None  # index from which html provably contains no '>'
+    gt_hint = -1  # memoized find('>') result to keep the probe itself linear
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -121,10 +140,34 @@ def _iter_events(html: str):
         if lt > pos:
             chunk = html[pos:lt]
             yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
+        if no_gt is not None and lt >= no_gt:
+            # no '>' anywhere ahead: replicate each branch's outcome
+            # without scanning to end-of-string
+            if html.startswith("!--", lt + 1):
+                # comment opener, close unreachable → goahead fallback
+                pos = yield from _incomplete(html, lt, know_no_gt=True)
+                continue
+            if html.startswith("![", lt + 1):
+                nm = _MARKED_NAME.match(html, lt + 3)
+                kw = nm.group(0).lower() if nm else ""
+                if kw not in _MARKED_KEYWORDS and kw not in _MS_KEYWORDS:
+                    yield (_ABORT, None)
+                    return
+                pos = yield from _incomplete(html, lt, know_no_gt=True)
+                continue
+            # every other construct needs '>': literal '<' data
+            yield (_DATA, "<")
+            pos = lt + 1
+            continue
         m = match(html, lt)
         if m is None:
             # '<' not opening any construct: literal text (HTMLParser
             # emits it as data and moves one char)
+            if no_gt is None:
+                if gt_hint < lt:
+                    gt_hint = find(">", lt)
+                if gt_hint < lt:  # find returned -1: no '>' from lt on
+                    no_gt = lt
             yield (_DATA, "<")
             pos = lt + 1
             continue
@@ -157,8 +200,15 @@ def _iter_events(html: str):
             if mm is None:
                 # incomplete construct at EOF: goahead(1)'s fallback emits
                 # the RAW slice up to the next '>' (or '<', or one char)
-                # and resumes parsing after it
-                pos = yield from _incomplete(html, lt)
+                # and resumes parsing after it. Probe the no-'>' memo here
+                # too: '<!-- ' spam with no '>' would otherwise rescan the
+                # suffix per opener (close search + fallback probe)
+                if no_gt is None:
+                    if gt_hint < lt:
+                        gt_hint = find(">", lt)
+                    if gt_hint < lt:
+                        no_gt = lt
+                pos = yield from _incomplete(html, lt, know_no_gt=no_gt is not None)
                 continue
             pos = mm.end()
             continue
@@ -177,7 +227,12 @@ def _iter_events(html: str):
                 return
             mm = closer.search(html, m.end())
             if mm is None:
-                pos = yield from _incomplete(html, lt)
+                if no_gt is None:
+                    if gt_hint < lt:
+                        gt_hint = find(">", lt)
+                    if gt_hint < lt:
+                        no_gt = lt
+                pos = yield from _incomplete(html, lt, know_no_gt=no_gt is not None)
                 continue
             pos = mm.end()
             continue
@@ -185,15 +240,17 @@ def _iter_events(html: str):
         pos = m.end()
 
 
-def _incomplete(html: str, lt: int):
+def _incomplete(html: str, lt: int, know_no_gt: bool = False):
     """HTMLParser goahead(end=1) fallback for a construct that never
     terminates: emit the slice through the next '>', else through the next
     '<', else one char — parsing then resumes.  goahead applies
     ``unescape`` to this slice when convert_charrefs is on (CPython
     ``if self.convert_charrefs and not self.cdata_elem:
     self.handle_data(unescape(rawdata[i:k]))``), so charrefs inside an
-    unterminated comment/decl/marked section ARE decoded."""
-    gt = html.find(">", lt + 1)
+    unterminated comment/decl/marked section ARE decoded.
+    ``know_no_gt`` skips the '>' probe when the caller already proved the
+    suffix has none (the anti-quadratic memo in ``_iter_events``)."""
+    gt = -1 if know_no_gt else html.find(">", lt + 1)
     if gt >= 0:
         k = gt + 1
     else:
@@ -238,9 +295,11 @@ def flatten_blocks(html: str) -> list[dict]:
     def on_start(tag):
         nonlocal drop_depth, boiler_depth, article_depth, link_depth
         nonlocal cur_tag, head_drop
-        if tag == "body" and head_drop:
-            # HTML5 tag omission: <body> implies </head> — without this a
-            # document omitting </head> drops its entire body
+        if head_drop and tag not in HEAD_CONTENT_TAGS:
+            # HTML5 tag omission: any non-head-content start tag (<body>,
+            # <p>, <div>, ...) implies </head> — without this a document
+            # omitting </head> drops its entire body, and one omitting
+            # <body> too would extract as empty
             drop_depth = max(0, drop_depth - head_drop)
             head_drop = 0
         if tag in DROP_TAGS:

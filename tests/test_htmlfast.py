@@ -13,6 +13,7 @@ from sparkocr.textproc.htmlmain import (
     BLOCK_TAGS,
     BOILER_TAGS,
     DROP_TAGS,
+    HEAD_CONTENT_TAGS,
     _WS_RE,
     flatten_blocks,
 )
@@ -53,7 +54,7 @@ class _RefCollector(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
-        if tag == "body" and self._head_drop:
+        if self._head_drop and tag not in HEAD_CONTENT_TAGS:
             self._drop_depth = max(0, self._drop_depth - self._head_drop)
             self._head_drop = 0
         if tag in DROP_TAGS:
@@ -194,6 +195,22 @@ CASES = [
     "<p>x</p><![CDATA[ has &amp; > <p>resumed paragraph prose here</p>",
     "<p>x</p><!DOCTYPE &#x42;",
     "<p>x</p><!-- broken &amp; no close at all",
+    # implicit </head> at any non-head-content start tag (not just <body>):
+    # a page omitting BOTH </head> and <body> keeps its content
+    "<html><head><meta charset='utf-8'><title>t</title>"
+    "<p>main body content paragraph stays here</p>",
+    "<head><style>p{}</style><link rel=x><div>kept div prose content</div>",
+    # head-content tags do NOT release the drop
+    "<head><title>t</title><meta x><script>var a;</script><p>kept prose</p>",
+    # '>'-less suffixes take the anti-quadratic fast path: outputs must
+    # stay byte-identical to HTMLParser (sizes kept small here because the
+    # STDLIB side is quadratic on these)
+    "<p>keep this paragraph</p>" + "<a " * 300,
+    "<p>keep this paragraph</p>" + "<!-- " * 300,
+    "<p>keep this paragraph</p>" + "< 5 " * 300,
+    "<p>keep this paragraph</p>" + "<![if " * 200,
+    "<p>keep this paragraph</p>" + "<![weird " * 3,
+    "<p>x</p>" + "<a " * 100 + "> tail <p>after late gt prose here</p>",
 ]
 
 
@@ -231,3 +248,17 @@ _soup_atom = st.sampled_from(
 def test_scanner_matches_htmlparser_on_tag_soup(atoms):
     html = "".join(atoms)
     assert flatten_blocks(html) == _ref_blocks(html), html
+
+
+def test_scanner_linear_on_unterminated_tag_spam():
+    """One crafted row must not pin an extraction task: the scanner takes
+    the no-'>' fast path instead of rescanning the suffix per '<'
+    (stdlib HTMLParser is quadratic here — 24 KB of '<a ' took ~7 s;
+    the memo runs it in milliseconds)."""
+    import time
+
+    for payload in ("<a " * 8000, "<!-- " * 8000, "<![if " * 4000,
+                    "< 5 " * 8000):
+        t0 = time.monotonic()
+        flatten_blocks(payload)
+        assert time.monotonic() - t0 < 1.0, payload[:10]

@@ -125,6 +125,18 @@ def test_stray_manifest_names_are_skipped(spark, tiny_transcripts, first_run):
                 os.remove(p)
 
 
+def test_overwrite_mode_restored_after_job(spark, tiny_transcripts, first_run):
+    # the job needs dynamic partition overwrite internally but must not
+    # leave it set on the shared session (the caller's own later
+    # overwrite+partitionBy writes would silently keep stale partitions)
+    out, _ = first_run
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert spark.conf.get(key) == before
+    assert before.lower() != "dynamic"
+
+
 def test_manifest_io_leaves_no_crc_sidecars(first_run):
     # manifest IO must use the RAW local filesystem, not the checksummed
     # wrapper (which would both litter .crc files and, if checksums were

@@ -442,6 +442,27 @@ def test_similarity_tolerates_null_embeddings(spark):
     top = lsh_topk(emb, [1.0] * 8, k=3, n_planes=6)
     ids = [r.vec_id for r in top.collect()]
     assert 0 in ids and 2 in ids
+
+    # IVF must tolerate the same data: a null/wrong-dim row among the
+    # n_cells lowest vec_ids crashed the first-n quantizer on the driver
+    # ('NoneType' not iterable / inhomogeneous-shape), and the kmeans
+    # trainer choked on the mixed-dimension sample
+    from sparkocr.pipeline.similarity import (
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+
+    ivf_ids = [r.vec_id for r in ivf_topk(emb, [1.0] * 8, k=3, n_cells=2).collect()]
+    assert 0 in ivf_ids and 2 in ivf_ids
+    cents = ivf_centroids_kmeans(emb, n_cells=2, sample_size=8)
+    assert cents.shape[1] == 8  # trained on the 8-dim majority only
+
+    # empty / all-null tables: clear error, not a numpy broadcast failure
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no usable"):
+        ivf_topk(empty, [1.0] * 8, k=3)
     dups = embedding_near_dups(emb, threshold=0.9, n_planes=6).collect()
     assert {(r.id1, r.id2) for r in dups} == {(0, 2)}
 
