@@ -126,6 +126,17 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_
     )
 
 
+def _majority_dim(vectors) -> int:
+    """Most frequent length among driver-side vectors (ties → smaller).
+    Deterministic, and immune to a single junk-dimension row — deriving
+    the dimension from whichever row happens to be physically first would
+    make centroid shape depend on partition layout."""
+    from collections import Counter
+
+    counts = Counter(len(v) for v in vectors)
+    return min(counts, key=lambda d: (-counts[d], d))
+
+
 def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> np.ndarray:
     """Deterministic coarse-quantizer centroids: the ``n_cells`` lowest
     vec_id embeddings (k-means seeding without the iterations — kept as
@@ -135,20 +146,24 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> np.ndarray:
 
     Null / wrong-dimension rows are skipped (every other path zero-fills
     or nulls them — ``_embedding_matrix``; a crash here would violate the
-    module's null-tolerance invariant) and an empty/unusable table raises
-    a clear error instead of a numpy broadcast failure downstream."""
-    dim = detect_dim(emb)
+    module's null-tolerance invariant): a bounded 4x oversample of the
+    lowest-vec_id non-null rows is collected and the first ``n_cells`` of
+    the majority dimension are kept, all driver-side — one Spark action,
+    no order-sensitive dimension probe. An empty/unusable table raises a
+    clear error instead of a numpy broadcast failure downstream."""
     rows = (
         emb.filter(F.col("embedding").isNotNull())
-        .filter(F.size("embedding") == dim)
         .orderBy("vec_id")
-        .limit(n_cells)
+        .limit(max(4 * n_cells, 16))
         .select("embedding")
         .collect()
     )
     if not rows:
         raise ValueError("ivf_centroids: no usable (non-null) embeddings")
-    return np.asarray([[float(v) for v in r["embedding"]] for r in rows])
+    vecs = [r["embedding"] for r in rows]
+    dim = _majority_dim(vecs)
+    kept = [v for v in vecs if len(v) == dim][:n_cells]
+    return np.asarray([[float(x) for x in v] for v in kept])
 
 
 def ivf_centroids_kmeans(
@@ -172,21 +187,24 @@ def ivf_centroids_kmeans(
     data this trainer recovers the real cell structure and measurably
     beats it on recall (tests/test_similarity_recall.py)."""
     h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
-    dim = detect_dim(emb)
     rows = (
         emb.filter(F.col("embedding").isNotNull())
-        # wrong-dimension rows would make np.asarray raise on an
-        # inhomogeneous sample; the executor paths zero-fill them, the
-        # trainer just leaves them out
-        .filter(F.size("embedding") == dim)
         .select("vec_id", "embedding", h.alias("_h"))
         .orderBy("_h", "vec_id")
         .limit(sample_size)
         .collect()
     )
-    X = np.asarray([[float(v) for v in r["embedding"]] for r in rows], dtype=np.float64)
-    if len(X) == 0:
+    if not rows:
         raise ValueError("ivf_centroids_kmeans: no non-null embeddings to train on")
+    # wrong-dimension rows would make np.asarray raise on an inhomogeneous
+    # sample; the executor paths zero-fill them, the trainer just leaves
+    # them out — majority dimension chosen driver-side over the hash-ordered
+    # sample (deterministic across partition layouts, no extra Spark action)
+    vecs = [r["embedding"] for r in rows]
+    dim = _majority_dim(vecs)
+    X = np.asarray(
+        [[float(x) for x in v] for v in vecs if len(v) == dim], dtype=np.float64
+    )
     k = min(n_cells, len(X))
     cents = X[:k].copy()
     for _ in range(n_iter):
@@ -249,15 +267,19 @@ def ivf_topk(
 
 
 def detect_dim(emb: DataFrame) -> int:
-    """Embedding dimension from the first non-null row (size(null) is null
-    and int(None) would crash on an unlucky first row); DIM if the table
-    has no non-null embeddings."""
-    first = (
+    """Majority embedding dimension (ties → smaller), via one count
+    aggregation; DIM if the table has no non-null embeddings. A
+    first-non-null-row probe would be order-dependent — which physical row
+    comes first varies with partition layout, so a junk-dimension row
+    could flip the chosen dimension between otherwise identical runs."""
+    row = (
         emb.filter(F.col("embedding").isNotNull())
-        .select(F.size("embedding").alias("d"))
+        .groupBy(F.size("embedding").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), "d")
         .first()
     )
-    return int(first["d"]) if first else DIM
+    return int(row["d"]) if row else DIM
 
 
 def embedding_near_dups(

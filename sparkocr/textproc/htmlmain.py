@@ -63,49 +63,152 @@ MAX_LINK_DENSITY = 0.33
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
-# Tag-ish constructs at a '<'. Quoted attribute values may contain '>'.
-# Name charset mirrors HTMLParser's tagfind_tolerant (anything but
-# whitespace and '/>' after a leading letter).
-_TAG_RE = re.compile(
-    r"""<(?:
-        (?P<comment>!--)
-      | (?P<marked>!\[)                                     # <![CDATA[ .. ]]>, <![if ..]>
-      | (?P<decl>![^>]*>)                                   # <!doctype..>, bogus <!..>
-      | (?P<pi>\?[^>]*>)                                    # <?..>
-      | /\s*(?P<end>[a-zA-Z][^\t\n\r\f\ />]*)[^>]*>         # </name junk>
-      | /(?P<endbogus>[^>]*)>                               # </>, </1..> → bogus, swallowed
-      | (?P<start>[a-zA-Z][^\t\n\r\f\ />]*)                 # <name
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>             # attrs ('>' ok in quotes)
-    )""",
-    re.VERBOSE | re.DOTALL,
+# Start/end tags are parsed with CPython html.parser's OWN tolerant
+# regexes plus a code mirror of parse_starttag / check_for_whole_start_tag
+# / parse_endtag under goahead(end=1): a hand-rolled single-regex
+# approximation diverged on malformed pages (a bare quote in
+# attribute-NAME position opened a bogus quoted span that could swallow
+# whole document chunks; '</ p junk>' emitted an end event where
+# HTMLParser parses a bogus comment; '\x00' was accepted in tag names).
+# Importing the stdlib patterns keeps the mirror honest; copies below pin
+# them in case a future stdlib renames them.
+try:
+    from html.parser import (  # type: ignore[attr-defined]
+        attrfind_tolerant as _ATTRFIND,
+        endtagfind as _ENDTAGFIND,
+        locatestarttagend_tolerant as _LOCATE_START,
+        tagfind_tolerant as _TAGFIND,
+    )
+except ImportError:  # pragma: no cover - stdlib layout change
+    _TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+    _ATTRFIND = re.compile(
+        r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+        r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+    )
+    _LOCATE_START = re.compile(
+        r"""
+      <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+      (?:[\s/]*                          # optional whitespace before attribute name
+        (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+          (?:\s*=+\s*                    # value indicator
+            (?:'[^']*'                   # LITA-enclosed value
+              |"[^"]*"                   # LIT-enclosed value
+              |(?!['"])[^>\s]*           # bare value
+             )
+            \s*                          # possibly followed by a space
+           )?(?:\s|/(?!>))*
+         )*
+       )?
+      \s*                                # trailing whitespace
+    """,
+        re.VERBOSE,
+    )
+    _ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+# check_for_whole_start_tag: these next-chars after the locate match mean
+# "end of input in or before attribute value" → incomplete (-1), which
+# under goahead(end=1) is the raw-slice fallback — possibly through a
+# LATER '>' (e.g. one sitting inside an unterminated quoted value).
+_NEXT_INCOMPLETE = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=")
+
+# Fast-accept for the overwhelmingly common well-formed start tag: ASCII
+# alnum name, whitespace-separated attrs with simple names and quoted
+# (no '<'/'>'/'`' inside) or safe-charset bare values, optional '/'. On
+# its match domain this is equivalent to the full mirror below — every
+# charset is a strict subset of what locate/attrfind consume at the same
+# position and the construct ends at a real '>' — so the expensive
+# locate+attr loop only runs for unusual tags. No match ⇒ fall through;
+# never a wrong accept (validated by the differential fuzz).
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>`]*\"|'[^'<>`]*'|[-a-zA-Z0-9_./:;+#%&?=~,@!]+))?)*"
+    r"\s*(/?)>"
 )
 
-# A trailing '/' in the attr text is self-closing ONLY when it is not the
-# tail of an unquoted attribute VALUE: HTMLParser parses <a href=http://x/>
-# as value 'http://x/' (start tag), but <br/>, <br />, <a foo/>, <a x="y"/>
-# as self-closing. The '/' belongs to a value iff an '=' introduces an
-# unquoted run reaching the end of the attr text.
-_UNQUOTED_VALUE_TAIL = re.compile(r"=\s*[^\s\"'>]*$")
+# Bogus declarations / processing instructions: swallowed through the
+# first '>' (parse_html_declaration's doctype branch and
+# parse_bogus_comment both land on the first '>'; parse_pi likewise).
+_DECL_RE = re.compile(r"<![^>]*>")
+_PI_RE = re.compile(r"<\?[^>]*>")
 
 # _markupbase marked-section handling: name token, then cdata/include/
 # ignore/rcdata/temp close with ']]>', the MS-conditional keywords with
 # ']>'; an unknown/missing keyword raises in HTMLParser (the collector's
 # try/except then keeps only already-flushed blocks) — mirrored by _ABORT.
-_MARKED_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+# EXCEPT when the name run (incl. trailing whitespace, exactly
+# _markupbase._declname_match) touches end of buffer: _scan_name returns
+# (None, -1) BEFORE the keyword check, so goahead(1) treats the construct
+# as incomplete (raw-slice fallback) even for an unknown keyword.
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 _MARKED_KEYWORDS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 _MS_KEYWORDS = frozenset({"if", "else", "endif"})
 _MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")
 _MS_MARKED_CLOSE = re.compile(r"\]\s*>")
 
-# HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode, no
-# tag events) until a close tag whose NAME equals the element — the
-# lookahead rejects '</scriptx' (HTMLParser parses the full end-tag name
-# and stays in CDATA mode on mismatch, emitting it as data).
+_MARKED_AT_EOF = object()  # sentinel: name run reached end of buffer
+
+
+def _marked_kind(html: str, lt: int):
+    """Classify '<![' at ``lt``: the close-pattern regex to search for,
+    ``None`` for HTMLParser's unknown-keyword error (abort), or
+    ``_MARKED_AT_EOF`` when _scan_name would report end-of-buffer
+    (incomplete construct, goahead fallback)."""
+    i = lt + 3
+    if i == len(html):
+        return _MARKED_AT_EOF
+    nm = _DECLNAME.match(html, i)
+    if nm is not None and nm.end() == len(html):
+        return _MARKED_AT_EOF
+    kw = nm.group(0).strip().lower() if nm else ""
+    if kw in _MARKED_KEYWORDS:
+        return _MARKED_CLOSE
+    if kw in _MS_KEYWORDS:
+        return _MS_MARKED_CLOSE
+    return None
+
+# HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode,
+# no tag events) until an endtagfind-matching close tag whose NAME equals
+# the element. set_cdata_mode's "interesting" regex is a bare
+# '</\s*<elem>' prefix — a candidate failing endtagfind ('</scriptx>',
+# '</script junk>') is emitted RAW through the first '>' and CDATA mode
+# CONTINUES; candidates with no '>' at all, and content with no candidate,
+# are handled in _rawtext_events below.
 _RAWTEXT = ("script", "style")
-_RAWTEXT_CLOSE = {
-    t: re.compile(rf"</\s*{t}(?![-.a-zA-Z0-9:_])", re.IGNORECASE)
-    for t in _RAWTEXT
+_RAWTEXT_INTERESTING = {
+    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT
 }
+
+
+def _rawtext_events(html: str, name: str, pos: int, n: int, find):
+    """CDATA-mode mirror (goahead + parse_endtag with cdata_elem set).
+    Yields raw _DATA/_END events; returns the resume position.
+
+    Unterminated CDATA at EOF is SWALLOWED: goahead's cdata branch breaks
+    without emitting, and the final flush is gated on ``not
+    self.cdata_elem`` — '<script>var x' contributes no text at all."""
+    interesting = _RAWTEXT_INTERESTING[name]
+    while True:
+        mm = interesting.search(html, pos)
+        if mm is None:
+            return n  # unterminated: remaining content is dropped
+        i2 = mm.start()
+        if i2 > pos:
+            yield (_DATA, html[pos:i2])
+        gt2 = find(">", i2 + 1)
+        if gt2 < 0:
+            # parse_endtag -1 → goahead(1) fallback inside cdata: raw
+            # slices char-by-char to EOF, net the raw remainder
+            if i2 < n:
+                yield (_DATA, html[i2:n])
+            return n
+        em = _ENDTAGFIND.match(html, i2)
+        if em is not None and em.group(1).lower() == name:
+            yield (_END, name)
+            return gt2 + 1
+        # wrong or junky end tag: raw through the first '>', stay in cdata
+        yield (_DATA, html[i2 : gt2 + 1])
+        pos = gt2 + 1
 
 # HTMLParser's comment close is '--\s*>' (whitespace allowed), not the
 # literal '-->'
@@ -121,16 +224,42 @@ def _iter_events(html: str):
     on the collector's event surface. One compiled-regex match per
     construct instead of a char-at-a-time state machine."""
     pos, n = 0, len(html)
-    find, match = html.find, _TAG_RE.match
-    # Anti-quadratic memo: every construct except '<!--'/'<![' needs a '>'
-    # to match, and '>'-lessness is a suffix property — once a failed
-    # match discovers there is no '>' from some index on, every later '<'
-    # can skip the regex (whose attrs run scans to end-of-string before
-    # failing: '<a ' * N was O(N²), a one-row CPU DoS in the extraction
-    # task) and the comment/marked close searches (which also need '>').
-    # Output is byte-identical; only the scan cost changes.
+    find = html.find
+    # Anti-quadratic memo: almost every construct needs a '>' somewhere
+    # ahead, and '>'-lessness is a suffix property — once a probe
+    # discovers there is no '>' from some index on, every later '<' can
+    # skip the full scans (locate's attr run and the comment/marked close
+    # searches otherwise rescan to end-of-string per opener: '<a ' * N
+    # was O(N²), a one-row CPU DoS in the extraction task). Output is
+    # byte-identical; only the scan cost changes.
     no_gt = None  # index from which html provably contains no '>'
     gt_hint = -1  # memoized find('>') result to keep the probe itself linear
+    # same trick for the comment/marked close patterns: a failed
+    # closer.search is a suffix property too — '<!--x>' spam would
+    # otherwise rescan the tail per opener (stdlib HTMLParser is
+    # quadratic there; the fallback jump to the next '>' advances only
+    # one unit per O(suffix) search)
+    no_close: set[int] = set()  # id(closer) whose search already failed
+
+    def closer_search(closer, start):
+        key = id(closer)
+        if key in no_close:
+            return None
+        mm = closer.search(html, start)
+        if mm is None:
+            no_close.add(key)
+        return mm
+
+    def note_no_gt():
+        # probe once whether any '>' remains after lt; gt_hint keeps the
+        # probe itself linear across calls
+        nonlocal no_gt, gt_hint
+        if no_gt is None:
+            if gt_hint < lt:
+                gt_hint = find(">", lt)
+            if gt_hint < lt:  # find returned -1: no '>' from lt on
+                no_gt = lt
+
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -140,104 +269,181 @@ def _iter_events(html: str):
         if lt > pos:
             chunk = html[pos:lt]
             yield (_DATA, unescape(chunk) if "&" in chunk else chunk)
+        c = html[lt + 1 : lt + 2]
+        is_letter = ("a" <= c <= "z") or ("A" <= c <= "Z")
         if no_gt is not None and lt >= no_gt:
             # no '>' anywhere ahead: replicate each branch's outcome
             # without scanning to end-of-string
+            if is_letter:
+                # start tag that can never complete: either check_for_
+                # whole_start_tag's bogus-input stop (a '\x00' directly
+                # after the tag name, not preceded by a quote — the only
+                # reachable bogus stop in a '>'-less suffix) emitting the
+                # RAW name slice, or the incomplete fallback
+                km = _TAGFIND.match(html, lt + 1)
+                j0 = lt + 1 + len(km.group(1))
+                if j0 < n and html[j0] == "\x00" and html[j0 - 1] not in "'\"":
+                    yield (_DATA, html[lt:j0])
+                    pos = j0
+                else:
+                    pos = yield from _incomplete(html, lt, know_no_gt=True)
+                continue
             if html.startswith("!--", lt + 1):
                 # comment opener, close unreachable → goahead fallback
                 pos = yield from _incomplete(html, lt, know_no_gt=True)
                 continue
             if html.startswith("![", lt + 1):
-                nm = _MARKED_NAME.match(html, lt + 3)
-                kw = nm.group(0).lower() if nm else ""
-                if kw not in _MARKED_KEYWORDS and kw not in _MS_KEYWORDS:
+                if _marked_kind(html, lt) is None:
                     yield (_ABORT, None)
                     return
+                # valid keyword (close unreachable without '>') or name at
+                # EOF: both are goahead's incomplete fallback
                 pos = yield from _incomplete(html, lt, know_no_gt=True)
                 continue
-            # every other construct needs '>': literal '<' data
+            # end tag / decl / pi without '>', or a bare '<': all reduce
+            # to the fallback's text, which splits as '<' + data here
             yield (_DATA, "<")
             pos = lt + 1
             continue
-        m = match(html, lt)
-        if m is None:
-            # '<' not opening any construct: literal text (HTMLParser
-            # emits it as data and moves one char)
-            if no_gt is None:
-                if gt_hint < lt:
-                    gt_hint = find(">", lt)
-                if gt_hint < lt:  # find returned -1: no '>' from lt on
-                    no_gt = lt
-            yield (_DATA, "<")
-            pos = lt + 1
-            continue
-        # dispatch on the LAST participating group (one lookup instead of
-        # probing every named group): a start tag always ends with the
-        # (possibly empty) attrs group
-        g = m.lastgroup
-        if g == "attrs":
-            name = m.group("start").lower()
-            attrs = m.group("attrs")
-            pos = m.end()
-            if attrs.endswith("/") and not _UNQUOTED_VALUE_TAIL.search(attrs):
-                yield (_STARTEND, name)
+        if is_letter:
+            # -- start tag: parse_starttag + check_for_whole_start_tag --
+            sm = _SIMPLE_START.match(html, lt)
+            if sm is not None:
+                name = sm.group(1).lower()
+                pos = sm.end()
+                if sm.group(2):
+                    yield (_STARTEND, name)
+                else:
+                    yield (_START, name)
+                    if name in _RAWTEXT:
+                        pos = yield from _rawtext_events(html, name, pos, n, find)
                 continue
-            yield (_START, name)
-            if name in _RAWTEXT:
-                # content mode: raw data until the matching close tag
-                mm = _RAWTEXT_CLOSE[name].search(html, pos)
-                stop = mm.start() if mm else n
-                if stop > pos:
-                    yield (_DATA, html[pos:stop])  # raw: no entity decode
-                pos = stop  # the close tag itself parses on the next loop
-            continue
-        if g == "end":
-            yield (_END, m.group("end").lower())
-            pos = m.end()
-            continue
-        if g == "comment":
-            mm = _COMMENT_CLOSE.search(html, m.end())
-            if mm is None:
-                # incomplete construct at EOF: goahead(1)'s fallback emits
-                # the RAW slice up to the next '>' (or '<', or one char)
-                # and resumes parsing after it. Probe the no-'>' memo here
-                # too: '<!-- ' spam with no '>' would otherwise rescan the
-                # suffix per opener (close search + fallback probe)
-                if no_gt is None:
-                    if gt_hint < lt:
-                        gt_hint = find(">", lt)
-                    if gt_hint < lt:
-                        no_gt = lt
+            lm = _LOCATE_START.match(html, lt)
+            j = lm.end()
+            nxt = html[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                if html.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    note_no_gt()
+                    pos = yield from _incomplete(html, lt, know_no_gt=no_gt is not None)
+                    continue
+            elif nxt == "" or nxt in _NEXT_INCOMPLETE:
+                # probe the memo: when the locate scan died because the
+                # suffix has no '>' at all ('<a ' spam), later openers
+                # must skip the O(suffix) rescan
+                note_no_gt()
                 pos = yield from _incomplete(html, lt, know_no_gt=no_gt is not None)
                 continue
-            pos = mm.end()
-            continue
-        if g == "marked":
-            # <![keyword ... : _markupbase semantics — ']]>' close for
-            # cdata-family, ']>' for MS conditionals, raise on anything
-            # else (mirrored as abort)
-            nm = _MARKED_NAME.match(html, m.end())
-            kw = nm.group(0).lower() if nm else ""
-            if kw in _MARKED_KEYWORDS:
-                closer = _MARKED_CLOSE
-            elif kw in _MS_KEYWORDS:
-                closer = _MS_MARKED_CLOSE
             else:
-                yield (_ABORT, None)
-                return
-            mm = closer.search(html, m.end())
-            if mm is None:
-                if no_gt is None:
-                    if gt_hint < lt:
-                        gt_hint = find(">", lt)
-                    if gt_hint < lt:
-                        no_gt = lt
-                pos = yield from _incomplete(html, lt, know_no_gt=no_gt is not None)
+                endpos = j  # bogus input: raw-data fallback below
+            km = _TAGFIND.match(html, lt + 1)
+            k = km.end()
+            while k < endpos:
+                am = _ATTRFIND.match(html, k)
+                if am is None:
+                    break
+                k = am.end()
+            tail = html[k:endpos].strip()
+            if tail not in (">", "/>"):
+                # parse_starttag's direct handle_data: RAW slice (no
+                # unescape), resume at endpos
+                yield (_DATA, html[lt:endpos])
+                pos = endpos
                 continue
-            pos = mm.end()
+            name = km.group(1).lower()
+            pos = endpos
+            if tail == "/>":
+                yield (_STARTEND, name)
+            else:
+                yield (_START, name)
+                if name in _RAWTEXT:
+                    pos = yield from _rawtext_events(html, name, pos, n, find)
             continue
-        # decl / pi / endbogus: swallowed whole
-        pos = m.end()
+        if c == "/":
+            # -- end tag: parse_endtag (tolerant) --
+            gt2 = find(">", lt + 1)
+            if gt2 < 0:
+                note_no_gt()
+                pos = yield from _incomplete(html, lt, know_no_gt=True)
+                continue
+            em = _ENDTAGFIND.match(html, lt)
+            if em is not None:
+                yield (_END, em.group(1).lower())
+                pos = gt2 + 1
+                continue
+            nm2 = _TAGFIND.match(html, lt + 2)
+            if nm2 is not None:
+                # junk between the name and '>' is consumed and ignored
+                yield (_END, nm2.group(1).lower())
+                pos = gt2 + 1
+                continue
+            if html.startswith("</>", lt):
+                pos = lt + 3
+                continue
+            pos = gt2 + 1  # bogus comment: swallowed through the first '>'
+            continue
+        if c == "!":
+            if html.startswith("--", lt + 2):
+                mm = closer_search(_COMMENT_CLOSE, lt + 4)
+                if mm is None:
+                    # incomplete construct: goahead(1)'s fallback emits
+                    # the slice up to the next '>' (or '<', or one char),
+                    # unescaped, and resumes after it. Probe the no-'>'
+                    # memo too: '<!-- ' spam with no '>' would otherwise
+                    # rescan the suffix per opener
+                    note_no_gt()
+                    pos = yield from _incomplete(
+                        html, lt, know_no_gt=no_gt is not None
+                    )
+                    continue
+                pos = mm.end()
+                continue
+            if html[lt + 2 : lt + 3] == "[":
+                # <![keyword ... : _markupbase semantics — ']]>' close for
+                # cdata-family, ']>' for MS conditionals, abort on
+                # anything else, incomplete fallback when the name
+                # touches EOF
+                closer = _marked_kind(html, lt)
+                if closer is None:
+                    yield (_ABORT, None)
+                    return
+                mm = (
+                    None
+                    if closer is _MARKED_AT_EOF
+                    else closer_search(closer, lt + 3)
+                )
+                if mm is None:
+                    note_no_gt()
+                    pos = yield from _incomplete(
+                        html, lt, know_no_gt=no_gt is not None
+                    )
+                    continue
+                pos = mm.end()
+                continue
+            dm = _DECL_RE.match(html, lt)
+            if dm is not None:
+                pos = dm.end()  # doctype / bogus decl: swallowed whole
+                continue
+            note_no_gt()
+            yield (_DATA, "<")
+            pos = lt + 1
+            continue
+        if c == "?":
+            pm = _PI_RE.match(html, lt)
+            if pm is not None:
+                pos = pm.end()  # processing instruction: swallowed whole
+                continue
+            note_no_gt()
+            yield (_DATA, "<")
+            pos = lt + 1
+            continue
+        # '<' not opening any construct: literal text (HTMLParser emits
+        # it as data and moves one char)
+        yield (_DATA, "<")
+        pos = lt + 1
 
 
 def _incomplete(html: str, lt: int, know_no_gt: bool = False):
@@ -295,12 +501,15 @@ def flatten_blocks(html: str) -> list[dict]:
     def on_start(tag):
         nonlocal drop_depth, boiler_depth, article_depth, link_depth
         nonlocal cur_tag, head_drop
-        if head_drop and tag not in HEAD_CONTENT_TAGS:
+        if head_drop and drop_depth == head_drop and tag not in HEAD_CONTENT_TAGS:
             # HTML5 tag omission: any non-head-content start tag (<body>,
             # <p>, <div>, ...) implies </head> — without this a document
             # omitting </head> drops its entire body, and one omitting
-            # <body> too would extract as empty
-            drop_depth = max(0, drop_depth - head_drop)
+            # <body> too would extract as empty. Only when head is the
+            # sole open drop: a tag nested inside another drop container
+            # (<noscript><img> tracking pixels are common in <head>) must
+            # not end the head and leak <title> text into the main text.
+            drop_depth = 0
             head_drop = 0
         if tag in DROP_TAGS:
             drop_depth += 1

@@ -54,8 +54,12 @@ class _RefCollector(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         tag = tag.lower()
-        if self._head_drop and tag not in HEAD_CONTENT_TAGS:
-            self._drop_depth = max(0, self._drop_depth - self._head_drop)
+        if (
+            self._head_drop
+            and self._drop_depth == self._head_drop
+            and tag not in HEAD_CONTENT_TAGS
+        ):
+            self._drop_depth = 0
             self._head_drop = 0
         if tag in DROP_TAGS:
             self._drop_depth += 1
@@ -211,6 +215,19 @@ CASES = [
     "<p>keep this paragraph</p>" + "<![if " * 200,
     "<p>keep this paragraph</p>" + "<![weird " * 3,
     "<p>x</p>" + "<a " * 100 + "> tail <p>after late gt prose here</p>",
+    # marked-section name touching EOF is INCOMPLETE per _scan_name (even
+    # for an unknown keyword), not the unknown-keyword abort: the trailing
+    # block must survive
+    "<p>pending paragraph text here</p>trailing pending <![weird ",
+    "<p>pending paragraph text here</p>trailing <![unknownkw",
+    "<p>x</p>tail keeps <![",
+    "<p>x</p><![5 no name match aborts",
+    # implicit-</head> release must NOT fire inside a nested drop
+    # container: <noscript><img> tracking pixels in <head> are common and
+    # must not leak the <title> text into main text
+    "<head><noscript><img src=p></noscript><title>Leaky page title here"
+    "</title></head><body><p>Real body paragraph content</p>",
+    "<head><template><p>tpl</p></template><title>T</title><p>kept body prose</p>",
 ]
 
 

@@ -457,6 +457,18 @@ def test_similarity_tolerates_null_embeddings(spark):
     cents = ivf_centroids_kmeans(emb, n_cells=2, sample_size=8)
     assert cents.shape[1] == 8  # trained on the 8-dim majority only
 
+    # a junk-dimension row with the LOWEST vec_id (and physically first)
+    # must not flip the detected dimension: the majority wins, the probe
+    # still returns the valid vectors instead of a numpy broadcast crash
+    from sparkocr.pipeline.similarity import detect_dim, ivf_centroids
+
+    rows2 = [(0, [0.5] * 4), (1, [1.0] * 8), (2, [1.0] * 8), (3, [0.9] * 8)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    assert detect_dim(emb2) == 8
+    assert ivf_centroids(emb2, n_cells=2).shape == (2, 8)
+    ids2 = [r.vec_id for r in ivf_topk(emb2, [1.0] * 8, k=3, n_cells=2).collect()]
+    assert 1 in ids2 and 2 in ids2
+
     # empty / all-null tables: clear error, not a numpy broadcast failure
     import pytest as _pytest
 
