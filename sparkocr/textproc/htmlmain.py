@@ -168,47 +168,36 @@ def _marked_kind(html: str, lt: int):
     return None
 
 # HTMLParser's CDATA_CONTENT_ELEMENTS: content is raw (no entity decode,
-# no tag events) until an endtagfind-matching close tag whose NAME equals
-# the element. set_cdata_mode's "interesting" regex is a bare
-# '</\s*<elem>' prefix — a candidate failing endtagfind ('</scriptx>',
-# '</script junk>') is emitted RAW through the first '>' and CDATA mode
-# CONTINUES; candidates with no '>' at all, and content with no candidate,
-# are handled in _rawtext_events below.
+# no tag events) until set_cdata_mode's "interesting" pattern — the FULL
+# close form r'</\s*<elem>\s*>' (Python 3.11 html/parser.py) — matches.
+# A junk candidate ('</scriptx>', '</script junk>') is NOT a close and
+# NOT special: goahead's interesting.search never stops at it, so it is
+# part of the raw data run. When no full close pattern exists ahead, the
+# cdata branch breaks without emitting and the final flush is gated on
+# ``not self.cdata_elem`` — the ENTIRE remainder (even content before a
+# junk candidate) is swallowed: '<script>var x</scri' contributes no text.
 _RAWTEXT = ("script", "style")
-_RAWTEXT_INTERESTING = {
-    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _RAWTEXT
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT
 }
 
 
-def _rawtext_events(html: str, name: str, pos: int, n: int, find):
+def _rawtext_events(html: str, name: str, pos: int, n: int):
     """CDATA-mode mirror (goahead + parse_endtag with cdata_elem set).
     Yields raw _DATA/_END events; returns the resume position.
 
-    Unterminated CDATA at EOF is SWALLOWED: goahead's cdata branch breaks
-    without emitting, and the final flush is gated on ``not
-    self.cdata_elem`` — '<script>var x' contributes no text at all."""
-    interesting = _RAWTEXT_INTERESTING[name]
-    while True:
-        mm = interesting.search(html, pos)
-        if mm is None:
-            return n  # unterminated: remaining content is dropped
-        i2 = mm.start()
-        if i2 > pos:
-            yield (_DATA, html[pos:i2])
-        gt2 = find(">", i2 + 1)
-        if gt2 < 0:
-            # parse_endtag -1 → goahead(1) fallback inside cdata: raw
-            # slices char-by-char to EOF, net the raw remainder
-            if i2 < n:
-                yield (_DATA, html[i2:n])
-            return n
-        em = _ENDTAGFIND.match(html, i2)
-        if em is not None and em.group(1).lower() == name:
-            yield (_END, name)
-            return gt2 + 1
-        # wrong or junky end tag: raw through the first '>', stay in cdata
-        yield (_DATA, html[i2 : gt2 + 1])
-        pos = gt2 + 1
+    On a full-close match, parse_endtag's endtagfind necessarily matches
+    the same span with the same element name (nothing but '\\s' and name
+    chars precede the '>'), so the close is always the clean
+    handle_endtag + clear_cdata_mode path — one raw data chunk, one end
+    event."""
+    mm = _RAWTEXT_CLOSE[name].search(html, pos)
+    if mm is None:
+        return n  # unterminated: remaining content is dropped
+    if mm.start() > pos:
+        yield (_DATA, html[pos : mm.start()])
+    yield (_END, name)
+    return mm.end()
 
 # HTMLParser's comment close is '--\s*>' (whitespace allowed), not the
 # literal '-->'
@@ -316,7 +305,7 @@ def _iter_events(html: str):
                 else:
                     yield (_START, name)
                     if name in _RAWTEXT:
-                        pos = yield from _rawtext_events(html, name, pos, n, find)
+                        pos = yield from _rawtext_events(html, name, pos, n)
                 continue
             lm = _LOCATE_START.match(html, lt)
             j = lm.end()
@@ -360,7 +349,7 @@ def _iter_events(html: str):
             else:
                 yield (_START, name)
                 if name in _RAWTEXT:
-                    pos = yield from _rawtext_events(html, name, pos, n, find)
+                    pos = yield from _rawtext_events(html, name, pos, n)
             continue
         if c == "/":
             # -- end tag: parse_endtag (tolerant) --

@@ -228,6 +228,20 @@ CASES = [
     "<head><noscript><img src=p></noscript><title>Leaky page title here"
     "</title></head><body><p>Real body paragraph content</p>",
     "<head><template><p>tpl</p></template><title>T</title><p>kept body prose</p>",
+    # UNTERMINATED rawtext with a junk close-CANDIDATE: Python 3.11's
+    # interesting_cdata is the FULL r'</\s*script\s*>' pattern, so a
+    # prefix-only candidate is not a stopping point — with no full close
+    # ahead the whole remainder is swallowed, content before the candidate
+    # included (fuzz-found divergence class of the prefix-candidate mirror)
+    "<p>kept paragraph prose</p><script></script<style>",
+    "<p>kept paragraph prose</p><script>var x = 1;</scri",
+    "<p>kept paragraph prose</p><script>before junk</scriptx> after junk",
+    "<p>kept paragraph prose</p><style>p{}</style junk>{q}",
+    # junk candidates followed by a REAL close: everything between is one
+    # raw data run; '</ script >' (whitespace) IS a real close
+    "<script>a</scriptx>b</script junk>c</script><p>after prose here</p>",
+    "<script>var y;</ script ><p>whitespace close kept prose</p>",
+    "<style>a</STYLE><p>uppercase close kept paragraph prose</p>",
 ]
 
 
@@ -256,7 +270,8 @@ _soup_atom = st.sampled_from(
      "longer prose fragment here ", "\n", '<a title="q>t">', "</DIV junk>",
      "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>",
      "<a href=http://x.com/>", "<div foo/>", "<![CDATA[ x > y ]]>",
-     "<![if !IE]>", "<![endif]>", "<!-- broken &#65; >", "<!DOCTYPE &amp;"]
+     "<![if !IE]>", "<![endif]>", "<!-- broken &#65; >", "<!DOCTYPE &amp;",
+     "</script", "</scriptx>", "</script junk>", "</ script >", "</SCRIPT>"]
 )
 
 
