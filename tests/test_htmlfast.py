@@ -282,6 +282,29 @@ def test_scanner_matches_htmlparser_on_tag_soup(atoms):
     assert flatten_blocks(html) == _ref_blocks(html), html
 
 
+# Adversarial alphabet: NULs, bare quotes, lone construct openers, partial
+# charrefs, '>'-less tails — the token pool whose 400k-case offline fuzz
+# found the unterminated-rawtext divergence (full-close vs prefix
+# candidate). Kept as a standing hypothesis test so the malformed-input
+# space stays covered in CI, not just in that one session.
+_nasty_atom = st.sampled_from(
+    ["<", ">", "/", "!", "?", "-", "--", "=", '"', "'", " ", "a", "b",
+     "script", "style", "&amp;", "&#65;", "&#x41", "&bogus;", "\x00",
+     "<!--", "-->", "<![", "CDATA[", "]]>", "<![if", "]>", "<a", "<p>",
+     "</p>", "</", "<script>", "</script>", "<style>", "href=", "x='",
+     'y="', "\n", "\t", "`", "<?", "<!", "[", "]", "z0:_.", "/>",
+     "<a href=http://x/>", "<!doctype html>", "\x00>", "<a\x00", "=\x00",
+     "</script", "</scriptx>", "</script junk>", "</ script >", "</style"]
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(_nasty_atom, min_size=1, max_size=12))
+def test_scanner_matches_htmlparser_on_malformed_soup(atoms):
+    html = "".join(atoms)
+    assert flatten_blocks(html) == _ref_blocks(html), repr(html)
+
+
 def test_scanner_linear_on_unterminated_tag_spam():
     """One crafted row must not pin an extraction task: the scanner takes
     the no-'>' fast path instead of rescanning the suffix per '<'
