@@ -126,44 +126,48 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_
     )
 
 
-def _majority_dim(vectors) -> int:
-    """Most frequent length among driver-side vectors (ties → smaller).
-    Deterministic, and immune to a single junk-dimension row — deriving
-    the dimension from whichever row happens to be physically first would
-    make centroid shape depend on partition layout."""
+def _majority_dim(lengths) -> int:
+    """Most frequent value among driver-side vector lengths (ties →
+    smaller). Deterministic, and immune to a single junk-dimension row —
+    deriving the dimension from whichever row happens to be physically
+    first would make centroid shape depend on partition layout."""
     from collections import Counter
 
-    counts = Counter(len(v) for v in vectors)
+    counts = Counter(lengths)
     return min(counts, key=lambda d: (-counts[d], d))
 
 
-def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> np.ndarray:
+def ivf_centroids(emb: DataFrame, n_cells: int = 16, dim: int | None = None) -> np.ndarray:
     """Deterministic coarse-quantizer centroids: the ``n_cells`` lowest
-    vec_id embeddings (k-means seeding without the iterations — kept as
-    the catalog/oracle quantizer because it is SQL-replayable; the cell
-    assignment/probe machinery below is identical either way). For real
-    recall on clustered data use ``ivf_centroids_kmeans``.
+    vec_id embeddings of the table's majority dimension (k-means seeding
+    without the iterations — kept as the catalog/oracle quantizer because
+    it is SQL-replayable; the cell assignment/probe machinery below is
+    identical either way). For real recall on clustered data use
+    ``ivf_centroids_kmeans``.
 
     Null / wrong-dimension rows are skipped (every other path zero-fills
     or nulls them — ``_embedding_matrix``; a crash here would violate the
-    module's null-tolerance invariant): a bounded 4x oversample of the
-    lowest-vec_id non-null rows is collected and the first ``n_cells`` of
-    the majority dimension are kept, all driver-side — one Spark action,
-    no order-sensitive dimension probe. An empty/unusable table raises a
-    clear error instead of a numpy broadcast failure downstream."""
+    module's null-tolerance invariant). The dimension comes from
+    ``detect_dim``'s hash-ordered sample, NOT from the lowest-vec_id
+    prefix: a junk-dominated low-id prefix (e.g. legacy rows of an old
+    dimension re-ingested first) must not flip the centroid shape while
+    the executor paths zero-fill to the table majority. The dimension
+    filter then guarantees exactly ``min(n_cells, matching rows)``
+    full-dimension centroids. An empty/unusable table raises a clear
+    error instead of a numpy broadcast failure downstream."""
+    if dim is None:
+        dim = detect_dim(emb)
     rows = (
         emb.filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == dim)
         .orderBy("vec_id")
-        .limit(max(4 * n_cells, 16))
+        .limit(n_cells)
         .select("embedding")
         .collect()
     )
     if not rows:
         raise ValueError("ivf_centroids: no usable (non-null) embeddings")
-    vecs = [r["embedding"] for r in rows]
-    dim = _majority_dim(vecs)
-    kept = [v for v in vecs if len(v) == dim][:n_cells]
-    return np.asarray([[float(x) for x in v] for v in kept])
+    return np.asarray([[float(x) for x in r["embedding"]] for r in rows])
 
 
 def ivf_centroids_kmeans(
@@ -201,7 +205,7 @@ def ivf_centroids_kmeans(
     # them out — majority dimension chosen driver-side over the hash-ordered
     # sample (deterministic across partition layouts, no extra Spark action)
     vecs = [r["embedding"] for r in rows]
-    dim = _majority_dim(vecs)
+    dim = _majority_dim(len(v) for v in vecs)
     X = np.asarray(
         [[float(x) for x in v] for v in vecs if len(v) == dim], dtype=np.float64
     )
@@ -248,6 +252,13 @@ def ivf_topk(
     a natural partition key for the stored index."""
     cents = ivf_centroids(emb, n_cells)
     qv = np.asarray(query, dtype=np.float64)
+    if cents.shape[1] != len(query):
+        # a numpy broadcast error here would surface as an opaque task
+        # failure; the mismatch is a caller bug (querying a table of a
+        # different embedding dimension), so name it
+        raise ValueError(
+            f"ivf_topk: query dim {len(query)} != table majority dim {cents.shape[1]}"
+        )
     d = ((cents - qv[None, :]) ** 2).sum(axis=1)
     # stable sort: duplicate centroids (first-n seeding over exact-dup
     # embeddings) tie on distance, and the probe set must match
@@ -266,20 +277,33 @@ def ivf_topk(
     )
 
 
-def detect_dim(emb: DataFrame) -> int:
-    """Majority embedding dimension (ties → smaller), via one count
-    aggregation; DIM if the table has no non-null embeddings. A
-    first-non-null-row probe would be order-dependent — which physical row
-    comes first varies with partition layout, so a junk-dimension row
-    could flip the chosen dimension between otherwise identical runs."""
-    row = (
+def detect_dim(emb: DataFrame, sample_size: int = 4096, seed: int = _SEED) -> int:
+    """Majority embedding dimension (ties → smaller) over a bounded
+    deterministic sample; DIM if the table has no non-null embeddings.
+
+    Two rejected alternatives frame the design: a first-non-null-row
+    probe is order-dependent (which physical row comes first varies with
+    partition layout, so a junk-dimension row could flip the chosen
+    dimension between otherwise identical runs), and a full-table
+    groupBy(size).count() is a complete extra scan PLUS a shuffle before
+    any consumer (index build, near-dup join) even starts. The middle
+    path mirrors ``ivf_centroids_kmeans``'s sampler: the ``sample_size``
+    rows with the lowest md5(seed || vec_id) — a hash order, stable
+    across partition layout/cluster size/engine, unbiased by vec_id (a
+    junk-dominated low-id prefix cannot flip it), and executed as a
+    per-partition top-k merge (TakeOrdered) with no shuffle."""
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
+    rows = (
         emb.filter(F.col("embedding").isNotNull())
-        .groupBy(F.size("embedding").alias("d"))
-        .count()
-        .orderBy(F.desc("count"), "d")
-        .first()
+        .select(F.size("embedding").alias("d"), h.alias("_h"), "vec_id")
+        .orderBy("_h", "vec_id")
+        .limit(sample_size)
+        .select("d")
+        .collect()
     )
-    return int(row["d"]) if row else DIM
+    if not rows:
+        return DIM
+    return _majority_dim(r["d"] for r in rows)
 
 
 def embedding_near_dups(

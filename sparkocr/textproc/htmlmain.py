@@ -111,6 +111,53 @@ except ImportError:  # pragma: no cover - stdlib layout change
 # LATER '>' (e.g. one sitting inside an unterminated quoted value).
 _NEXT_INCOMPLETE = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=")
 
+# Piecewise mirror of _LOCATE_START for _locate_end: the pattern is
+# "<name [\s/]* (attr)* \s*" where one attr iteration is position-pure
+# (lookbehind + fixed charsets, nothing before it can backtrack into it
+# and nothing mandatory follows), so the end of the attr chain from a
+# position is a pure function of that position — memoizable across the
+# overlapping scans that made quoted-'>' spam quadratic (see _locate_end).
+_LOCATE_NAME = re.compile(r"<[a-zA-Z][^\t\n\r\f />\x00]*")
+_SEP_RUN = re.compile(r"[\s/]*")
+_ATTR_ITER = re.compile(
+    r"(?<=['\"\s/])[^\s/>][^\s/=>]*"  # attribute name
+    r"(?:\s*=+\s*"  # value indicator
+    r"(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)"  # quoted / bare value
+    r"\s*)?(?:\s|/(?!>))*"  # separators
+)
+
+
+def _locate_end(html: str, lt: int, memo: dict[int, int]) -> int:
+    """``_LOCATE_START.match(html, lt).end()`` in amortized linear time.
+
+    The tolerant locate regex consumes quoted attribute values, and a
+    ``>`` inside quotes pairs quotes up across what a human reads as
+    separate tags — so on ``'<a b="x>y" ' * N`` each incomplete start tag
+    re-scanned the ENTIRE suffix while ``pos`` advanced one unit: O(N²),
+    the one-row CPU-DoS class the no-'>' memo already closed for
+    unquoted spam (a crafted ~1 MB payload pinned an extraction task for
+    hours). The attr loop never backtracks across iterations and each
+    iteration's match is position-pure, so the chain end from any
+    attr-start position is memoized: overlapping scans from later ``<``
+    openers merge into already-computed chains and every position is
+    matched at most once per document. Byte-identical end positions
+    (differential-tested against the stdlib regex in
+    tests/test_htmlfast.py); only the scan cost changes.
+    """
+    k = _SEP_RUN.match(html, _LOCATE_NAME.match(html, lt).end()).end()
+    path = []
+    while k not in memo:
+        am = _ATTR_ITER.match(html, k)
+        if am is None or am.end() == k:
+            memo[k] = k
+            break
+        path.append(k)
+        k = am.end()
+    end = memo[k]
+    for p in path:
+        memo[p] = end
+    return end
+
 # Fast-accept for the overwhelmingly common well-formed start tag: ASCII
 # alnum name, whitespace-separated attrs with simple names and quoted
 # (no '<'/'>'/'`' inside) or safe-charset bare values, optional '/'. On
@@ -229,6 +276,7 @@ def _iter_events(html: str):
     # quadratic there; the fallback jump to the next '>' advances only
     # one unit per O(suffix) search)
     no_close: set[int] = set()  # id(closer) whose search already failed
+    attr_memo: dict[int, int] = {}  # _locate_end chain memo (same trick)
 
     def closer_search(closer, start):
         key = id(closer)
@@ -307,8 +355,7 @@ def _iter_events(html: str):
                     if name in _RAWTEXT:
                         pos = yield from _rawtext_events(html, name, pos, n)
                 continue
-            lm = _LOCATE_START.match(html, lt)
-            j = lm.end()
+            j = _locate_end(html, lt, attr_memo)
             nxt = html[j : j + 1]
             if nxt == ">":
                 endpos = j + 1
@@ -486,10 +533,12 @@ def flatten_blocks(html: str) -> list[dict]:
         cur_link_chars = 0
 
     head_drop = 0  # open <head> drops, implicitly closable at <body>
+    after_head = False  # between an (implicit or explicit) </head> and <body>
+    title_drop = 0  # <title> drops opened by the after-head rule below
 
     def on_start(tag):
         nonlocal drop_depth, boiler_depth, article_depth, link_depth
-        nonlocal cur_tag, head_drop
+        nonlocal cur_tag, head_drop, after_head, title_drop
         if head_drop and drop_depth == head_drop and tag not in HEAD_CONTENT_TAGS:
             # HTML5 tag omission: any non-head-content start tag (<body>,
             # <p>, <div>, ...) implies </head> — without this a document
@@ -500,11 +549,27 @@ def flatten_blocks(html: str) -> list[dict]:
             # not end the head and leak <title> text into the main text.
             drop_depth = 0
             head_drop = 0
+            after_head = True
         if tag in DROP_TAGS:
             drop_depth += 1
             if tag == "head":
                 head_drop += 1
+                after_head = False
             return
+        if tag == "title" and after_head and not drop_depth:
+            # HTML5 "after head" mode routes title/meta/link/script/style
+            # back through the in-head rules: a <title> that follows the
+            # implicit (or explicit) </head> — common when a custom
+            # element or tracking <img> in <head> triggered the release
+            # above — is still metadata, never rendered text. Of that
+            # tag list only <title> carries text and is not already in
+            # DROP_TAGS, so it gets its own drop scope here; <body>
+            # clears the mode below.
+            drop_depth += 1
+            title_drop += 1
+            return
+        if tag == "body":
+            after_head = False
         if drop_depth:
             return
         if tag == "br":
@@ -528,11 +593,19 @@ def flatten_blocks(html: str) -> list[dict]:
 
     def on_end(tag):
         nonlocal drop_depth, boiler_depth, article_depth, link_depth
-        nonlocal cur_tag, head_drop
+        nonlocal cur_tag, head_drop, after_head, title_drop
         if tag in DROP_TAGS:
             drop_depth = max(0, drop_depth - 1)
             if tag == "head" and head_drop:
                 head_drop -= 1
+                if not head_drop:
+                    after_head = True  # explicit </head>: same after-head
+                    # mode as the implicit release (spec parity for a
+                    # stray <title> between </head> and <body>)
+            return
+        if tag == "title" and title_drop:
+            drop_depth = max(0, drop_depth - 1)
+            title_drop -= 1
             return
         if drop_depth:
             return

@@ -35,6 +35,8 @@ class _RefCollector(HTMLParser):
         self._cur_link_chars = 0
         self._cur_tag = "body"
         self._head_drop = 0
+        self._after_head = False
+        self._title_drop = 0
 
     def _flush(self):
         raw = "".join(self._cur_parts)
@@ -61,11 +63,19 @@ class _RefCollector(HTMLParser):
         ):
             self._drop_depth = 0
             self._head_drop = 0
+            self._after_head = True
         if tag in DROP_TAGS:
             self._drop_depth += 1
             if tag == "head":
                 self._head_drop += 1
+                self._after_head = False
             return
+        if tag == "title" and self._after_head and not self._drop_depth:
+            self._drop_depth += 1
+            self._title_drop += 1
+            return
+        if tag == "body":
+            self._after_head = False
         if self._drop_depth:
             return
         if tag == "br":
@@ -88,6 +98,12 @@ class _RefCollector(HTMLParser):
             self._drop_depth = max(0, self._drop_depth - 1)
             if tag == "head" and self._head_drop:
                 self._head_drop -= 1
+                if not self._head_drop:
+                    self._after_head = True
+            return
+        if tag == "title" and self._title_drop:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            self._title_drop -= 1
             return
         if self._drop_depth:
             return
@@ -242,6 +258,19 @@ CASES = [
     "<script>a</scriptx>b</script junk>c</script><p>after prose here</p>",
     "<script>var y;</ script ><p>whitespace close kept prose</p>",
     "<style>a</STYLE><p>uppercase close kept paragraph prose</p>",
+    # after-head title handling (HTML5 "after head" routes <title> back
+    # through the in-head rules): a custom element / tracking tag in
+    # <head> triggers the implicit release, but a <title> that follows —
+    # before <body> — is still metadata and must not leak into main text
+    "<head><meta><x-analytics></x-analytics><title>Leaked long page title"
+    " here</title></head><body><p>Actual body paragraph with enough"
+    " characters to keep.</p></body>",
+    "<head><meta></head><title>Title between head and body stays dropped"
+    "</title><body><p>Kept paragraph of real body prose here</p></body>",
+    # <body> ends after-head mode: a (weird) title inside body keeps the
+    # old kept-text behavior rather than silently vanishing
+    "<head></head><body><title>odd in-body title prose long enough"
+    "</title><p>kept body paragraph prose here</p></body>",
 ]
 
 
@@ -271,7 +300,9 @@ _soup_atom = st.sampled_from(
      "<SPAN>", "</span>", "<hr>", "<!doctype html>", "<?pi?>",
      "<a href=http://x.com/>", "<div foo/>", "<![CDATA[ x > y ]]>",
      "<![if !IE]>", "<![endif]>", "<!-- broken &#65; >", "<!DOCTYPE &amp;",
-     "</script", "</scriptx>", "</script junk>", "</ script >", "</SCRIPT>"]
+     "</script", "</scriptx>", "</script junk>", "</ script >", "</SCRIPT>",
+     "<head>", "</head>", "<title>", "</title>", "<body>", "<meta>",
+     "<x-custom>", "</x-custom>"]
 )
 
 
@@ -313,7 +344,42 @@ def test_scanner_linear_on_unterminated_tag_spam():
     import time
 
     for payload in ("<a " * 8000, "<!-- " * 8000, "<![if " * 4000,
-                    "< 5 " * 8000):
+                    "< 5 " * 8000,
+                    # '>' inside quoted attribute values defeats the
+                    # no-'>' memo (quotes pair up across units, each
+                    # incomplete start tag re-scanned the whole suffix):
+                    # the _locate_end chain memo is what keeps THIS one
+                    # linear — 44 KB took 3.5 s before it
+                    '<a b="x>y" ' * 8000,
+                    '<a b="z ' * 8000):
         t0 = time.monotonic()
         flatten_blocks(payload)
-        assert time.monotonic() - t0 < 1.0, payload[:10]
+        assert time.monotonic() - t0 < 1.0, payload[:12]
+
+
+_locate_atom = st.sampled_from(
+    ["<", ">", "/", "!", "-", "=", "==", '"', "'", " ", "\t", "\n", "\f",
+     "a", "b", "Z", "x=", 'x="v"', "y='v'", 'q=">', "<a", "<a ",
+     'b="x>y" ', "`", "\x00", "=='", '==""', "name:_-.", "/>", " / ",
+     "&", "href", "'>", '">']
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_locate_atom, min_size=1, max_size=14))
+def test_locate_mirror_matches_stdlib_regex(atoms):
+    """_locate_end (the memoized piecewise attr-chain scan) must return
+    exactly _LOCATE_START.match(...).end() at every start-tag opener —
+    with ONE memo shared across all positions of the document, i.e. the
+    production access pattern where chains from later openers jump into
+    memoized chains from earlier ones."""
+    from sparkocr.textproc.htmlmain import _LOCATE_START, _locate_end
+
+    s = "".join(atoms)
+    memo: dict[int, int] = {}
+    for i, ch in enumerate(s):
+        if ch == "<" and i + 1 < len(s) and s[i + 1].isalpha():
+            assert _locate_end(s, i, memo) == _LOCATE_START.match(s, i).end(), (
+                repr(s),
+                i,
+            )

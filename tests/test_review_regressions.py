@@ -469,6 +469,29 @@ def test_similarity_tolerates_null_embeddings(spark):
     ids2 = [r.vec_id for r in ivf_topk(emb2, [1.0] * 8, k=3, n_cells=2).collect()]
     assert 1 in ids2 and 2 in ids2
 
+    # a junk-DOMINATED low-id prefix must not flip the shape either: the
+    # dimension comes from a hash-ordered sample of the whole table and
+    # the centroid selection filters to it, so even when every one of the
+    # lowest vec_ids is a legacy wrong-dim row the quantizer still comes
+    # out at the table majority instead of crashing the probe's numpy
+    # broadcast (or silently under-filling the cells)
+    rows3 = [(i, [0.5] * 4) for i in range(8)] + [
+        (i, [float(i % 3) + 1.0] * 8) for i in range(8, 40)
+    ]
+    emb3 = spark.createDataFrame(rows3, "vec_id long, embedding array<float>")
+    assert detect_dim(emb3) == 8
+    cents3 = ivf_centroids(emb3, n_cells=4)
+    assert cents3.shape == (4, 8)
+    ids3 = [r.vec_id for r in ivf_topk(emb3, [1.0] * 8, k=3, n_cells=4).collect()]
+    assert len(ids3) == 3 and all(i >= 8 for i in ids3)
+
+    # and a query of the WRONG dimension gets a named error, not a numpy
+    # broadcast traceback from inside ivf_topk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query dim 4 != table majority dim 8"):
+        ivf_topk(emb3, [1.0] * 4, k=3, n_cells=4)
+
     # empty / all-null tables: clear error, not a numpy broadcast failure
     import pytest as _pytest
 
