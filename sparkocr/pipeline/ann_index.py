@@ -114,6 +114,12 @@ def lsh_topk_indexed(
     m = _read_meta(spark, path)
     if m["kind"] != "lsh":
         raise ValueError(f"index at {path} is kind={m['kind']}, expected lsh")
+    if len(query) != m["dim"]:
+        # same caller bug ivf_topk names: without this the probe dies in
+        # np.dot with an opaque shapes-not-aligned error
+        raise ValueError(
+            f"lsh_topk_indexed: query dim {len(query)} != index dim {m['dim']}"
+        )
     planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
     qv = np.asarray(query, dtype=float)
     qsig = 0
@@ -167,6 +173,10 @@ def ivf_topk_indexed(
     m = _read_meta(spark, path)
     if m["kind"] != "ivf":
         raise ValueError(f"index at {path} is kind={m['kind']}, expected ivf")
+    if len(query) != m["dim"]:
+        raise ValueError(
+            f"ivf_topk_indexed: query dim {len(query)} != index dim {m['dim']}"
+        )
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
     cents = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     qv = np.asarray(query, dtype=np.float64)

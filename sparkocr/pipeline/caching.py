@@ -17,10 +17,11 @@ those after the consuming action::
     caching.release_all()           # drop ONLY operator-internal caches
 
 ``release_all`` is idempotent and never touches user-created caches — but
-it IS process-global: it drops the internal caches of EVERY not-yet-
-consumed operator, so it fits the sequential build-consume-release pattern
-(bench.py, the driver) only. When several operators are constructed before
-any is consumed, scope each one instead::
+it IS thread-global: it drops the internal caches of EVERY not-yet-
+consumed operator this thread registered, so it fits the sequential
+build-consume-release pattern (bench.py, the driver) only. When several
+operators are constructed before any is consumed, scope each one
+instead::
 
     with caching.scope():           # releases only caches registered inside
         pairs = lsh_candidate_pairs(docs)
@@ -30,27 +31,41 @@ any is consumed, scope each one instead::
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+# Per-thread registry: a multithreaded driver (concurrent job submission
+# is a normal Spark pattern) must not let one thread's scope() exit or
+# release_all() unpersist a cache another thread registered between its
+# mark and its release — register/consume/release is a per-thread
+# protocol, so the list is thread-local. Corollary: release must happen
+# on the thread that ran the operator (true of every current caller).
+_TLS = threading.local()
+
+
+def _live() -> list[DataFrame]:
+    lst = getattr(_TLS, "live", None)
+    if lst is None:
+        lst = _TLS.live = []
+    return lst
 
 
 def register(df: DataFrame) -> DataFrame:
     """Cache ``df`` and track the handle for later ``release_all``."""
     df.cache()
-    _LIVE.append(df)
+    _live().append(df)
     return df
 
 
 def live_count() -> int:
-    return len(_LIVE)
+    return len(_live())
 
 
 def release_all() -> int:
-    """Unpersist every operator-internal cache registered since the last
-    release (process-global — see module docstring for the interleaved-
+    """Unpersist every operator-internal cache THIS THREAD registered
+    since its last release (see module docstring for the interleaved-
     operators caveat and ``scope``). Returns how many were released. Safe
     to call with a stopped session (handles are dropped regardless)."""
     return _release_from(0)
@@ -59,9 +74,10 @@ def release_all() -> int:
 @contextmanager
 def scope():
     """Release, on exit, only the operator caches registered INSIDE this
-    block — construction-time scoping, so operators built outside the
-    block keep their caches. Nested scopes release their own suffix."""
-    mark = len(_LIVE)
+    block on this thread — construction-time scoping, so operators built
+    outside the block (or on other threads) keep their caches. Nested
+    scopes release their own suffix."""
+    mark = len(_live())
     try:
         yield
     finally:
@@ -69,9 +85,10 @@ def scope():
 
 
 def _release_from(mark: int) -> int:
+    live = _live()
     n = 0
-    while len(_LIVE) > mark:
-        df = _LIVE.pop()
+    while len(live) > mark:
+        df = live.pop()
         try:
             df.unpersist()
             n += 1

@@ -243,14 +243,17 @@ def ivf_cell_col(emb_col, centroids: np.ndarray):
 
 def ivf_topk(
     emb: DataFrame, query: list[float], k: int = 10,
-    n_cells: int = 16, n_probe: int = 4,
+    n_cells: int = 16, n_probe: int = 4, dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: partition vectors into coarse cells, probe only the
     ``n_probe`` cells nearest the query, exact cosine inside them.
     Recall < 1 by design — the inverted-file scale path: at 10^9 vectors
     the scan touches n_probe/n_cells of the table, and the cell column is
-    a natural partition key for the stored index."""
-    cents = ivf_centroids(emb, n_cells)
+    a natural partition key for the stored index. Pass ``dim`` when the
+    table dimension is already known (e.g. repeated queries against the
+    same table): it skips ``detect_dim``'s sample scan, leaving one
+    driver-blocking job (the centroid prefix) before the probe."""
+    cents = ivf_centroids(emb, n_cells, dim=dim)
     qv = np.asarray(query, dtype=np.float64)
     if cents.shape[1] != len(query):
         # a numpy broadcast error here would surface as an opaque task

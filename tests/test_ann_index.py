@@ -180,3 +180,16 @@ def test_wrong_kind_rejected(spark, query, lsh_index):
 
     with pytest.raises(ValueError, match="kind=lsh"):
         ivf_topk_indexed(spark, lsh_index, query)
+
+
+def test_wrong_query_dim_rejected(spark, query, lsh_index, ivf_index):
+    """A query of the wrong dimension must get a named error naming both
+    dims — not an opaque numpy shapes-not-aligned / broadcast failure from
+    inside the probe (parity with similarity.ivf_topk's guard)."""
+    from sparkocr.pipeline.ann_index import ivf_topk_indexed, lsh_topk_indexed
+
+    short = query[: len(query) // 2]
+    with pytest.raises(ValueError, match=f"query dim {len(short)} != index dim {len(query)}"):
+        lsh_topk_indexed(spark, lsh_index, short)
+    with pytest.raises(ValueError, match=f"query dim {len(short)} != index dim {len(query)}"):
+        ivf_topk_indexed(spark, ivf_index, short)

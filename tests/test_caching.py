@@ -103,6 +103,46 @@ def test_scope_releases_only_inner_caches(spark, docs):
     assert cm.isEmpty()
 
 
+def test_registry_is_thread_local(spark, docs):
+    """Concurrent driver threads (a normal Spark pattern) must not release
+    each other's caches: thread B registers between thread A's scope mark
+    and exit, and A's exit must leave B's cache alive (code-review finding:
+    the registry was one process-global list)."""
+    import threading
+
+    from sparkocr.pipeline.dedup import simhash_near_dups
+
+    cm = _cache_manager(spark)
+    caching.release_all()
+    spark.catalog.clearCache()
+
+    registered = threading.Event()
+    proceed = threading.Event()
+    state = {}
+
+    def worker():
+        # registers simhash's signature cache on THIS thread, then waits
+        # while the main thread's scope exits
+        df = simhash_near_dups(docs)
+        state["live"] = caching.live_count()
+        registered.set()
+        proceed.wait(timeout=30)
+        df.count()  # cache must still be alive here
+        state["released"] = caching.release_all()
+
+    t = threading.Thread(target=worker)
+    with caching.scope():
+        t.start()
+        assert registered.wait(timeout=30)
+        # worker's caches are invisible to this thread's registry
+        assert caching.live_count() == 0
+    proceed.set()
+    t.join(timeout=60)
+    assert state["live"] > 0  # worker saw its own registrations
+    assert state["released"] == state["live"]  # and released them itself
+    assert cm.isEmpty()
+
+
 def test_cap_metrics_with_disabled_cap_rejected(spark, docs):
     from pyspark.sql import Observation
 

@@ -492,6 +492,14 @@ def test_similarity_tolerates_null_embeddings(spark):
     with _pytest.raises(ValueError, match="query dim 4 != table majority dim 8"):
         ivf_topk(emb3, [1.0] * 4, k=3, n_cells=4)
 
+    # a caller that already knows the table dimension can skip the
+    # detect_dim sample scan; the probe result is identical
+    ids3_dim = [
+        r.vec_id
+        for r in ivf_topk(emb3, [1.0] * 8, k=3, n_cells=4, dim=8).collect()
+    ]
+    assert ids3_dim == ids3
+
     # empty / all-null tables: clear error, not a numpy broadcast failure
     import pytest as _pytest
 
