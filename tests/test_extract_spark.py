@@ -106,6 +106,44 @@ def test_grounding_spans_match_core(extracted):
         assert got == want_spans
 
 
+def test_extraction_is_batch_and_partition_invariant(spark, tiny_transcripts):
+    """Per-turn outputs must be a pure function of the row — identical no
+    matter how rows are split across partitions or Arrow batches. This is
+    the property that makes results reproducible across cluster sizes
+    (local[8] vs a 1000-executor run slice the table completely
+    differently); any cross-row state sneaking into extract_batch would
+    break it silently."""
+    df = spark.read.parquet(tiny_transcripts)
+
+    def plain(v):
+        # toPandas renders array<struct> as numpy arrays of dicts with
+        # numpy scalars inside — normalize to plain python for ==
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {k: plain(x) for k, x in v.items()}
+        if hasattr(v, "tolist"):
+            return plain(v.tolist())
+        if isinstance(v, (list, tuple)):
+            return [plain(x) for x in v]
+        return v
+
+    def snapshot(src):
+        out = extract_turns(src).orderBy("conv_id", "turn_idx").toPandas()
+        spans = out.pop("spans")
+        return out.reset_index(drop=True), [plain(s) for s in spans]
+
+    base, base_spans = snapshot(df.coalesce(1))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+        shredded, shredded_spans = snapshot(df.repartition(7))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    pd.testing.assert_frame_equal(base, shredded)
+    assert base_spans == shredded_spans
+
+
 def test_physical_plan_is_vectorized(spark, tiny_transcripts):
     df = spark.read.parquet(tiny_transcripts)
     plan = extract_turns(df)._jdf.queryExecution().executedPlan().toString()
