@@ -325,7 +325,13 @@ _nasty_atom = st.sampled_from(
      "</p>", "</", "<script>", "</script>", "<style>", "href=", "x='",
      'y="', "\n", "\t", "`", "<?", "<!", "[", "]", "z0:_.", "/>",
      "<a href=http://x/>", "<!doctype html>", "\x00>", "<a\x00", "=\x00",
-     "</script", "</scriptx>", "</script junk>", "</ script >", "</style"]
+     "</script", "</scriptx>", "</script junk>", "</ script >", "</style",
+     # 300k-case offline-fuzz-verified extensions: non-rawtext <textarea>,
+     # CR/CRLF data, out-of-range & NUL charrefs, degenerate comments
+     # (<!--->, --!>), and slash/equals attribute soup.
+     "<textarea>", "</textarea>", "\r\n", "\r", "&#x10FFFF;", "&#0;",
+     "&NotAnEntity", ";", "<svg>", "</svg>", "<!---->", "<!--->", "--!>",
+     "<b/ c>", "<b =x>", "<b x =y>", "<b x= y>"]
 )
 
 
