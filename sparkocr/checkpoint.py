@@ -175,27 +175,6 @@ def run_extract_job(
 
     Returns {"processed": [...], "skipped": [...], "rows_out": int}.
     """
-    # dynamic partition overwrite only for THIS job's writes: leaving it
-    # set would silently change the caller's own later
-    # overwrite+partitionBy writes from replace-all-partitions to
-    # replace-touched-partitions (stale data, no error) — restore on exit
-    prev_overwrite = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        return _run_extract_job(spark, input_path, out_dir, n_buckets, force)
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev_overwrite
-        )
-
-
-def _run_extract_job(
-    spark: SparkSession,
-    input_path: str,
-    out_dir: str,
-    n_buckets: int,
-    force: bool,
-) -> dict:
     df = spark.read.parquet(input_path)
     fps = input_fingerprints(df, n_buckets)
 
@@ -260,9 +239,16 @@ def _run_extract_job(
         src = with_bucket(df, n_buckets).filter(F.col("bucket").isin(pending))
         turns = extract_turns(src.select("conv_id", "turn_idx", "role", "text", "tool"))
         turns = with_bucket(turns, n_buckets)
-        turns.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "data")
-        )
+        # dynamic partition overwrite as a WRITE-SCOPED option, not a
+        # session conf: a set/restore around the job would race a second
+        # run_extract_job on the same session (thread B's still-pending
+        # write flips back to STATIC when thread A's finally fires —
+        # static overwrite then deletes every bucket not in B's pending
+        # set), and would silently retarget the caller's own concurrent
+        # overwrite+partitionBy writes
+        turns.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(os.path.join(out_dir, "data"))
         counts = {
             r["bucket"]: r["n"]
             for r in spark.read.parquet(os.path.join(out_dir, "data"))

@@ -31,7 +31,13 @@ import pandas as pd
 from sparkocr import schema
 from sparkocr.textproc import grounding, htmlmain, mdtable, pdfspans, repeats
 
-EXTRACTOR_VERSION = "1"
+# Bumped whenever ANY extractor's output can change for an unchanged
+# input — resumable jobs key their skip decision on this
+# (checkpoint.py), so an unbumped semantic change leaves stale buckets
+# marked "complete" forever. "2": html flatten semantics changed
+# (implicit-</head> body release, after-head <title> drop, rawtext
+# full-close parity, unterminated-construct charref parity).
+EXTRACTOR_VERSION = "2"
 
 
 def _extract_grounding(text: str):

@@ -71,12 +71,6 @@ def build_lsh_index(
     dim: int | None = None,
 ) -> None:
     """Materialize ``emb`` partitioned by LSH signature at ``path``."""
-    if emb.isEmpty():
-        # partitionBy over zero rows writes only _SUCCESS: the probe would
-        # later die with an opaque UNABLE_TO_INFER_SCHEMA — fail loudly at
-        # build time instead (matches build_ivf_index, whose trainer
-        # rejects an empty table)
-        raise ValueError("build_lsh_index: input table has no rows")
     if dim is None:
         dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes, seed)
@@ -85,6 +79,20 @@ def build_lsh_index(
         f"{path}/vectors"
     )
     spark = emb.sparkSession
+    # partitionBy over zero rows writes only _SUCCESS: the probe would
+    # later die with an opaque UNABLE_TO_INFER_SCHEMA — fail loudly at
+    # build time instead (matches build_ivf_index, whose trainer rejects
+    # an empty table). Detected AFTER the write — a footer-only driver
+    # read — not with a pre-write isEmpty(), which is an extra action
+    # recomputing the whole upstream DAG just to improve an error message.
+    # meta/ is deliberately not yet written here, so a raise leaves no
+    # probe-able half-index behind.
+    try:
+        spark.read.parquet(f"{path}/vectors")
+    except Exception as e:
+        raise ValueError(
+            "build_lsh_index: input table has no rows — nothing was indexed"
+        ) from e
     _write_meta(spark, path, kind="lsh", dim=dim, n_planes=n_planes, seed=seed)
 
 

@@ -42,7 +42,19 @@ from pyspark.sql import DataFrame
 # mark and its release — register/consume/release is a per-thread
 # protocol, so the list is thread-local. Corollary: release must happen
 # on the thread that ran the operator (true of every current caller).
+#
+# Escape hatch for the protocol's failure mode: a worker thread that
+# errors out (or is killed) before releasing takes its thread-local list
+# with it, and before round 3 those handles became permanently
+# unreleasable-and-invisible. Every register() therefore ALSO records
+# (owner-thread, handle) in a process-wide list; ``release_orphans``
+# sweeps handles whose owner thread is no longer alive, and
+# ``live_count(all_threads=True)`` makes the leak observable without
+# reintroducing the cross-thread release race (live threads' caches are
+# never touched).
 _TLS = threading.local()
+_LOCK = threading.Lock()
+_ALL: list[tuple[threading.Thread, DataFrame]] = []
 
 
 def _live() -> list[DataFrame]:
@@ -56,11 +68,35 @@ def register(df: DataFrame) -> DataFrame:
     """Cache ``df`` and track the handle for later ``release_all``."""
     df.cache()
     _live().append(df)
+    with _LOCK:
+        _ALL.append((threading.current_thread(), df))
     return df
 
 
-def live_count() -> int:
+def live_count(all_threads: bool = False) -> int:
+    if all_threads:
+        with _LOCK:
+            return len(_ALL)
     return len(_live())
+
+
+def release_orphans() -> int:
+    """Unpersist every cache whose registering thread has exited without
+    releasing it (errored worker, killed thread). Never touches a live
+    thread's caches — those still follow the per-thread protocol.
+    Returns how many were released."""
+    with _LOCK:
+        dead = [(t, df) for (t, df) in _ALL if not t.is_alive()]
+        for entry in dead:
+            _ALL.remove(entry)
+    n = 0
+    for _, df in dead:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session gone: nothing to evict, just drop the handle
+    return n
 
 
 def release_all() -> int:
@@ -89,6 +125,11 @@ def _release_from(mark: int) -> int:
     n = 0
     while len(live) > mark:
         df = live.pop()
+        with _LOCK:
+            for i, (_, h) in enumerate(_ALL):
+                if h is df:
+                    del _ALL[i]
+                    break
         try:
             df.unpersist()
             n += 1

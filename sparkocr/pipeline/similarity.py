@@ -126,6 +126,24 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_
     )
 
 
+def _hash_sample(emb: DataFrame, n: int, seed: int) -> DataFrame:
+    """The ``n`` non-null-embedding rows with the lowest
+    md5(seed || vec_id) — a hash order, so the sample is stable across
+    partition layout, cluster size, and engine (``df.sample`` is none of
+    those), unbiased by vec_id (a junk-dominated low-id prefix cannot
+    skew it), and executed as a per-partition top-k merge (TakeOrdered)
+    with no shuffle. ONE definition on purpose: ``detect_dim`` and
+    ``ivf_centroids_kmeans`` must draw the SAME sample or a dirty table
+    can get its dimension from different rows than its training set."""
+    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
+    return (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", h.alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(n)
+    )
+
+
 def _majority_dim(lengths) -> int:
     """Most frequent value among driver-side vector lengths (ties →
     smaller). Deterministic, and immune to a single junk-dimension row —
@@ -166,7 +184,13 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16, dim: int | None = None) -> 
         .collect()
     )
     if not rows:
-        raise ValueError("ivf_centroids: no usable (non-null) embeddings")
+        # name the dimension: on a non-empty table this means no row has
+        # that dimension — almost always a dim= that matches the QUERY
+        # but not the table (the empty-table case reads the same)
+        raise ValueError(
+            f"ivf_centroids: no usable (non-null) embeddings of dim {dim} "
+            "(empty table, all-null embeddings, or dim= mismatch with the data)"
+        )
     return np.asarray([[float(x) for x in r["embedding"]] for r in rows])
 
 
@@ -190,14 +214,7 @@ def ivf_centroids_kmeans(
     inertia weight to clusters the first rows never visit; on clustered
     data this trainer recovers the real cell structure and measurably
     beats it on recall (tests/test_similarity_recall.py)."""
-    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
-    rows = (
-        emb.filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding", h.alias("_h"))
-        .orderBy("_h", "vec_id")
-        .limit(sample_size)
-        .collect()
-    )
+    rows = _hash_sample(emb, sample_size, seed).collect()
     if not rows:
         raise ValueError("ivf_centroids_kmeans: no non-null embeddings to train on")
     # wrong-dimension rows would make np.asarray raise on an inhomogeneous
@@ -269,8 +286,17 @@ def ivf_topk(
     probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
     celled = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
     q = F.array(*[F.lit(float(v)) for v in query])
+    # restrict the probe to rows of the centroid dimension: null /
+    # wrong-dim rows get a garbage cell from the zero-filled projection
+    # and a null cosine from the length-mismatched zip_with — without the
+    # filter they surface as null-cosine rows whenever k exceeds the
+    # matching-row count, and an explicit dim= that matches the query but
+    # only a junk minority of the table would "succeed" on junk alone
     return (
-        celled.filter(F.col("cell").isin(probe))
+        celled.filter(
+            F.col("cell").isin(probe)
+            & (F.size("embedding") == int(cents.shape[1]))
+        )
         .select(
             "vec_id",
             F.round(cosine_expr(_as_double(F.col("embedding")), q), 6).alias("cosine"),
@@ -290,20 +316,13 @@ def detect_dim(emb: DataFrame, sample_size: int = 4096, seed: int = _SEED) -> in
     dimension between otherwise identical runs), and a full-table
     groupBy(size).count() is a complete extra scan PLUS a shuffle before
     any consumer (index build, near-dup join) even starts. The middle
-    path mirrors ``ivf_centroids_kmeans``'s sampler: the ``sample_size``
-    rows with the lowest md5(seed || vec_id) — a hash order, stable
-    across partition layout/cluster size/engine, unbiased by vec_id (a
-    junk-dominated low-id prefix cannot flip it), and executed as a
-    per-partition top-k merge (TakeOrdered) with no shuffle."""
-    h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("vec_id").cast("string")))
-    rows = (
-        emb.filter(F.col("embedding").isNotNull())
-        .select(F.size("embedding").alias("d"), h.alias("_h"), "vec_id")
-        .orderBy("_h", "vec_id")
-        .limit(sample_size)
-        .select("d")
-        .collect()
-    )
+    path is ``_hash_sample`` — the SAME sampler ``ivf_centroids_kmeans``
+    trains on, shared by construction so the detected dimension and the
+    training set can never come from different row sets on a dirty
+    table."""
+    rows = _hash_sample(emb, sample_size, seed).select(
+        F.size("embedding").alias("d")
+    ).collect()
     if not rows:
         return DIM
     return _majority_dim(r["d"] for r in rows)

@@ -63,47 +63,49 @@ MAX_LINK_DENSITY = 0.33
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 
-# Start/end tags are parsed with CPython html.parser's OWN tolerant
-# regexes plus a code mirror of parse_starttag / check_for_whole_start_tag
-# / parse_endtag under goahead(end=1): a hand-rolled single-regex
-# approximation diverged on malformed pages (a bare quote in
-# attribute-NAME position opened a bogus quoted span that could swallow
-# whole document chunks; '</ p junk>' emitted an end event where
-# HTMLParser parses a bogus comment; '\x00' was accepted in tag names).
-# Importing the stdlib patterns keeps the mirror honest; copies below pin
-# them in case a future stdlib renames them.
-try:
-    from html.parser import (  # type: ignore[attr-defined]
-        attrfind_tolerant as _ATTRFIND,
-        endtagfind as _ENDTAGFIND,
-        locatestarttagend_tolerant as _LOCATE_START,
-        tagfind_tolerant as _TAGFIND,
-    )
-except ImportError:  # pragma: no cover - stdlib layout change
-    _TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
-    _ATTRFIND = re.compile(
-        r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
-        r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
-    )
-    _LOCATE_START = re.compile(
-        r"""
-      <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
-      (?:[\s/]*                          # optional whitespace before attribute name
-        (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
-          (?:\s*=+\s*                    # value indicator
-            (?:'[^']*'                   # LITA-enclosed value
-              |"[^"]*"                   # LIT-enclosed value
-              |(?!['"])[^>\s]*           # bare value
-             )
-            \s*                          # possibly followed by a space
-           )?(?:\s|/(?!>))*
-         )*
-       )?
-      \s*                                # trailing whitespace
-    """,
-        re.VERBOSE,
-    )
-    _ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# Start/end tags are parsed with VENDORED copies of CPython html.parser's
+# tolerant regexes (post-CVE-2025-6069 3.11 versions) plus a code mirror
+# of parse_starttag / check_for_whole_start_tag / parse_endtag under
+# goahead(end=1): a hand-rolled single-regex approximation diverged on
+# malformed pages (a bare quote in attribute-NAME position opened a bogus
+# quoted span that could swallow whole document chunks; '</ p junk>'
+# emitted an end event where HTMLParser parses a bogus comment; '\x00'
+# was accepted in tag names).
+#
+# Vendored, NOT imported from the installed stdlib: the mirror's control
+# flow (full-close rawtext pattern, the _locate_end piecewise scan that
+# must stay byte-consistent with _LOCATE_START, _NEXT_INCOMPLETE
+# handling) pins ONE patch level of html.parser, and extraction output
+# must be identical on every executor — a cluster mixing Python builds
+# with pre-/post-backport parser patterns would otherwise produce
+# per-node output drift from an import that "succeeds" everywhere.
+# tests/test_htmlfast.py asserts the vendored patterns behave identically
+# to the installed stdlib's, so drift in a future interpreter surfaces as
+# a loud test failure instead of silent output change.
+_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_ATTRFIND = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_LOCATE_START = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_ENDTAGFIND = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 
 # check_for_whole_start_tag: these next-chars after the locate match mean
 # "end of input in or before attribute value" → incomplete (-1), which

@@ -143,6 +143,63 @@ def test_registry_is_thread_local(spark, docs):
     assert cm.isEmpty()
 
 
+def test_release_orphans_sweeps_dead_threads(spark, docs):
+    """A worker thread that errors (or exits) before releasing must not
+    leak its caches forever: the thread-local list dies with the thread,
+    but the process-wide registry keeps the handle observable
+    (live_count(all_threads=True)) and release_orphans() sweeps it —
+    while a LIVE thread's caches are never touched (no cross-thread
+    release race)."""
+    import threading
+
+    from sparkocr.pipeline.dedup import simhash_near_dups
+
+    cm = _cache_manager(spark)
+    caching.release_all()
+    caching.release_orphans()
+    spark.catalog.clearCache()
+
+    def crashing_worker():
+        simhash_near_dups(docs).count()  # registers, consumes...
+        raise RuntimeError("dies before caching.release_all()")
+
+    t = threading.Thread(target=crashing_worker)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    # the dead thread's cache is leaked but OBSERVABLE...
+    leaked = caching.live_count(all_threads=True)
+    assert leaked > 0
+    assert caching.live_count() == 0  # ...and not on this thread's list
+    assert not cm.isEmpty()
+
+    # a live thread's cache must survive the sweep
+    registered = threading.Event()
+    proceed = threading.Event()
+    state = {}
+
+    def live_worker():
+        df = simhash_near_dups(docs)
+        registered.set()
+        proceed.wait(timeout=60)
+        df.count()  # still cached: release_orphans must not have touched it
+        state["released"] = caching.release_all()
+
+    lt = threading.Thread(target=live_worker)
+    lt.start()
+    assert registered.wait(timeout=60)
+
+    swept = caching.release_orphans()
+    assert swept == leaked  # exactly the dead thread's handles
+    assert caching.release_orphans() == 0  # idempotent
+
+    proceed.set()
+    lt.join(timeout=120)
+    assert state["released"] > 0
+    assert caching.live_count(all_threads=True) == 0
+    assert cm.isEmpty()
+
+
 def test_cap_metrics_with_disabled_cap_rejected(spark, docs):
     from pyspark.sql import Observation
 

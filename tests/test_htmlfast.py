@@ -389,3 +389,81 @@ def test_locate_mirror_matches_stdlib_regex(atoms):
                 repr(s),
                 i,
             )
+
+
+# ---------------------------------------------------------------------------
+# Vendored-pattern parity: htmlmain pins VENDORED copies of html.parser's
+# tolerant tag regexes (one patch level, so output cannot drift across
+# Python builds on a mixed cluster). This asserts the vendored patterns
+# still behave exactly like the installed stdlib's — interpreter drift
+# surfaces here as a loud failure instead of a silent output change.
+
+_PROBE_STRINGS = [
+    "<a href='/x' title=\"q>t\">", "<a href=http://x.com/>", "<div foo/>",
+    "<b/ c>", "<b =x>", "<b x =y>", "<b x= y>", "<a\x00b>", "<a x='", "<a x=\"",
+    "<p class = 'a' id=b>", "</p>", "</ p junk>", "</DIV junk>", "</p >",
+    "<input disabled>", "<a b='c' d>", "<a  b  =  'c'  >", "<a b=c/>",
+    "<x-custom data-y='1'>", "<a b=='c'>", "<a 'b'>", "<a /b>", "<a b c=d>",
+]
+
+
+def test_vendored_patterns_match_stdlib():
+    import html.parser as hp
+
+    from sparkocr.textproc import htmlmain as hm
+
+    pairs = [
+        (hm._TAGFIND, getattr(hp, "tagfind_tolerant", None)),
+        (hm._ATTRFIND, getattr(hp, "attrfind_tolerant", None)),
+        (hm._LOCATE_START, getattr(hp, "locatestarttagend_tolerant", None)),
+        (hm._ENDTAGFIND, getattr(hp, "endtagfind", None)),
+    ]
+    for vendored, stdlib in pairs:
+        if stdlib is None:  # stdlib renamed its internals: nothing to compare
+            continue
+        for s in _PROBE_STRINGS:
+            for start in (0, 1, 2):
+                v = vendored.match(s, start)
+                w = stdlib.match(s, start)
+                assert (v is None) == (w is None), (vendored.pattern, s, start)
+                if v is not None:
+                    assert v.span() == w.span(), (vendored.pattern, s, start)
+                    assert v.groups() == w.groups(), (vendored.pattern, s, start)
+
+
+# ---------------------------------------------------------------------------
+# Independent expected-output pins for the head/title flatten rules. The
+# differential tests above share collector logic between flatten_blocks and
+# _RefCollector (both sides mirror the same head-release/after-head rules),
+# so they cannot catch a sign-flipped condition applied to both copies.
+# These assert literal hand-derived outputs.
+
+
+def _texts(html):
+    return [b["text"] for b in flatten_blocks(html)]
+
+
+def test_head_release_expected_outputs():
+    # page omitting </head> and <body>: <p> implies </head>, body survives
+    assert _texts(
+        "<html><head><title>T</title><meta charset='x'><p>body paragraph text</p>"
+    ) == ["body paragraph text"]
+    # head-content tags do NOT release the head: style/script/meta inside
+    # head stay dropped, and so does head text around them
+    assert _texts(
+        "<head><title>T</title><style>x{}</style><script>j()</script>"
+        "<meta a=b><p>released body</p>"
+    ) == ["released body"]
+    # explicit </head>: identical result
+    assert _texts("<head><title>T</title></head><body><p>real</p>") == ["real"]
+
+
+def test_after_head_title_expected_outputs():
+    # stray <title> between </head> and <body> routes back to head: dropped
+    assert _texts(
+        "<html><head></head><title>Stray Site Name</title><body><p>real</p>"
+    ) == ["real"]
+    # same via IMPLIED </head> (a <p> ended the head earlier): a later
+    # title is in-body content, NOT after-head — kept as text
+    out = _texts("<head></head><body><p>one</p><title>kept</title><p>two</p>")
+    assert "kept" in " ".join(out) and "one" in out[0]

@@ -766,3 +766,33 @@ def test_bordered_locate_dense_overlaps(spark):
     )
     got = sorted(r.match_start for r in locate(turns, "aa").collect())
     assert got == list(range(1999))
+
+
+def test_ivf_explicit_dim_probes_only_that_dim(spark):
+    """dim= that matches the QUERY but only a minority of the table must
+    behave as 'probe the dim-D subspace': only rows of that dimension are
+    scored (zero-filled wrong-dim rows would otherwise get garbage cells
+    and null cosines — and with k large enough, surface as results), and
+    a dim with NO matching rows raises the named centroid error instead
+    of a misleading 'no usable embeddings' on a non-empty table."""
+    import pytest as _pytest
+
+    from sparkocr.pipeline.similarity import ivf_topk
+
+    rows = [(i, [1.0] * 64) for i in range(20)] + [
+        (100, [1.0] * 8), (101, [0.9] * 8), (102, [0.5] * 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # k far above the 8-dim row count: results stay exactly the 8-dim rows
+    got = ivf_topk(emb, [1.0] * 8, k=10, n_cells=2, dim=8).collect()
+    assert sorted(r.vec_id for r in got) == [100, 101, 102]
+    assert all(r.cosine is not None for r in got)
+
+    # the majority-dim probe is unaffected: 64-dim rows only
+    got64 = ivf_topk(emb, [1.0] * 64, k=25, n_cells=2, dim=64).collect()
+    assert all(r.vec_id < 100 for r in got64) and len(got64) == 20
+
+    # dim that matches nothing in the table: named error carrying the dim
+    with _pytest.raises(ValueError, match="of dim 16"):
+        ivf_topk(emb, [1.0] * 16, k=3, n_cells=2, dim=16)
