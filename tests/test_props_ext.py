@@ -200,3 +200,76 @@ def test_session_counts_chunked_matches_model(spark):
             ).collect()
         }
         assert got == want, cs
+
+
+def test_asof_chunked_microsecond_boundary_times(spark):
+    """Timestamps with microsecond fractions landing exactly ON and ±1 µs
+    around chunk boundaries: the chunk index derives from fractional-epoch
+    division, so an off-by-one there moves a row into the wrong chunk and
+    the boundary carry silently changes matches (the round-2 bug class was
+    exactly fractional-epoch time math). Offline 12-trial fuzz over random
+    seeds/widths/null mixes found no divergence; this pins one crafted
+    trial of it in CI."""
+    import datetime as dt
+    import random
+
+    from sparkocr.pipeline.relational_ext import asof_join, session_counts
+
+    rng = random.Random(1003)  # the trial shape with cs=7 (many carries)
+    base = dt.datetime(2026, 1, 1)
+    cs = 7
+    span = cs * 18
+
+    def ts():
+        if rng.randrange(2):
+            k = rng.randrange(span // cs + 1)
+            return base + dt.timedelta(
+                seconds=k * cs + rng.choice([-0.000001, 0.0, 0.000001])
+            )
+        return base + dt.timedelta(seconds=rng.uniform(0, span))
+
+    lrows = [(rng.choice(["a", "b", None]), ts(), f"L{i}") for i in range(60)]
+    rrows = [
+        (rng.choice(["a", "b", None]), None if rng.random() < 0.05 else ts(),
+         f"R{i}", rng.choice([None, 0, 1]))
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "k string, t timestamp, lid string")
+    right = spark.createDataFrame(rrows, "k string, rt timestamp, rid string, tb int")
+    kw = dict(key="k", left_time="t", right_time="rt",
+              right_cols=["rid", "tb"], right_tiebreak="tb")
+
+    # model: null keys match null keys (window partitioning semantics),
+    # null tiebreak ranks below every real value, null right-times dropped
+    model = {}
+    for k, t, lid in lrows:
+        cands = [
+            (rt.timestamp(), (tb is not None, tb or 0), rid)
+            for (rk, rt, rid, tb) in rrows
+            if rk == k and rt is not None and rt <= t
+        ]
+        model[lid] = max(cands)[2] if cands else None
+
+    assert {r.lid: r.rid_asof for r in asof_join(left, right, **kw).collect()} == model
+    assert {
+        r.lid: r.rid_asof
+        for r in asof_join(left, right, chunk_seconds=cs, **kw).collect()
+    } == model
+
+    srows = [(k, t) for (k, t, _) in lrows if k is not None]
+    df = spark.createDataFrame(srows, "u string, ts timestamp")
+    by_u = {}
+    for u, t in srows:
+        by_u.setdefault(u, []).append(t.timestamp())
+    smodel = {}
+    for u, v in by_u.items():
+        v.sort()
+        smodel[u] = (1 + sum(1 for x, y in zip(v, v[1:]) if y - x > 3.5), len(v))
+    for chunk in (None, cs):
+        got = {
+            r.u: (r.n_sessions, r.n_events)
+            for r in session_counts(
+                df, key="u", time="ts", gap_seconds=3.5, chunk_seconds=chunk
+            ).collect()
+        }
+        assert got == smodel, chunk
