@@ -165,24 +165,30 @@ def extract_turns(
     map stage can never run wider than its input split count — a single
     large parquet file with one row group is ONE task no matter how many
     cores exist — so with ``min_parallelism='auto'`` we round-robin
-    repartition the (narrow, pre-extraction) rows up to 2× default
-    parallelism when the scan has fewer splits. The shuffled bytes are the
-    raw payload of a *small* input; at 100 TB the input has thousands of
-    splits and this is a no-op.
+    repartition the (narrow, pre-extraction) rows to 2× default
+    parallelism when the scan has fewer splits than cores. The shuffled
+    bytes are the raw payload of a *small* input; at 100 TB the input has
+    thousands of splits and this is a no-op.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
     src = transcripts_df.select(*cols)
     if min_parallelism == "auto":
         sc = transcripts_df.sparkSession.sparkContext
         splits = src.rdd.getNumPartitions()
-        target = sc.defaultParallelism * 2
-        # Widen ONLY genuinely-narrow scans. The absolute cap matters at
-        # scale: a 100 TB table with thousands of splits on a cluster whose
-        # defaultParallelism*2 exceeds that count must NOT have its entire
-        # raw payload shuffled for a marginal parallelism gain — past a few
-        # hundred map tasks, task queueing delivers the same utilization.
-        if splits < target and splits < 256:
-            src = src.repartition(min(target, 256))
+        cores = sc.defaultParallelism
+        # Widen ONLY scans too narrow to occupy every core: once splits >=
+        # cores the map stage already saturates, and the round-robin
+        # shuffle of the RAW payload costs more than the 2-wave balancing
+        # it buys (A/B at sf0.1 local[32], 32 even splits: widening to 64
+        # was 8.8-10.6 s vs 7.4-7.6 s without). When we DO widen (splits <
+        # cores), go to 2x cores so the one shuffle also buys wave
+        # balance. The absolute cap matters at scale: a 100 TB table with
+        # thousands of splits on a cluster whose defaultParallelism
+        # exceeds that count must NOT have its entire raw payload shuffled
+        # for a marginal parallelism gain — past a few hundred map tasks,
+        # task queueing delivers the same utilization.
+        if splits < cores and splits < 256:
+            src = src.repartition(min(cores * 2, 256))
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
     return src.mapInPandas(_map_batches(markdown), schema.TURNS_OUT)

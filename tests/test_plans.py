@@ -256,3 +256,27 @@ def test_pipeline_metrics_reuses_extraction_exchange(spark):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_extract_skips_widening_when_scan_saturates_cores(spark, tmp_path):
+    """splits == cores must NOT trigger the auto widening: the map stage
+    already occupies every core, and the round-robin repartition would
+    shuffle the entire raw payload for 2-wave balancing that measured
+    SLOWER (A/B at sf0.1 local[32]: 8.8-10.6 s widened vs 7.4-7.6 s not)."""
+    import os
+
+    from sparkocr.datagen import write_transcripts
+    from sparkocr.extract.dispatch import extract_turns
+
+    d = str(tmp_path / "exact")
+    os.makedirs(d)
+    for i in range(spark.sparkContext.defaultParallelism):
+        write_transcripts(os.path.join(d, f"p{i}.parquet"), "tiny", seed=i)
+    old = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 20))
+    try:
+        plan = _plan(extract_turns(spark.read.parquet(d)))
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
+    assert "Exchange" not in plan, plan
