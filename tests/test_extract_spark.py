@@ -189,3 +189,61 @@ def test_assembly_app_style_numbering(spark, tiny_transcripts):
     )
     assert row["doc_text"].startswith("\n\n--- 📄 第 1 页 ---\n\n")
     assert f"--- 📄 第 {row['n_turns']} 页 ---" in row["doc_text"]
+
+
+def test_extract_batch_survives_adversarial_garbage():
+    """Robustness sweep (no Spark, pure Arrow-batch surface): at 10^12-turn
+    scale ONE payload that crashes an extractor kills its task and the
+    retry loops — every tool path must absorb arbitrary garbage (astral
+    unicode, NULs/controls, marker/html/json/md-table soup, None, 10k-char
+    runs, unknown/None tools), keep row count, keep span offsets inside
+    clean_text, and degrade through the error column. A 6000-row offline
+    sweep was clean; CI keeps 1500 rows."""
+    import random
+
+    import pandas as pd
+
+    from sparkocr.extract.dispatch import extract_batch
+
+    tools = ["grounding", "html", "pdfspans", "markdown", "plain", "", "unknown", None]
+    rng = random.Random(424242)
+
+    def garbage():
+        mode = rng.randrange(8)
+        if mode == 0:
+            return "".join(chr(rng.randrange(1, 0x110000)) for _ in range(rng.randrange(200)))
+        if mode == 1:
+            return "".join(rng.choice("\x00\x01\x1b퟿�￿ ab<>&|[]{}") for _ in range(rng.randrange(300)))
+        if mode == 2:
+            atoms = ["<|ref|>", "<|/ref|>", "<|det|>", "<|/det|>", "[[", "]]", ",",
+                     "1", "999", "-5", "1e9", "image", "title", "<｜end▁of▁sentence｜>",
+                     "\\(", "\\)", "$$", "|", "\n"]
+            return "".join(rng.choice(atoms) for _ in range(rng.randrange(80)))
+        if mode == 3:
+            atoms = ["<div", ">", "<script>", "</", "<!--", "&#x", ";", "'", '"',
+                     "<p>", "</p>", "<head>", "<title>", "x" * 50, "\r\n"]
+            return "".join(rng.choice(atoms) for _ in range(rng.randrange(120)))
+        if mode == 4:
+            atoms = ['{"page":', '"spans"', "[", "]", "{", "}", ":", ",", '"t"',
+                     '"bbox"', "null", "NaN", "1e400", '"\\ud800"', "-1", "0"]
+            return "".join(rng.choice(atoms) for _ in range(rng.randrange(60)))
+        if mode == 5:
+            atoms = ["|", "---", ":-:", "\n", "# ", "```", "~~~", "a|b", "\\|", " "]
+            return "".join(rng.choice(atoms) for _ in range(rng.randrange(120)))
+        if mode == 6:
+            return None
+        return rng.choice(["", " ", "\x00", "𝕏" * 10000])
+
+    rows = [(f"c{i % 7}", i, "assistant", garbage(), rng.choice(tools))
+            for i in range(1500)]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    out = extract_batch(df)
+    assert len(out) == len(df)
+    for r in out.itertuples():
+        ct = r.clean_text
+        assert ct is None or isinstance(ct, str)
+        for s in r.spans or []:
+            st_, en = s.get("start"), s.get("end")
+            if st_ is not None and en is not None and ct is not None:
+                assert 0 <= st_ <= en <= len(ct), (r.turn_idx, st_, en, len(ct))
+    assert len(extract_batch(df.copy(), markdown=False)) == len(df)
