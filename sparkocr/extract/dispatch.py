@@ -149,6 +149,46 @@ def _map_batches(markdown: bool = True):
     return gen
 
 
+def _scan_file_sizes(df) -> list[int] | None:
+    """Byte sizes of the scan's input files, via ONE Hadoop ``listStatus``
+    per parent directory (the checkpoint.py manifest pattern — never a
+    per-file RPC). Returns None when the plan exposes no input files
+    (in-memory DataFrames, views) or the listing would be large
+    (>2048 files — only reachable below the 256-split widening cap when
+    many tiny files pack per split, where skew is impossible anyway);
+    callers treat None as "assume balanced"."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 2048:
+        return None
+    sc = df.sparkSession.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
+    # normalize both sides through Path.toString so URI spelling
+    # (file:///x vs file:/x) can't break the join
+    wanted: dict[str, int | None] = {}
+    parents: dict[str, object] = {}
+    for f in files:
+        p = jpath_cls(f)
+        wanted[str(p)] = None
+        parent = p.getParent()
+        if parent is not None:
+            parents.setdefault(str(parent), parent)
+    try:
+        for parent in parents.values():
+            fs = parent.getFileSystem(hconf)
+            for st in fs.listStatus(parent):
+                key = str(st.getPath())
+                if key in wanted:
+                    wanted[key] = st.getLen()
+    except Exception:
+        return None
+    sizes = [v for v in wanted.values() if v is not None]
+    return sizes if len(sizes) == len(wanted) else None
+
+
 def extract_turns(
     transcripts_df, min_parallelism: int | str = "auto", markdown: bool = True
 ):
@@ -166,7 +206,9 @@ def extract_turns(
     large parquet file with one row group is ONE task no matter how many
     cores exist — so with ``min_parallelism='auto'`` we round-robin
     repartition the (narrow, pre-extraction) rows to 2× default
-    parallelism when the scan has fewer splits than cores. The shuffled
+    parallelism when the scan has fewer splits than cores — or when it has
+    barely enough (< 2× cores) but the input files are byte-skewed, where
+    the fattest split would otherwise serialize the stage. The shuffled
     bytes are the raw payload of a *small* input; at 100 TB the input has
     thousands of splits and this is a no-op.
     """
@@ -176,19 +218,30 @@ def extract_turns(
         sc = transcripts_df.sparkSession.sparkContext
         splits = src.rdd.getNumPartitions()
         cores = sc.defaultParallelism
-        # Widen ONLY scans too narrow to occupy every core: once splits >=
-        # cores the map stage already saturates, and the round-robin
-        # shuffle of the RAW payload costs more than the 2-wave balancing
-        # it buys (A/B at sf0.1 local[32], 32 even splits: widening to 64
-        # was 8.8-10.6 s vs 7.4-7.6 s without). When we DO widen (splits <
-        # cores), go to 2x cores so the one shuffle also buys wave
-        # balance. The absolute cap matters at scale: a 100 TB table with
-        # thousands of splits on a cluster whose defaultParallelism
-        # exceeds that count must NOT have its entire raw payload shuffled
-        # for a marginal parallelism gain — past a few hundred map tasks,
-        # task queueing delivers the same utilization.
-        if splits < cores and splits < 256:
-            src = src.repartition(min(cores * 2, 256))
+        # Widen scans too narrow to occupy every core; for BALANCED scans
+        # that already saturate (splits >= cores) skip it — the
+        # round-robin shuffle of the RAW payload costs more than the
+        # 2-wave balancing it buys (A/B at sf0.1 local[32], 32 even
+        # splits: widening to 64 was 8.8-10.6 s vs 7.4-7.6 s without).
+        # But in the few-wave zone [cores, 2*cores) a BYTE-SKEWED scan
+        # serializes on its fattest split: one 8×-dominant file among
+        # splits==cores measured 19.4-21.5 s unwidened vs 4.6-5.7 s
+        # widened (local[8]), so there we pay one driver-side file-size
+        # listing and widen iff the largest file exceeds 2× the mean
+        # bytes-per-split. splits >= 2*cores never widens (multi-wave
+        # task queueing self-balances; unchanged behavior). The absolute
+        # cap matters at scale: a 100 TB table with thousands of splits
+        # on a cluster whose defaultParallelism exceeds that count must
+        # NOT have its entire raw payload shuffled for a marginal
+        # parallelism gain — past a few hundred map tasks, task queueing
+        # delivers the same utilization.
+        if splits < 256:
+            widen = splits < cores
+            if not widen and splits < cores * 2:
+                sizes = _scan_file_sizes(src)
+                widen = bool(sizes) and max(sizes) * splits > 2 * sum(sizes)
+            if widen:
+                src = src.repartition(min(cores * 2, 256))
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
     return src.mapInPandas(_map_batches(markdown), schema.TURNS_OUT)

@@ -205,7 +205,8 @@ def test_extract_batch_survives_adversarial_garbage():
 
     from sparkocr.extract.dispatch import extract_batch
 
-    tools = ["grounding", "html", "pdfspans", "markdown", "plain", "", "unknown", None]
+    tools = ["grounding", "grounding_cli", "grounding_eval", "html", "pdfspans",
+             "markdown", "plain", "", "unknown", None]
     rng = random.Random(424242)
 
     def garbage():
