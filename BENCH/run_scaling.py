@@ -47,25 +47,23 @@ import json, os, sys, time
 cpus = int(sys.argv[1])
 data = sys.argv[2]
 ctrl = sys.argv[3]
-from sparkocr.session import build_session
+from sparkocr.session import bench_session
 from sparkocr.extract.dispatch import extract_turns
 from sparkocr.assemble import assemble_docs_cli
 
-# split sizing: the bench table is ~53MB in 128 files — a real 10^12-turn
-# table has GB-scale files and thousands of natural splits, so scale the
-# split knobs down proportionally or the whole dataset packs into ~5 splits
-# and the map stage needs a widening shuffle it would never need at scale.
-spark = build_session(
-    "scaling", master=f"local[{cpus}]", shuffle_partitions=2 * cpus,
-    extra_conf={
-        "spark.sql.files.maxPartitionBytes": str(1 << 20),
-        "spark.sql.files.openCostInBytes": str(64 << 10),
-    },
-)
+# bench_session: the ONE shared benchmark preset (split knobs scaled to
+# the ~53MB/128-file bench table so the scan has the split count a
+# production-size table has naturally) — shared with bench.py so the
+# headline and scaling runs can never measure different scan shapes.
+spark = bench_session("scaling", cpus)
 df = spark.read.parquet(data)
-# full-width warmup: spawn every python worker + JIT, untimed
-extract_turns(df).count()
 out = os.path.join(os.path.dirname(data), f"scaling_turns_{cpus}")
+# full untimed rep as warmup: spawns every python worker, JITs BOTH the
+# extract+write path and the assembly codegen/shuffle machinery (an
+# extract-only warmup left assembly cold, visible as a systematic pair-0
+# eff_e2e outlier across invocations)
+extract_turns(df).write.mode("overwrite").parquet(out)
+assemble_docs_cli(spark.read.parquet(out)).count()
 open(os.path.join(ctrl, "ready"), "w").close()
 
 
@@ -138,7 +136,7 @@ class Child:
     --py-files sparkocr.zip`` (the north rule's deployment shape); one
     timed rep per go(), commanded over a file channel."""
 
-    def __init__(self, cpus: int, data: str, zip_path: str):
+    def __init__(self, cpus: int, data: str, zip_path: str, mask: str | None = None):
         import shutil
         import tempfile
         import time
@@ -153,7 +151,7 @@ class Child:
         # driver JVM starts before build_session's conf applies, so the
         # in-session spark.driver.memory would be ignored
         cmd = [
-            "taskset", "-c", f"0-{cpus - 1}",
+            "taskset", "-c", mask or f"0-{cpus - 1}",
             _spark_submit(),
             "--master", f"local[{cpus}]",
             "--py-files", zip_path,
@@ -168,9 +166,14 @@ class Child:
         ready = os.path.join(self.ctrl, "ready")
         deadline = time.monotonic() + 900
         while not os.path.exists(ready):
-            if self.proc.poll() is not None or time.monotonic() > deadline:
+            died = self.proc.poll() is not None
+            if died or time.monotonic() > deadline:
+                if not died:
+                    self.proc.kill()  # never leak a pinned 24g JVM
                 raise RuntimeError(
-                    f"child local[{cpus}] died during warmup; log in {self.errlog}"
+                    f"child local[{cpus}] "
+                    f"{'died during' if died else 'timed out in'} warmup; "
+                    f"log in {self.errlog}"
                 )
             time.sleep(0.1)
         self._shutil = shutil
@@ -223,17 +226,31 @@ def calibrate() -> float:
 
 
 def run_config(small: int, big: int, data: str, n_pairs: int, zip_path: str) -> list[dict]:
+    # Disjoint core masks when the box has room (4v16 on 32 cores: small
+    # gets 0-3, big gets 4-19): with the naive 0..N-1 masks the small
+    # child's cores are a SUBSET of the big child's, so the idle big
+    # child's JVM background threads stay eligible on the small child's
+    # pinned cores during its timed rep — a steal that deflates tput_N and
+    # inflates eff toward the target. 8v32 needs every core of the guest,
+    # so its masks necessarily overlap (documented in the report).
+    ncpu = os.cpu_count() or (small + big)
+    big_mask = f"{small}-{small + big - 1}" if small + big <= ncpu else None
+    ratio = big / small
     c_small = Child(small, data, zip_path)
-    c_big = Child(big, data, zip_path)
+    try:
+        c_big = Child(big, data, zip_path, mask=big_mask)
+    except BaseException:
+        c_small.stop()  # second-child warmup failure must not leak the first
+        raise
     pairs = []
     try:
         for i in range(n_pairs):
             cal = calibrate()
             rs = c_small.go()
             rb = c_big.go()
-            eff = round(rb["turns_per_sec"] / (4 * rs["turns_per_sec"]), 3)
+            eff = round(rb["turns_per_sec"] / (ratio * rs["turns_per_sec"]), 3)
             eff_e2e = round(
-                rb["e2e_turns_per_sec"] / (4 * rs["e2e_turns_per_sec"]), 3
+                rb["e2e_turns_per_sec"] / (ratio * rs["e2e_turns_per_sec"]), 3
             )
             pairs.append({"pair": i, "config": f"{small}v{big}", "eff": eff,
                           "eff_e2e": eff_e2e, "cal_rows_per_sec": cal,
@@ -249,6 +266,8 @@ def run_config(small: int, big: int, data: str, n_pairs: int, zip_path: str) -> 
 
 def main():
     n_pairs = int(os.environ.get("SPARKOCR_SCALING_PAIRS", "3"))
+    if n_pairs < 1:
+        sys.exit("SPARKOCR_SCALING_PAIRS must be >= 1")  # before any warmup
     data = os.path.join(REPO, "data", "transcripts_bench_lg.parquet")
     if not os.path.isdir(data):
         sys.path.insert(0, REPO)
@@ -291,10 +310,14 @@ Protocol per BASELINE.md: identical input (deterministic bench_lg-profile
 transcripts, seed=42, {rb['rows']:,} turns incl. one 100k-turn skew
 conversation scattered across all 128 input files), same DAG, each child
 launched via `spark-submit --py-files sparkocr.zip` (the north rule's
-deployment shape), each run CPU-pinned via `taskset -c 0..N-1` so a
-simulated cluster gets exactly its cores, full-width untimed warmup pass
-per JVM, persistent warm children with reps alternating between them so
-both halves of a pair execute seconds apart. N vs 4N pinned cores
+deployment shape), each run CPU-pinned via `taskset` onto DISJOINT core
+sets where the box has room (4v16: small child cores 0-3, big child
+4-19 — so the idle child's JVM background threads can never run inside
+the measured child's cores; 8v32 needs all 32 guest cores, so its masks
+necessarily overlap), one full untimed warmup rep per JVM (extract +
+write + assemble, so no timed rep pays first-use codegen), persistent
+warm children with reps alternating between them so both halves of a
+pair execute seconds apart. N vs 4N pinned cores
 substitutes for N vs 4N executors (no multi-node cluster in this sandbox,
 per driver instruction). Two core pairings are measured, both preserving
 the 4x ratio:

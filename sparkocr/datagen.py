@@ -276,14 +276,21 @@ def write_transcripts_dir(path: str, profile: str, seed: int = 42) -> int:
     File i holds convs c ≡ i (mod n_files) plus skew turns t ≡ i (mod
     n_files) — the skew conversation's rows are scattered over every file,
     as they would be in a real ingested table, so assembly has to shuffle
-    them back together."""
+    them back together.
+
+    Generation is ATOMIC: files land in a sibling temp dir renamed into
+    place only when complete. Both benchmark harnesses treat an existing
+    path as a complete dataset, so a generation interrupted mid-way must
+    never leave a partial directory behind — it would silently benchmark a
+    fraction of the rows with a truncated skew conversation forever."""
     import os
     import shutil
 
     n_convs, lo, hi, skew, n_files = DIR_PROFILES[profile]
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.makedirs(path)
+    tmp = path.rstrip("/") + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     total = 0
     for i in range(n_files):
         rows: list[dict] = []
@@ -292,8 +299,11 @@ def write_transcripts_dir(path: str, profile: str, seed: int = 42) -> int:
         if skew:
             rows.extend(_gen_skew_rows(n_convs, range(i, skew, n_files), seed))
         random.Random(f"{seed + 1}:{i}").shuffle(rows)
-        _write_table(rows, os.path.join(path, f"part-{i:05d}.parquet"))
+        _write_table(rows, os.path.join(tmp, f"part-{i:05d}.parquet"))
         total += len(rows)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     return total
 
 

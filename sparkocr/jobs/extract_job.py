@@ -38,7 +38,10 @@ def main(argv=None) -> dict:
     result = run_extract_job(
         spark, args.input, args.out, n_buckets=args.buckets, force=args.force
     )
-    if args.docs:
+    # --docs on a zero-bucket run (empty input table): stage 1 never
+    # created out/data, so reading it would raise PATH_NOT_FOUND — skip
+    # assembly instead; the summary's zero counts tell the story
+    if args.docs and (result["processed"] or result["skipped"]):
         turns = spark.read.parquet(os.path.join(args.out, "data"))
         assemble_docs_cli(turns).write.mode("overwrite").parquet(
             os.path.join(args.out, "docs")

@@ -98,7 +98,11 @@ def job_summary(turns: DataFrame, wall_sec: float | None = None) -> dict:
         F.sum("n_chars_out").alias("chars_out"),
     ).first()
     out = {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
-    if wall_sec:
+    if wall_sec is not None:
         out["wall_sec"] = round(wall_sec, 3)
-        out["turns_per_sec"] = round(out["rows_out"] / wall_sec, 1)
+        # a quantized clock can legitimately measure 0.0 — keep the field
+        # instead of silently dropping both keys (falsy-zero trap)
+        out["turns_per_sec"] = (
+            round(out["rows_out"] / wall_sec, 1) if wall_sec else None
+        )
     return out

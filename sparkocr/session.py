@@ -29,6 +29,26 @@ def iceberg_available() -> bool:
         return False
 
 
+def bench_session(app_name: str, cpus: int) -> SparkSession:
+    """Benchmark-preset session shared by bench.py and the
+    BENCH/run_scaling.py children: local[cpus], 2×cpus shuffle partitions,
+    split knobs scaled DOWN to the ~50 MB bench table so the scan gets the
+    split count a production-size table has naturally (with the default
+    128 MB splits the whole dataset packs into ~5 splits and the map stage
+    needs a widening shuffle it would never need at scale). ONE definition
+    so retuning a knob cannot silently diverge the headline and scaling
+    measurements into different scan shapes."""
+    return build_session(
+        app_name,
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.sql.files.openCostInBytes": str(64 << 10),
+        },
+    )
+
+
 def build_session(
     app_name: str = "sparkocr",
     master: str | None = None,

@@ -796,3 +796,84 @@ def test_ivf_explicit_dim_probes_only_that_dim(spark):
     # dim that matches nothing in the table: named error carrying the dim
     with _pytest.raises(ValueError, match="of dim 16"):
         ivf_topk(emb, [1.0] * 16, k=3, n_cells=2, dim=16)
+
+
+def test_dir_generation_is_atomic(tmp_path, monkeypatch):
+    """An interrupted write_transcripts_dir must never leave a partial
+    directory at the final path: both benchmark harnesses treat an
+    existing path as a complete dataset, so a partial one would silently
+    benchmark a fraction of the rows (with a truncated skew conversation)
+    on every later run."""
+    import os
+
+    from sparkocr import datagen
+
+    monkeypatch.setitem(datagen.DIR_PROFILES, "microdir", (6, 2, 3, 0, 3))
+    dest = str(tmp_path / "micro.parquet")
+
+    # crash mid-generation (second of three files)
+    real_write = datagen._write_table
+    calls = {"n": 0}
+
+    def crashing(rows, path):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated interruption")
+        real_write(rows, path)
+
+    monkeypatch.setattr(datagen, "_write_table", crashing)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyboardInterrupt):
+        datagen.write_transcripts_dir(dest, "microdir")
+    assert not os.path.exists(dest)  # nothing published
+
+    # a later full run succeeds despite the stale temp dir
+    monkeypatch.setattr(datagen, "_write_table", real_write)
+    n = datagen.write_transcripts_dir(dest, "microdir")
+    assert n > 0
+    assert sorted(os.listdir(dest)) == [f"part-{i:05d}.parquet" for i in range(3)]
+    assert not os.path.exists(dest + ".tmp")
+
+
+def test_job_summary_zero_wall_sec(spark):
+    """wall_sec=0.0 is a legitimate quantized-clock measurement — the
+    summary must keep the timing field (turns_per_sec None) instead of
+    silently dropping both keys via the falsy-zero trap."""
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.metrics import job_summary
+
+    turns = extract_turns(
+        spark.createDataFrame(
+            [("c0", 0, "user", "hello world", "plain")],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+    )
+    s = job_summary(turns, wall_sec=0.0)
+    assert s["wall_sec"] == 0.0 and s["turns_per_sec"] is None
+    s2 = job_summary(turns)
+    assert "wall_sec" not in s2 and "turns_per_sec" not in s2
+
+
+def test_extract_job_skips_docs_on_empty_input(spark, tmp_path, monkeypatch):
+    """--docs on an empty input table: stage 1 writes no buckets, so the
+    docs stage must be skipped (reading the never-created out/data would
+    raise PATH_NOT_FOUND) and the summary must report zero rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
+    from sparkocr.jobs import extract_job
+
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(datagen.SCHEMA.empty_table(), src)
+    out = str(tmp_path / "out")
+
+    # main() would stop the shared test session on exit — neuter stop()
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    summary = extract_job.main(["--input", src, "--out", out, "--buckets", "4", "--docs"])
+    assert summary["rows_out"] == 0
+    assert summary["buckets_processed"] == 0
+    assert not os.path.exists(os.path.join(out, "docs"))
