@@ -39,13 +39,17 @@ def main() -> dict:
     spark = bench_session("sparkocr-bench", cpus)
     times: dict[str, float] = {}
 
-    # warmup: JIT + Arrow + the FULL python worker pool (a limit() warmup
-    # collapses to ~1 task under AQE and leaves every other worker cold),
-    # plus one untimed assembly pass so its codegen/shuffle machinery is
-    # not cold inside the first timed assemble (measured as a pair-0
-    # outlier in the scaling protocol before the same fix there)
-    _warm = extract_turns(spark.read.parquet(bench_parquet))
-    assemble_docs_cli(_warm).count()
+    transcripts = spark.read.parquet(bench_parquet)
+    turns_path = os.path.join(os.path.dirname(bench_parquet), "bench_turns_out")
+    # warmup = one full untimed rep of exactly the timed stage-1/stage-2
+    # ops (extract → parquet write → assemble from the written turns):
+    # spawns the FULL python worker pool (a limit() warmup collapses to
+    # ~1 task under AQE and leaves every other worker cold) and JITs the
+    # zstd writer and assembly codegen, so no timed query pays first-use
+    # cost (the extract-only warmup left assembly cold — measured as a
+    # systematic pair-0 outlier in the scaling protocol)
+    extract_turns(transcripts).write.mode("overwrite").parquet(turns_path)
+    assemble_docs_cli(spark.read.parquet(turns_path)).count()
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -53,8 +57,6 @@ def main() -> dict:
         times[name] = round(time.monotonic() - t0, 3)
         return out
 
-    transcripts = spark.read.parquet(bench_parquet)
-    turns_path = os.path.join(os.path.dirname(bench_parquet), "bench_turns_out")
     timed(
         "extract_turns",
         lambda: extract_turns(transcripts).write.mode("overwrite").parquet(turns_path),
