@@ -135,24 +135,32 @@ def assemble_docs_app(
     ``\\n\\n--- 📄 第 {page_start + jdx} 页 ---\\n\\n`` prefixes each page in
     turn order. Unlike the CLI path there is deliberately NO truncated-page
     drop: the app strips EOS but never skips a page (SKIP_REPEAT is
-    CLI-only, app/processors.py:613-614), so every input turn is labeled."""
-    from pyspark.sql import Window
+    CLI-only, app/processors.py:613-614), so every input turn is labeled.
 
-    # tie-break on the text: duplicate (conv_id, turn_idx) rows (an
-    # at-least-once upstream replaying a re-extracted turn) would
-    # otherwise get page numbers in partition-arrival order, making
-    # doc_text differ between runs — the CLI path's array_sort on
-    # struct(k, v) tie-breaks on v the same way
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", F.col(text_col))
-    labeled = turns.withColumn("_jdx", F.row_number().over(w) - 1).select(
-        "conv_id",
-        F.col("_jdx").alias("order_k"),
-        F.concat(
-            F.lit("\n\n--- \U0001f4c4 第 "),
-            (F.col("_jdx") + F.lit(page_start)).cast("string"),
-            F.lit(" 页 ---\n\n"),
-            F.coalesce(F.col(text_col), F.lit("")),
-        ).alias("piece"),
+    One shuffle, no Window: page numbers come from the sorted-array index
+    inside the same aggregate that concatenates (``transform`` exposes the
+    element index) — the earlier row_number Window funnelled every turn of
+    a conversation (full payload) through a per-conv single-task sort AND
+    then shuffled again for the concat. Sorting struct(k, v) tie-breaks
+    duplicate (conv_id, turn_idx) rows on the text like the CLI path, so
+    at-least-once replays still number deterministically."""
+    pair = F.struct(
+        F.col("turn_idx").alias("k"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("v"),
     )
-    agg = _ordered_concat(labeled, ["conv_id"], "order_k", "piece", "doc_text")
-    return agg.select("conv_id", F.col("_n").cast("int").alias("n_turns"), "doc_text")
+    doc = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(pair)),
+            lambda x, i: F.concat(
+                F.lit("\n\n--- \U0001f4c4 第 "),
+                (i + F.lit(page_start)).cast("string"),
+                F.lit(" 页 ---\n\n"),
+                x["v"],
+            ),
+        ),
+        "",
+    )
+    return turns.groupBy("conv_id").agg(
+        doc.alias("doc_text"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    ).select("conv_id", "n_turns", "doc_text")

@@ -106,9 +106,16 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
         if mode == "grounding_cli":
             # CLI page index jdx feeds the image link names
             # (run_dpsk_ocr_pdf.py:316: images/{jdx}_{idx}.jpg); turn_idx
-            # is this engine's page index
-            cleaned, dropped = grounding.pdf_cli_clean(t, jdx=int(turn_idxs[pos]))
-            c, m, s, tr, e = cleaned, cleaned, [], dropped, None
+            # is this engine's page index. A null turn_idx (file sources
+            # force-nullable the schema; one bad producer row) must
+            # degrade through the error column — raising here would
+            # crash-loop a streaming micro-batch on that one row forever.
+            jdx = turn_idxs[pos]
+            if jdx is None or jdx != jdx:  # None or NaN
+                c, m, s, tr, e = None, None, [], False, "null turn_idx (grounding_cli page index)"
+            else:
+                cleaned, dropped = grounding.pdf_cli_clean(t, jdx=int(jdx))
+                c, m, s, tr, e = cleaned, cleaned, [], dropped, None
         elif mode == "grounding" and not markdown:
             c, s, tr = grounding.clean_grounded(t)
             m, e = None, None
@@ -125,7 +132,11 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "conv_id": pdf["conv_id"],
-            "turn_idx": pdf["turn_idx"].astype("int32"),
+            # nullable Int32, not int32: a single null turn_idx arrives as
+            # float64 NaN and plain astype raises IntCastingNaNError — in
+            # a stream that poison-pills the checkpoint (the failed
+            # micro-batch replays the same file on every restart)
+            "turn_idx": pdf["turn_idx"].astype("Int32"),
             "role": pdf["role"],
             "tool": tools,
             "clean_text": clean,

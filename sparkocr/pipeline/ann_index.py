@@ -59,8 +59,46 @@ def _write_meta(spark: SparkSession, path: str, **kv) -> None:
     ).parquet(f"{path}/meta")
 
 
+def _invalidate_meta(spark: SparkSession, path: str) -> None:
+    """Delete meta/ BEFORE a rebuild touches vectors/. meta/ is written
+    last, so a complete meta marks a complete index: without this, a
+    rebuild that dies after overwriting vectors leaves the OLD meta (old
+    n_planes/seed) beside NEW vectors — a probe-able inconsistent index
+    that silently returns near-zero recall (probe signatures computed in
+    a different space than the stored partitions)."""
+    from sparkocr.checkpoint import _fs
+
+    _, fs, jpath = _fs(spark, f"{path}/meta")
+    fs.delete(jpath, True)  # recursive; False (absent) is fine
+
+
 def _read_meta(spark: SparkSession, path: str):
-    return spark.read.parquet(f"{path}/meta").first()
+    try:
+        return spark.read.parquet(f"{path}/meta").first()
+    except Exception as e:
+        raise ValueError(
+            f"no complete ANN index at {path}: meta/ is missing or "
+            "unreadable — the build failed mid-way, is still in progress, "
+            "or the path is wrong; rebuild the index"
+        ) from e
+
+
+def _check_vectors_nonempty(spark: SparkSession, path: str, builder: str) -> None:
+    """partitionBy over zero rows writes only _SUCCESS: a probe would
+    later die with an opaque UNABLE_TO_INFER_SCHEMA — fail loudly at
+    build time instead. Detected AFTER the write (a footer-only driver
+    read), not with a pre-write isEmpty(), which is an extra action
+    recomputing the whole upstream DAG just to improve an error message.
+    Only the schema-inference signature is relabelled as empty input; any
+    other read failure (FS, permissions, corruption) propagates as-is."""
+    try:
+        spark.read.parquet(f"{path}/vectors")
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            raise ValueError(
+                f"{builder}: input table has no rows — nothing was indexed"
+            ) from e
+        raise
 
 
 def build_lsh_index(
@@ -74,25 +112,13 @@ def build_lsh_index(
     if dim is None:
         dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes, seed)
+    spark = emb.sparkSession
+    _invalidate_meta(spark, path)  # meta last: no probe-able half-index
     sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
     sigged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
         f"{path}/vectors"
     )
-    spark = emb.sparkSession
-    # partitionBy over zero rows writes only _SUCCESS: the probe would
-    # later die with an opaque UNABLE_TO_INFER_SCHEMA — fail loudly at
-    # build time instead (matches build_ivf_index, whose trainer rejects
-    # an empty table). Detected AFTER the write — a footer-only driver
-    # read — not with a pre-write isEmpty(), which is an extra action
-    # recomputing the whole upstream DAG just to improve an error message.
-    # meta/ is deliberately not yet written here, so a raise leaves no
-    # probe-able half-index behind.
-    try:
-        spark.read.parquet(f"{path}/vectors")
-    except Exception as e:
-        raise ValueError(
-            "build_lsh_index: input table has no rows — nothing was indexed"
-        ) from e
+    _check_vectors_nonempty(spark, path, "build_lsh_index")
     _write_meta(spark, path, kind="lsh", dim=dim, n_planes=n_planes, seed=seed)
 
 
@@ -135,7 +161,12 @@ def lsh_topk_indexed(
         if float(np.dot(qv, p)) > 0:
             qsig |= 1 << i
     probe_sigs = _sig_ball(qsig, m["n_planes"], hamming)
-    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("sig").isin(probe_sigs))
+    # size==dim mirrors lsh_topk: null / wrong-dim rows are zero-filled
+    # into sig 0 at build, so a ball containing 0 would surface them as
+    # null-cosine junk whenever k exceeds the real match count
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("sig").isin(probe_sigs) & (F.size("embedding") == int(m["dim"]))
+    )
     q = F.array(*[F.lit(float(v)) for v in query])
     return (
         vecs.select(
@@ -157,11 +188,16 @@ def build_ivf_index(
     (from ``trainer(emb, n_cells)``) are persisted so probes replay the
     exact assignment."""
     cents = np.asarray(trainer(emb, n_cells), dtype=np.float64)
+    spark = emb.sparkSession
+    _invalidate_meta(spark, path)  # meta last: no probe-able half-index
     celled = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
     celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
     )
-    spark = emb.sparkSession
+    # the default trainer rejects an empty table before anything is
+    # written, but a custom trainer with precomputed centroids would
+    # otherwise build a complete, probe-crashing empty index
+    _check_vectors_nonempty(spark, path, "build_ivf_index")
     cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>").coalesce(
         1
@@ -190,7 +226,13 @@ def ivf_topk_indexed(
     qv = np.asarray(query, dtype=np.float64)
     d = ((cents - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
-    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe))
+    # same size==dim restriction ivf_topk applies: zero-filled null /
+    # wrong-dim rows got a garbage cell at build time and would surface
+    # as null-cosine rows whenever k exceeds the matching-row count —
+    # without it the indexed and recompute probes diverge on dirty tables
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe) & (F.size("embedding") == int(m["dim"]))
+    )
     q = F.array(*[F.lit(float(v)) for v in query])
     return (
         vecs.select(

@@ -114,7 +114,15 @@ def lsh_topk(emb: DataFrame, query: list[float], k: int = 10, n_planes: int = N_
         if float(np.dot(qv, p)) > 0:
             qsig |= 1 << i
     sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
-    probe = sigged.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2)
+    # size==dim keeps null / wrong-dim rows out of the probe: they are
+    # zero-filled into sig 0 by the signature UDF, so a ball containing 0
+    # would surface them as null-cosine junk whenever k exceeds the real
+    # match count (mirrors ivf_topk, and ann_index probes apply the same
+    # restriction so indexed ≡ recompute holds on dirty tables)
+    probe = sigged.filter(
+        (F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= 2)
+        & (F.size("embedding") == len(query))
+    )
     q = F.array(*[F.lit(float(v)) for v in query])
     return (
         probe.select(

@@ -33,6 +33,27 @@ def _crop_path(idx):
     )
 
 
+def _image_spans_numbered(extra_fields=None):
+    """Image spans of the row's OWN spans array, in span order, numbered by
+    position — THE single definition of the is_image selection + numbering
+    + crop-path rule. ``crop_regions`` and the markdown-embed fold both
+    build on it, so crop records and numbered placeholders cannot
+    desynchronize (two hand-maintained copies of the filter/transform
+    would drift the moment one is edited). ``extra_fields(sp, i)`` returns
+    struct fields appended after img_idx/crop_path."""
+    return F.transform(
+        F.filter(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda sp: F.coalesce(sp["is_image"], F.lit(False)),
+        ),
+        lambda sp, i: F.struct(
+            i.cast("int").alias("img_idx"),
+            _crop_path(i).alias("crop_path"),
+            *(extra_fields(sp, i) if extra_fields else ()),
+        ),
+    )
+
+
 def crop_regions(turns: DataFrame) -> DataFrame:
     """Per-turn image-span records → (conv_id, turn_idx, img_idx, crop_path,
     x1..y2). ``img_idx`` numbers image spans in span (match) order within
@@ -50,19 +71,13 @@ def crop_regions(turns: DataFrame) -> DataFrame:
     reference enumerates matches_images before cropping,
     run_dpsk_ocr_pdf.py:316), so a failed-parse span still consumes an
     index and crop paths align with the numbered placeholders."""
-    recs = F.transform(
-        F.filter(
-            F.coalesce(F.col("spans"), F.array()),
-            lambda sp: F.coalesce(sp["is_image"], F.lit(False)),
-        ),
-        lambda sp, i: F.struct(
-            i.cast("int").alias("img_idx"),
-            _crop_path(i).alias("crop_path"),
+    recs = _image_spans_numbered(
+        lambda sp, i: (
             sp["bbox"][0][0].alias("x1"),
             sp["bbox"][0][1].alias("y1"),
             sp["bbox"][0][2].alias("x2"),
             sp["bbox"][0][3].alias("y2"),
-        ),
+        )
     )
     return turns.select(
         "conv_id", "turn_idx", F.explode(recs).alias("r")
@@ -90,20 +105,12 @@ def _replace_first(acc, search, repl):
 def _own_crops_col():
     """Per-row crop records derived from the row's OWN spans array: image
     spans in span order, numbered by position — identical records to
-    crop_regions (same is_image rule, same order) but with NO self-join
-    back through the extraction DAG. A join of turns with
-    crop_regions(turns) would run the extractor twice (two MapInPandas
-    branches of the same source) and shuffle; this is a pure projection."""
-    return F.transform(
-        F.filter(
-            F.coalesce(F.col("spans"), F.array()),
-            lambda sp: F.coalesce(sp["is_image"], F.lit(False)),
-        ),
-        lambda sp, i: F.struct(
-            i.alias("img_idx"),
-            _crop_path(i).alias("crop_path"),
-        ),
-    )
+    crop_regions (same is_image rule, same order — literally the same
+    ``_image_spans_numbered`` definition) but with NO self-join back
+    through the extraction DAG. A join of turns with crop_regions(turns)
+    would run the extractor twice (two MapInPandas branches of the same
+    source) and shuffle; this is a pure projection."""
+    return _image_spans_numbered()
 
 
 def embed_crops_in_markdown(turns: DataFrame) -> DataFrame:
@@ -149,7 +156,15 @@ def embed_crops_in_markdown_b64(turns: DataFrame, media: DataFrame) -> DataFrame
 
     JVM end-to-end: one equi-join (media side prunable to key+payload) and
     an ``aggregate`` fold of first-occurrence replacements over the row's
-    own image spans (no second extraction branch, no crop shuffle)."""
+    own image spans (no second extraction branch, no crop shuffle).
+
+    SCALE CAVEAT: absent a pixel codec there is ONE payload per page, so
+    the full page payload is spliced at EVERY placeholder — a page with P
+    payload bytes and M image spans emits ~M x 4/3 x P of markdown (the
+    reference splices per-region PNG crops, which sum to at most ~one page).
+    Real deployments must slot per-region crops into ``media`` (one row per
+    (conv_id, turn_idx) stays the contract; pre-crop payloads upstream) or
+    cap M x P before materializing this column at 100 TB."""
     payloads = media.select(
         "conv_id",
         F.col("turn_idx").cast("int").alias("turn_idx"),

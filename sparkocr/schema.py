@@ -32,7 +32,13 @@ SPAN = T.StructType(
 TURNS_OUT = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
+        # nullable: the TRANSCRIPTS declaration says non-null, but file
+        # sources force-nullable every field, so one producer row with a
+        # null turn_idx WILL reach the extractor — it must pass through
+        # (rows out == rows in) rather than poison-pill the task; the
+        # declared non-null output would make the JVM projection throw
+        # "Value at index is null" on exactly that row
+        T.StructField("turn_idx", T.IntegerType(), True),
         T.StructField("role", T.StringType(), True),
         T.StructField("tool", T.StringType(), True),
         T.StructField("clean_text", T.StringType(), True),

@@ -52,10 +52,25 @@ def windowed_turn_counts(
     turns and chars per (window, tool). Late rows beyond ``watermark`` are
     dropped and window state is finalized — the standard late-data design
     for an append-only transcript feed (the reference has no streaming
-    semantics; this is the Spark-native extension point)."""
+    semantics; this is the Spark-native extension point).
+
+    Rows with a NULL event time cannot join any window (``F.window``
+    generates no window for a null ts — they'd silently vanish from the
+    counts, a second undercount distinct from the documented late-data
+    drop; the file source force-nullables ``ts``, so one producer
+    omitting it is enough). They are filtered EXPLICITLY and surfaced
+    through an ``observe()`` metric: every micro-batch's progress event
+    carries ``n_null_ts``/``n_rows`` under observation name
+    ``turn_feed_quality``, so the undercount is visible per batch without
+    a second (unsupported) streaming aggregate."""
     from pyspark.sql import functions as F
 
     src = spark.readStream.schema(schema.TRANSCRIPTS).parquet(input_dir)
+    src = src.observe(
+        "turn_feed_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
+    ).filter(F.col("ts").isNotNull())
     return (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "tool")

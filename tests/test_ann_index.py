@@ -193,3 +193,78 @@ def test_wrong_query_dim_rejected(spark, query, lsh_index, ivf_index):
         lsh_topk_indexed(spark, lsh_index, short)
     with pytest.raises(ValueError, match=f"query dim {len(short)} != index dim {len(query)}"):
         ivf_topk_indexed(spark, ivf_index, short)
+
+
+def test_interrupted_rebuild_leaves_no_probeable_index(spark, emb, query, tmp_path, monkeypatch):
+    """meta/ is written LAST and deleted FIRST: a rebuild that dies after
+    overwriting vectors/ must leave an index that probes REFUSE loudly —
+    with the old write order the stale meta (old n_planes/seed) survived
+    beside the new vectors and probes silently computed signatures in the
+    wrong space (near-zero recall, no error)."""
+    from sparkocr.pipeline import ann_index
+
+    path = str(tmp_path / "lsh")
+    ann_index.build_lsh_index(emb, path, n_planes=8)
+    assert len(ann_index.lsh_topk_indexed(spark, path, query, k=3).collect()) > 0
+
+    def boom(*a, **kw):
+        raise RuntimeError("driver died before meta publish")
+
+    monkeypatch.setattr(ann_index, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="meta publish"):
+        ann_index.build_lsh_index(emb, path, n_planes=12)  # rebuild, new space
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="no complete ANN index"):
+        ann_index.lsh_topk_indexed(spark, path, query, k=3)
+    # a clean rebuild recovers
+    ann_index.build_lsh_index(emb, path, n_planes=12)
+    assert len(ann_index.lsh_topk_indexed(spark, path, query, k=3).collect()) > 0
+
+
+def test_empty_input_rejected_even_with_custom_trainer(spark, tmp_path):
+    """The default IVF trainer rejects an empty table before anything is
+    written, but a custom trainer with precomputed centroids used to build
+    a complete, probe-crashing empty index — the post-write emptiness
+    check must catch it builder-agnostically."""
+    from sparkocr.pipeline.ann_index import build_ivf_index
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+    with pytest.raises(ValueError, match="no rows"):
+        build_ivf_index(empty, str(tmp_path / "ivf"), n_cells=2,
+                        trainer=lambda df, n: cents)
+
+
+def test_indexed_probes_match_operators_on_dirty_table(spark, emb, query, tmp_path):
+    """Null / wrong-dim embeddings are zero-filled into sig 0 / a garbage
+    cell at build time; with k above the real match count they used to
+    surface as null-cosine junk from the INDEXED probes only, diverging
+    from the recompute operators. Both paths must now exclude them and
+    agree row-for-row."""
+    from sparkocr.pipeline.ann_index import (
+        build_ivf_index, build_lsh_index, ivf_topk_indexed, lsh_topk_indexed,
+    )
+    from sparkocr.pipeline.similarity import ivf_centroids, ivf_topk, lsh_topk
+
+    dim = len(query)
+    junk = spark.createDataFrame(
+        [(10_000, None), (10_001, [1.0] * (dim // 2)), (10_002, [0.5] * (dim * 2))],
+        "vec_id long, embedding array<float>",
+    )
+    dirty = emb.select("vec_id", "embedding").unionByName(junk)
+    k = dirty.count() + 5  # force k past the matching-row count
+
+    lsh_path, ivf_path = str(tmp_path / "lsh"), str(tmp_path / "ivf")
+    build_lsh_index(dirty, lsh_path, dim=dim)
+    build_ivf_index(dirty, ivf_path, n_cells=4, trainer=ivf_centroids)
+
+    got_lsh = lsh_topk_indexed(spark, lsh_path, query, k=k).collect()
+    want_lsh = lsh_topk(dirty, query, k=k).collect()
+    assert [(r.vec_id, r.cosine) for r in got_lsh] == [(r.vec_id, r.cosine) for r in want_lsh]
+    assert all(r.cosine is not None for r in got_lsh)
+    assert all(r.vec_id < 10_000 for r in got_lsh)
+
+    got_ivf = ivf_topk_indexed(spark, ivf_path, query, k=k, n_probe=4).collect()
+    want_ivf = ivf_topk(dirty, query, k=k, n_probe=4, n_cells=4, dim=dim).collect()
+    assert [(r.vec_id, r.cosine) for r in got_ivf] == [(r.vec_id, r.cosine) for r in want_ivf]
+    assert all(r.cosine is not None for r in got_ivf)

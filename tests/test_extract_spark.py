@@ -235,7 +235,11 @@ def test_extract_batch_survives_adversarial_garbage():
             return None
         return rng.choice(["", " ", "\x00", "𝕏" * 10000])
 
-    rows = [(f"c{i % 7}", i, "assistant", garbage(), rng.choice(tools))
+    # sprinkle null turn_idx: file sources force-nullable the schema, so
+    # a null page index must degrade (grounding_cli error column; Int32
+    # passthrough elsewhere), never raise out of the batch
+    rows = [(f"c{i % 7}", None if i % 97 == 0 else i, "assistant",
+             garbage(), rng.choice(tools))
             for i in range(1500)]
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
     out = extract_batch(df)

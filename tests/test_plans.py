@@ -318,3 +318,18 @@ def test_extract_widens_byte_skewed_saturating_scan(spark, tmp_path):
         else:
             spark.conf.unset("spark.sql.files.openCostInBytes")
     assert "Exchange" in plan, plan
+
+
+def test_app_assembly_has_no_window(spark, tiny_transcripts):
+    """assemble_docs_app numbers pages from the sorted-array index inside
+    the concat aggregate — the earlier row_number Window funnelled every
+    turn of a conversation through a per-conv single-task sort and then
+    shuffled AGAIN for the concat (two exchanges + a Sort for what one
+    aggregate does)."""
+    from sparkocr.assemble import assemble_docs_app
+    from sparkocr.extract.dispatch import extract_turns
+
+    df = assemble_docs_app(extract_turns(spark.read.parquet(tiny_transcripts)))
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

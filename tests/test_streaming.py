@@ -81,3 +81,68 @@ def test_streaming_exactly_once_on_restart(spark, stream_dirs, tiny_transcripts)
     run_once(spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"])
     n3 = spark.read.parquet(stream_dirs["out"]).count()
     assert n3 == 2 * n1
+
+
+def test_streaming_survives_null_turn_idx_and_ts(spark, tmp_path):
+    """File sources force-nullable the declared schema, so one producer
+    row with a null turn_idx (or ts) WILL reach the stream. It must pass
+    through the extractor (null turn_idx preserved, grounding_cli degraded
+    via the error column) instead of poison-pilling the micro-batch — the
+    failed batch would replay the same file on every restart, wedging the
+    checkpoint forever. Null event times must likewise not vanish from the
+    windowed counts silently: they are filtered explicitly and surfaced as
+    an observed per-batch metric."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
+    from sparkocr.streaming.extract_stream import run_once, windowed_turn_counts
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = {
+        "conv_id": ["c0", "c0", "c0", "c1"],
+        "turn_idx": [0, None, 1, None],
+        "role": ["user"] * 4,
+        "text": ["plain a", "<|ref|>x<|/ref|>", "plain b", "plain c"],
+        "tool": ["plain", "grounding_cli", "plain", "plain"],
+        "ts": [t0, t0, None, t0],
+    }
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(
+        pa.Table.from_pydict(rows, schema=datagen.SCHEMA),
+        os.path.join(in_dir, "part-0.parquet"),
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_once(spark, in_dir, out, ckpt)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 4  # rows out == rows in, no crash loop
+    by_text = {r["clean_text"]: r for r in got if r["clean_text"]}
+    assert by_text["plain a"]["turn_idx"] == 0
+    assert by_text["plain c"]["turn_idx"] is None
+    cli = [r for r in got if r["tool"] == "grounding_cli"][0]
+    assert cli["error"] and "null turn_idx" in cli["error"]
+
+    # windowed counts: the null-ts row is excluded (it can join no
+    # window) but observably — not a silent undercount
+    q = (
+        windowed_turn_counts(spark, in_dir, window="10 minutes")
+        .writeStream.format("memory")
+        .queryName("null_ts_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("complete")  # append emits only watermark-closed windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    obs = [
+        p.observedMetrics["turn_feed_quality"]
+        for p in q.recentProgress
+        if "turn_feed_quality" in p.observedMetrics
+    ]
+    assert any(m["n_null_ts"] == 1 and m["n_rows"] == 4 for m in obs), obs
+    n = spark.sql("select sum(n_turns) s from null_ts_counts").first()["s"]
+    assert n == 3
