@@ -863,19 +863,21 @@ def q_media_decode_resize(spark, sf_dir):
     the resize arithmetic needs only (width, height), which decode_stats
     already emits, so the plan stays one MapInPandas + a JVM projection —
     no join, no second scan."""
-    from sparkocr.pipeline.multimodal import decode_stats, synth_media
+    from sparkocr.pipeline.multimodal import decode_stats, resize_exprs, synth_media
 
     d = decode_stats(synth_media(_t(spark, sf_dir, "documents")))
-    w, h = F.col("width"), F.col("height")
-    scale = F.least(F.lit(640) / w, F.lit(640) / h)
+    # resize_exprs: the ONE definition of the resize arithmetic (exact
+    # integer out dims — a hand-copied float variant here drifted by one
+    # pixel on binding dimensions like 1077)
+    scale, out_w, out_h = resize_exprs(F.col("width"), F.col("height"), 640)
     return d.select(
         "media_id", "n_bytes",
         F.round("mean_byte", 6).alias("mean_byte"),
         "width", "height",
         F.round("aspect_ratio", 6).alias("aspect_ratio"),
         F.round(scale, 6).alias("scale"),
-        F.floor(w * scale).cast("int").alias("out_w"),
-        F.floor(h * scale).cast("int").alias("out_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
     )
 
 
@@ -1168,8 +1170,10 @@ def _cosine_guard_sql(a: str, b: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from sparkocr.pipeline.textstats import LANGS, lang_score_sql
 
+    # coalesce mirrors textstats.lang_id: NULL text scores 0 / 'und'
+    _txt = "coalesce(text, '')"
     lang_cols = ", ".join(
-        f"round({lang_score_sql('text', l)}, 6) AS score_{l}" for l in LANGS
+        f"round({lang_score_sql(_txt, l)}, 6) AS score_{l}" for l in LANGS
     )
     best = "greatest(" + ", ".join(f"score_{l}" for l in LANGS) + ")"
     lang_pred = (
@@ -1615,7 +1619,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_ws_tokens,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_word_tokens,
                    length(text) AS n_chars,
-                   substr(md5(text), 1, 16) AS fp
+                   -- the canonical exact-dup key (dedup._dedup_key): full
+                   -- md5, null-text rows keyed by their own doc_id
+                   coalesce(md5(text), 'null:' || doc_id) AS fp
             FROM documents
         """,
         "doc_quality": r"""
@@ -1649,12 +1655,15 @@ def oracle_sql() -> dict[str, str]:
                          / (240 + (doc_id * 3) % 960), 6) AS aspect_ratio,
                    round(least(640.0 / (320 + doc_id % 1280),
                                640.0 / (240 + (doc_id * 3) % 960)), 6) AS scale,
-                   floor((320 + doc_id % 1280) *
-                         least(640.0 / (320 + doc_id % 1280),
-                               640.0 / (240 + (doc_id * 3) % 960)))::INT AS out_w,
-                   floor((240 + (doc_id * 3) % 960) *
-                         least(640.0 / (320 + doc_id % 1280),
-                               640.0 / (240 + (doc_id * 3) % 960)))::INT AS out_h
+                   -- exact integer floor(d * target / long_side): the
+                   -- float-scale form floor(d * scale) loses the binding
+                   -- dimension by one pixel for many sizes
+                   ((320 + doc_id % 1280) * 640 //
+                    greatest(320 + doc_id % 1280,
+                             240 + (doc_id * 3) % 960))::INT AS out_w,
+                   ((240 + (doc_id * 3) % 960) * 640 //
+                    greatest(320 + doc_id % 1280,
+                             240 + (doc_id * 3) % 960))::INT AS out_h
             FROM documents
         """,
         "ann_cosine_topk": """

@@ -144,23 +144,33 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def input_fingerprints(df: DataFrame, n_buckets: int) -> dict[int, tuple[int, int]]:
-    """One aggregate pass: bucket → (row_count, bit_xor of row hashes).
+    """One aggregate pass: bucket → (row_count, SUM of row hashes).
 
     The hash covers EVERY column the extractor consumes — ``tool`` selects
     the extraction mode and ``role`` is carried through — so a row whose
-    mode changes (same text) still invalidates its bucket."""
+    mode changes (same text) still invalidates its bucket.
+
+    SUM (order-insensitive, multiplicity-sensitive), not bit_xor: xor is
+    blind to even-multiplicity changes — a row ingested twice then
+    corrected twice contributes x^x = 0 before AND y^y = 0 after, so the
+    changed bucket would be skipped forever with stale output. The sum is
+    carried in decimal(38,0) (input hashes cast to decimal(28,0), Spark
+    widens the sum by 10 digits): |hash| < 2^63 ≈ 9.3e18, so even 10^12
+    rows stay under 1e31 — no overflow, and ANSI mode cannot abort it."""
     rows = (
         with_bucket(df, n_buckets)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(
-                F.xxhash64("conv_id", "turn_idx", "role", "text", "tool")
+            F.sum(
+                F.xxhash64("conv_id", "turn_idx", "role", "text", "tool").cast(
+                    "decimal(28,0)"
+                )
             ).alias("h"),
         )
         .collect()
     )
-    return {r["bucket"]: (r["n"], r["h"]) for r in rows}
+    return {r["bucket"]: (r["n"], int(r["h"])) for r in rows}
 
 
 def run_extract_job(
@@ -188,12 +198,26 @@ def run_extract_job(
     )
     existing: set[int] = set()
     live = set(fps)
-    for st in fs.globStatus(glob_path) or []:
-        name = st.getPath().getName()
+    statuses = [
+        (st, _MANIFEST_NAME_RE.match(st.getPath().getName()))
+        for st in fs.globStatus(glob_path) or []
+    ]
+    # blast-radius guard: an EMPTY input (transient producer bug, empty
+    # snapshot, typo'd path resolving to a _SUCCESS-only dir) makes every
+    # bucket look "vanished" — without this check the loop below would
+    # delete every manifest and every data partition of a completed table
+    # before returning {"processed": [], "skipped": []}. Deleting the
+    # whole output is only valid as an EXPLICIT decision (force=True).
+    if not fps and not force and any(m is not None for _, m in statuses):
+        raise ValueError(
+            f"input {input_path} resolves to zero rows but completed "
+            f"buckets exist at {out_dir} — refusing to delete them; pass "
+            "force=True if the table is intentionally now empty"
+        )
+    for st, nm in statuses:
         # strict name check: the glob also matches strays like
         # bucket=3.json.bak or editor backups — skip them instead of
         # aborting the whole job on int()
-        nm = _MANIFEST_NAME_RE.match(name)
         if nm is None:
             continue
         b = int(nm.group(1))

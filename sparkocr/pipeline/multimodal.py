@@ -114,6 +114,30 @@ def decode_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_stats_batches, DECODED_SCHEMA)
 
 
+def resize_exprs(w, h, target: int):
+    """(scale, out_w, out_h) columns for a long-side-to-``target`` resize —
+    THE single definition of the arithmetic (resize_plan and the catalog
+    entry share it; two hand-maintained copies drifted once already).
+
+    Zero/negative dims → null columns, not a job abort: plain `/` under
+    Spark's default ANSI mode throws DIVIDE_BY_ZERO and kills the stage on
+    a single degenerate row.
+
+    Output dims use EXACT integer arithmetic floor(d * target / long_side):
+    floor(d * scale) on the float scale loses the binding dimension by one
+    pixel for many sizes (640/1077 * 1077 = 639.99… → 639) — the contract
+    is that the long side comes out exactly ``target``. The double
+    division below is exact at these magnitudes: the numerator is an
+    integer ≪ 2^53 and any nonzero fractional part of the true quotient is
+    ≥ 1/long_side ≫ one ulp, so floor cannot be off by one."""
+    valid = (w > 0) & (h > 0)
+    scale = F.when(valid, F.least(F.lit(target) / w, F.lit(target) / h))
+    big = F.greatest(w, h)
+    out_w = F.when(valid, F.floor((w.cast("bigint") * target) / big)).cast("int")
+    out_h = F.when(valid, F.floor((h.cast("bigint") * target) / big)).cast("int")
+    return scale, out_w, out_h
+
+
 def resize_plan(media: DataFrame, target: int = 640) -> DataFrame:
     """Resize arithmetic (pure JVM — no pixels needed): the reference's
     resize step computes the target grid from (w, h) alone
@@ -121,20 +145,14 @@ def resize_plan(media: DataFrame, target: int = 640) -> DataFrame:
     pixel work on the real-codec seam."""
     w = F.col("meta.width")
     h = F.col("meta.height")
-    # zero/negative dims → null plan row, not a job abort: plain `/` under
-    # Spark's default ANSI mode throws DIVIDE_BY_ZERO and kills the stage
-    # on a single degenerate row (the fake-decode path tolerates h == 0
-    # the same way)
-    scale = F.when(
-        (w > 0) & (h > 0), F.least(F.lit(target) / w, F.lit(target) / h)
-    )
+    scale, out_w, out_h = resize_exprs(w, h, target)
     return media.select(
         "media_id",
         w.alias("width"),
         h.alias("height"),
         F.round(scale, 6).alias("scale"),
-        F.floor(w * scale).cast("int").alias("out_w"),
-        F.floor(h * scale).cast("int").alias("out_h"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
     )
 
 

@@ -240,9 +240,15 @@ def range_join(
     right[r_start] <= left[left_time] < right[r_end], same key.
     Intervals must span < ``bucket_seconds`` so each point needs only its
     own and the previous bucket — turning the band predicate into an equi
-    join on (key, bucket). ``validate`` enforces that precondition with one
-    cheap aggregate (a longer interval would silently lose matches);
-    disable it only when the bound is guaranteed by construction."""
+    join on (key, bucket). ``validate`` enforces that precondition with an
+    EAGER aggregate-only pass over the right table at call time (column-
+    pruned to the two time columns, but still a full extra scan of the
+    right side — at 100 TB that is real I/O per invocation). It stays on
+    by default because a longer interval SILENTLY loses matches and no
+    lazy check (Observation etc.) can refuse the join before wrong results
+    are already consumed; pass ``validate=False`` at scale call sites
+    where the span bound is guaranteed by construction (schema contract,
+    upstream clamp) and the scan would dominate."""
     if validate:
         # cast("double") = fractional epoch seconds; unix_timestamp()
         # truncates to whole seconds, so a span of bucket_seconds - 0.5 s

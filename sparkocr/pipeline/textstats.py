@@ -71,7 +71,12 @@ def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
         F.length("text").alias("n_chars"),
     ]
     if fingerprint:
-        cols.append(F.substring(F.md5(F.col("text")), 1, 16).alias("fp"))
+        from sparkocr.pipeline.dedup import _dedup_key
+
+        # the SAME key definition dedup groups on (full md5, null-text
+        # rows keyed by doc_id) — a truncated or null-collapsing variant
+        # here would hand callers a subtly different dup relation
+        cols.append(_dedup_key().alias("fp"))
     return docs.select(*cols)
 
 
@@ -96,9 +101,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-density language ID over {en,de,fr,es}: argmax of per-lang
     scores, 'und' when every score is 0. Pure JVM expressions."""
+    # coalesce: a NULL text must score 0 and predict 'und' like empty
+    # text does — raw NULL propagates through concat/length into a NULL
+    # lang_pred (the when-chain falls through), a surprise third bucket
     scored = docs.select(
         "doc_id",
-        *[F.round(_lang_score(F.col("text"), l), 6).alias(f"score_{l}") for l in LANGS],
+        *[
+            F.round(_lang_score(F.coalesce(F.col("text"), F.lit("")), l), 6).alias(
+                f"score_{l}"
+            )
+            for l in LANGS
+        ],
     )
     best = F.greatest(*[F.col(f"score_{l}") for l in LANGS])
     pred = F.when(best <= 0, F.lit("und"))
@@ -107,11 +120,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.select("doc_id", pred.alias("lang_pred"), *[f"score_{l}" for l in LANGS])
 
 
-def md5_fingerprints(docs: DataFrame, prefix_len: int = 16) -> DataFrame:
-    """Cheap whole-document fingerprint (md5 prefix) — the exact-dup key."""
-    return docs.select(
-        "doc_id", F.substring(F.md5(F.col("text")), 1, prefix_len).alias("fp")
-    )
+def md5_fingerprints(docs: DataFrame) -> DataFrame:
+    """Whole-document fingerprint — THE exact-dup key, one definition
+    shared with dedup (``dedup._dedup_key``): full 128-bit md5 (a 64-bit
+    prefix is birthday-certain to collide past ~4e9 docs, i.e. well inside
+    this module's claimed scale), null-text docs keyed by their own doc_id
+    (md5(NULL) is NULL and grouping on it would collapse every null-text
+    doc into one bogus duplicate group)."""
+    from sparkocr.pipeline.dedup import _dedup_key
+
+    return docs.select("doc_id", _dedup_key().alias("fp"))
 
 
 # --------------------------------------------------------------------------
@@ -153,8 +171,17 @@ def _rolling_chunk_fps_impl(texts: pd.Series) -> pd.Series:
         for i in range(_WINDOW):
             pows[_WINDOW - 1 - i] = p
             p = (p * _BASE) % _MOD
-        windows = np.lib.stride_tricks.sliding_window_view(arr, _WINDOW)
-        h = (windows * pows).sum(axis=1) % _MOD
+        # accumulate per window POSITION, not per window: the elementwise
+        # (n-15, 16) product array costs ~128 bytes per input byte (a
+        # 10 MB doc would materialize a ~1.3 GB temp inside the UDF);
+        # summing 16 shifted O(n) slices keeps peak memory O(n). Terms
+        # stay < 2^39 and the 16-term sum < 2^43 — inside int64, so the
+        # math is bit-identical to the windowed form.
+        m = n - _WINDOW + 1
+        h = np.zeros(m, dtype=np.int64)
+        for j in range(_WINDOW):
+            h += arr[j : j + m] * pows[j]
+        h %= _MOD
         cuts = np.flatnonzero((h & _CHUNK_MASK) == _CHUNK_MASK) + _WINDOW
         bounds = [0, *cuts.tolist(), n]
         fps = []

@@ -56,9 +56,12 @@ def test_decode_stats(media, spark):
 def test_resize_plan(media):
     rows = {r.media_id: r for r in resize_plan(media, target=640).collect()}
     for r in rows.values():
-        assert max(r.out_w, r.out_h) <= 640
-        # scale is the binding constraint on the longer side
-        assert r.out_w == int(r.width * min(640 / r.width, 640 / r.height))
+        # the long side comes out EXACTLY target (float floor(d*scale)
+        # produced target-1 for sizes like 1077 — 640/1077*1077 = 639.99…)
+        assert max(r.out_w, r.out_h) == 640
+        big = max(r.width, r.height)
+        assert r.out_w == r.width * 640 // big
+        assert r.out_h == r.height * 640 // big
 
 
 def test_sample_frames(media):

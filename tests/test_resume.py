@@ -144,3 +144,53 @@ def test_manifest_io_leaves_no_crc_sidecars(first_run):
     out, _ = first_run
     mdir = os.path.join(out, "_manifests")
     assert not [f for f in os.listdir(mdir) if f.endswith(".crc")]
+
+
+def test_fingerprint_detects_even_multiplicity_change(spark):
+    """bit_xor was blind to even-multiplicity edits: a row ingested twice
+    then corrected twice contributes x^x = 0 before AND y^y = 0 after, so
+    the changed bucket was skipped forever with stale output. The sum-of-
+    hashes fingerprint must differ."""
+    from sparkocr.checkpoint import input_fingerprints
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string"
+    before = spark.createDataFrame(
+        [("c0", 0, "user", "old text", "plain")] * 2, schema
+    )
+    after = spark.createDataFrame(
+        [("c0", 0, "user", "NEW text", "plain")] * 2, schema
+    )
+    fa, fb = input_fingerprints(before, 1), input_fingerprints(after, 1)
+    assert fa[0][0] == fb[0][0] == 2  # same row count
+    assert fa[0][1] != fb[0][1]  # ...but the hash must move
+
+
+def test_empty_input_refuses_to_wipe_completed_output(spark, tiny_transcripts, tmp_path):
+    """All buckets 'vanishing' at once (empty snapshot, typo'd input path)
+    must NOT silently delete every manifest and data partition of a
+    completed table — that is a force=True decision."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from sparkocr import datagen
+    from sparkocr.checkpoint import run_extract_job
+
+    out = str(tmp_path / "out")
+    run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(datagen.SCHEMA.empty_table(), empty)
+
+    with _pytest.raises(ValueError, match="refusing to delete"):
+        run_extract_job(spark, empty, out, n_buckets=N_BUCKETS)
+    # nothing was touched: a rerun with the real input skips every bucket
+    r = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
+    assert not r["processed"] and len(r["skipped"]) > 0
+
+    # the explicit decision works and empties the table
+    r2 = run_extract_job(spark, empty, out, n_buckets=N_BUCKETS, force=True)
+    assert r2["rows_out"] == 0
+    assert not os.path.exists(os.path.join(out, "data")) or not [
+        p for p in os.listdir(os.path.join(out, "data")) if p.startswith("bucket=")
+    ]

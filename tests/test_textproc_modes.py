@@ -123,3 +123,25 @@ def test_repeat_detector_whitelists_td():
 def test_repeat_detector_clean_text():
     text = " ".join(f"word{i}" for i in range(200))
     assert repeats.find_repeat(text, 20, 50) is None
+
+
+def test_textstats_null_text_rows(spark):
+    """NULL text must behave like empty text in lang_id ('und', scores 0 —
+    not a surprise NULL bucket) and must keep a usable fingerprint (the
+    dedup key: null-text docs are each their OWN group, never collapsed
+    into one bogus md5(NULL) duplicate cluster)."""
+    from sparkocr.pipeline.textstats import lang_id, md5_fingerprints, token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, None), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert langs[2] == "und" and langs[3] == "und" and langs[4] == "und"
+    assert langs[1] == "en"
+
+    for df in (md5_fingerprints(docs), token_counts(docs, fingerprint=True)):
+        fps = {r.doc_id: r.fp for r in df.select("doc_id", "fp").collect()}
+        assert fps[2] is not None and fps[3] is not None
+        assert fps[2] != fps[3]  # null docs never share a dup key
+        assert len(fps[1]) == 32  # full md5, not a birthday-prone prefix
