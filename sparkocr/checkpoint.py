@@ -208,7 +208,11 @@ def run_extract_job(
     # delete every manifest and every data partition of a completed table
     # before returning {"processed": [], "skipped": []}. Deleting the
     # whole output is only valid as an EXPLICIT decision (force=True).
-    if not fps and not force and any(m is not None for _, m in statuses):
+    # only PUBLISHED manifests (not orphaned .json.tmp from a crashed
+    # publish window) count as completed output worth protecting
+    if not fps and not force and any(
+        m is not None and not m.group(2) for _, m in statuses
+    ):
         raise ValueError(
             f"input {input_path} resolves to zero rows but completed "
             f"buckets exist at {out_dir} — refusing to delete them; pass "

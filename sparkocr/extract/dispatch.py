@@ -111,7 +111,10 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
             # degrade through the error column — raising here would
             # crash-loop a streaming micro-batch on that one row forever.
             jdx = turn_idxs[pos]
-            if jdx is None or jdx != jdx:  # None or NaN
+            # pd.isna, not `jdx != jdx`: pandas nullable Int32 batches
+            # (our own output dtype) carry pd.NA, whose != returns NA and
+            # raises on bool() — the exact poison pill this guard kills
+            if jdx is None or pd.isna(jdx):
                 c, m, s, tr, e = None, None, [], False, "null turn_idx (grounding_cli page index)"
             else:
                 cleaned, dropped = grounding.pdf_cli_clean(t, jdx=int(jdx))
@@ -174,20 +177,24 @@ def _scan_file_sizes(df) -> list[int] | None:
         return None
     if not files or len(files) > 2048:
         return None
-    sc = df.sparkSession.sparkContext
-    hconf = sc._jsc.hadoopConfiguration()
-    jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
-    # normalize both sides through Path.toString so URI spelling
-    # (file:///x vs file:/x) can't break the join
-    wanted: dict[str, int | None] = {}
-    parents: dict[str, object] = {}
-    for f in files:
-        p = jpath_cls(f)
-        wanted[str(p)] = None
-        parent = p.getParent()
-        if parent is not None:
-            parents.setdefault(str(parent), parent)
+    # the ENTIRE py4j section is inside the degrade-to-None guard: a
+    # malformed URI in an input-file string, a session without a classic
+    # SparkContext, or any FS failure must mean "assume balanced", never
+    # abort the extract job from inside a best-effort heuristic
     try:
+        sc = df.sparkSession.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jpath_cls = sc._jvm.org.apache.hadoop.fs.Path
+        # normalize both sides through Path.toString so URI spelling
+        # (file:///x vs file:/x) can't break the join
+        wanted: dict[str, int | None] = {}
+        parents: dict[str, object] = {}
+        for f in files:
+            p = jpath_cls(f)
+            wanted[str(p)] = None
+            parent = p.getParent()
+            if parent is not None:
+                parents.setdefault(str(parent), parent)
         for parent in parents.values():
             fs = parent.getFileSystem(hconf)
             for st in fs.listStatus(parent):

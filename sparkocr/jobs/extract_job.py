@@ -38,14 +38,22 @@ def main(argv=None) -> dict:
     result = run_extract_job(
         spark, args.input, args.out, n_buckets=args.buckets, force=args.force
     )
-    # --docs on a zero-bucket run (empty input table): stage 1 never
-    # created out/data, so reading it would raise PATH_NOT_FOUND — skip
-    # assembly instead; the summary's zero counts tell the story
-    if args.docs and (result["processed"] or result["skipped"]):
-        turns = spark.read.parquet(os.path.join(args.out, "data"))
-        assemble_docs_cli(turns).write.mode("overwrite").parquet(
-            os.path.join(args.out, "docs")
-        )
+    if args.docs:
+        docs_path = os.path.join(args.out, "docs")
+        if result["processed"] or result["skipped"]:
+            turns = spark.read.parquet(os.path.join(args.out, "data"))
+            assemble_docs_cli(turns).write.mode("overwrite").parquet(docs_path)
+        else:
+            # zero buckets (empty input table): stage 1 never created
+            # out/data, so reading it would raise PATH_NOT_FOUND — and a
+            # docs/ dir left over from a previous run would keep serving
+            # documents of a corpus that no longer exists (stage 1 with
+            # force=True just emptied data/); delete it so data/ and
+            # docs/ can never disagree
+            from sparkocr.checkpoint import _fs
+
+            _, fs, jpath = _fs(spark, docs_path)
+            fs.delete(jpath, True)  # False (absent) is fine
     elapsed = time.monotonic() - t0
     summary = {
         "elapsed_sec": round(elapsed, 3),

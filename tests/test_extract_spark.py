@@ -252,3 +252,27 @@ def test_extract_batch_survives_adversarial_garbage():
             if st_ is not None and en is not None and ct is not None:
                 assert 0 <= st_ <= en <= len(ct), (r.turn_idx, st_, en, len(ct))
     assert len(extract_batch(df.copy(), markdown=False)) == len(df)
+
+
+def test_extract_batch_tolerates_pandas_na_turn_idx():
+    """Nullable Int32 batches (extract_batch's own output dtype) carry
+    pd.NA, whose `!=` returns NA and raises on bool() — the null guard
+    must use pd.isna, or it crashes on exactly the row it exists to
+    degrade."""
+    import pandas as pd
+
+    from sparkocr.extract.dispatch import extract_batch
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0"],
+            "turn_idx": pd.array([pd.NA, 1], dtype="Int32"),
+            "role": ["user", "user"],
+            "text": ["<|ref|>x<|/ref|>", "plain"],
+            "tool": ["grounding_cli", "plain"],
+        }
+    )
+    out = extract_batch(df)
+    assert len(out) == 2
+    cli = out[out["tool"] == "grounding_cli"].iloc[0]
+    assert cli["error"] and "null turn_idx" in cli["error"]

@@ -184,6 +184,15 @@ def test_empty_input_refuses_to_wipe_completed_output(spark, tiny_transcripts, t
 
     with _pytest.raises(ValueError, match="refusing to delete"):
         run_extract_job(spark, empty, out, n_buckets=N_BUCKETS)
+
+    # orphaned publish attempts are NOT completed output: an out dir whose
+    # only manifest is a .json.tmp must not trigger the refusal
+    out2 = str(tmp_path / "out_tmp_only")
+    os.makedirs(os.path.join(out2, "_manifests"))
+    with open(os.path.join(out2, "_manifests", "bucket=0.json.tmp"), "w") as f:
+        f.write("{}")
+    r0 = run_extract_job(spark, empty, out2, n_buckets=N_BUCKETS)
+    assert not r0["processed"] and not r0["skipped"]
     # nothing was touched: a rerun with the real input skips every bucket
     r = run_extract_job(spark, tiny_transcripts, out, n_buckets=N_BUCKETS)
     assert not r["processed"] and len(r["skipped"]) > 0

@@ -871,6 +871,13 @@ def test_extract_job_skips_docs_on_empty_input(spark, tmp_path, monkeypatch):
     pq.write_table(datagen.SCHEMA.empty_table(), src)
     out = str(tmp_path / "out")
 
+    # a docs/ dir left by a previous run must ALSO be removed: after a
+    # force-emptied table, data/ and docs/ would otherwise disagree (the
+    # stale docs keep serving a corpus that no longer exists)
+    os.makedirs(os.path.join(out, "docs"))
+    with open(os.path.join(out, "docs", "stale.parquet"), "w") as f:
+        f.write("stale")
+
     # main() would stop the shared test session on exit — neuter stop()
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     summary = extract_job.main(["--input", src, "--out", out, "--buckets", "4", "--docs"])
