@@ -171,3 +171,42 @@ def test_parse_bbox_extremes():
     assert g.parse_bbox("[[0,0,999,999]]", 1275, 1650) == [[0, 0, 1275, 1650]]
     assert g.parse_bbox("not a literal") is None
     assert g.parse_bbox("[[1,2,3]]") == []  # malformed box skipped
+
+
+# Marker-soup atoms for the standing parity fuzz: partial/nested/degenerate
+# grounding markers, EOS mid-stream, latex/center/newline cleanup triggers.
+# A 60k-case offline run over this pool (5 surfaces per case: all four
+# include_images x remove_labels combos + clean_formula on the cleaned
+# output) found zero divergences; the bounded hypothesis version keeps the
+# space covered in CI.
+_SOUP_ATOMS = [
+    "<|ref|>", "<|/ref|>", "<|det|>", "<|/det|>", "[[", "]]", "[", "]",
+    ",", " ", "1", "23", "999", "-5", "007", "1e9", "0x1f", "image",
+    "title", "text", "sub_title", "para", "<|ref|>image<|/ref|>",
+    "<|det|>[[1,2,3,4]]<|/det|>", "<|det|>[[12, 34, 56, 78], [1,2,3,4]]<|/det|>",
+    "<｜end▁of▁sentence｜>", "\\(", "\\)", "\\[", "\\]", "$$", "$", "|",
+    "\n", "\n\n", "word ", "中文 ", "<center>", "</center>", "\\n",
+    "* ", "# h\n", "```", "!", "(", ")", "🙂", "\t", ".", "<|grounding|>",
+]
+
+
+def test_clean_grounded_matches_oracle_on_marker_soup():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(st.sampled_from(_SOUP_ATOMS), min_size=0, max_size=40))
+    def check(atoms):
+        t = "".join(atoms)
+        for inc in (False, True):
+            for rem in (False, True):
+                want = oracle.clean_output_text(t, inc, rem)
+                got = g.clean_grounded(t, include_images=inc, remove_labels=rem)[0]
+                assert got == want, (inc, rem, t)
+        wantf = oracle.clean_formula(oracle.clean_output_text(t, True, True))
+        gotf = g.clean_formula(
+            g.clean_grounded(t, include_images=True, remove_labels=True)[0]
+        )
+        assert gotf == wantf, t
+
+    check()
