@@ -36,8 +36,12 @@ from sparkocr.textproc import grounding, htmlmain, mdtable, pdfspans, repeats
 # (checkpoint.py), so an unbumped semantic change leaves stale buckets
 # marked "complete" forever. "2": html flatten semantics changed
 # (implicit-</head> body release, after-head <title> drop, rawtext
-# full-close parity, unterminated-construct charref parity).
-EXTRACTOR_VERSION = "2"
+# full-close parity, unterminated-construct charref parity). "3": stray
+# DROP-tag closes no longer cancel the head drop (leaked titles), and
+# markdown fences follow CommonMark (backtick-in-info is a paragraph,
+# tilde fences are fences) — both change outputs for inputs that
+# previously extracted successfully.
+EXTRACTOR_VERSION = "3"
 
 
 def _extract_grounding(text: str):

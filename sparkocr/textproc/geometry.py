@@ -82,7 +82,17 @@ def parse_geometry(text: str):
         return None
     if not isinstance(d, dict):
         return None
+    try:
+        return _consume_geometry(d)
+    except Exception:
+        # literal but malformed shapes ({"Line": [1,2]}, a non-list
+        # radius, an int where a list is expected) raise during
+        # consumption — the documented contract is None for ANY
+        # malformed payload, mirroring the reference's try/except skip
+        return None
 
+
+def _consume_geometry(d: dict):
     lines = []
     line_d = d.get("Line") or {}
     segs = line_d.get("line") or []

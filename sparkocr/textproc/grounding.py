@@ -80,15 +80,24 @@ def parse_bbox(coords_text: str, width: int = DEFAULT_W, height: int = DEFAULT_H
     boxes are skipped (the reference's per-ref try/except swallows them).
     """
     if coords_text and _FAST_COORDS_RE.match(coords_text):
-        return [
-            [
-                int(int(x1) / 999 * width),
-                int(int(y1) / 999 * height),
-                int(int(x2) / 999 * width),
-                int(int(y2) / 999 * height),
-            ]
-            for x1, y1, x2, y2 in _BOX_RE.findall(coords_text)
-        ]
+        out = []
+        for x1, y1, x2, y2 in _BOX_RE.findall(coords_text):
+            # same per-box skip as the fallback path: an int of ~309+
+            # digits raises OverflowError at the /999 float division —
+            # the reference's per-ref try/except swallows that box, and
+            # an uncaught raise here would kill the live Arrow batch
+            try:
+                out.append(
+                    [
+                        int(int(x1) / 999 * width),
+                        int(int(y1) / 999 * height),
+                        int(int(x2) / 999 * width),
+                        int(int(y2) / 999 * height),
+                    ]
+                )
+            except Exception:
+                continue
+        return out
     try:
         lst = ast.literal_eval(coords_text)
     except Exception:

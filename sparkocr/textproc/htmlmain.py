@@ -597,6 +597,14 @@ def flatten_blocks(html: str) -> list[dict]:
         nonlocal drop_depth, boiler_depth, article_depth, link_depth
         nonlocal cur_tag, head_drop, after_head, title_drop
         if tag in DROP_TAGS:
+            if head_drop and drop_depth == head_drop and tag != "head":
+                # stray close of an unopened drop container (</iframe>
+                # with only <head> scopes open): browsers IGNORE an
+                # unmatched end tag — decrementing here would cancel the
+                # head drop and leak <title>/metadata text into the main
+                # text (the start side guards the same class with the
+                # drop_depth == head_drop check)
+                return
             drop_depth = max(0, drop_depth - 1)
             if tag == "head" and head_drop:
                 head_drop -= 1

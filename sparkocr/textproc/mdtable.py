@@ -16,6 +16,7 @@ import re
 _NL_RUN = re.compile(r"\n{3,}")
 _TRAIL_WS = re.compile(r"[ \t]+(?=\n)")
 _TD_RE = re.compile(r"<td[^>]*>(.*?)</td>", re.DOTALL | re.IGNORECASE)
+_FENCE_RE = re.compile(r"(`{3,}|~{3,})(.*)$")
 # GFM delimiter rows need only ONE dash per column ('|-|-|' is valid)
 _SEP_ROW = re.compile(r"^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)*\|?\s*$")
 
@@ -63,22 +64,32 @@ def extract_markdown(text: str):
     # fenced code regions are recorded so BOTH cell extractors skip them
     pos = 0
     in_fence = False
+    fence_char = ""
+    fence_len = 0
     fenced: list[tuple[int, int]] = []  # [start, end) char ranges in norm
     fence_start = 0
     for line in norm.split("\n"):
         ls = line.lstrip()
-        # a fence DELIMITER line is backticks + info string; per CommonMark
-        # the info string cannot contain backticks, so an inline-code line
-        # like ```x``` is NOT a fence and must not toggle (it would
-        # swallow every table cell in the rest of the document)
-        fence = ls.startswith("```") and "```" not in ls[3:]
-        if fence and not in_fence:
-            in_fence = True
-            fence_start = pos
-        elif fence and in_fence:
-            in_fence = False
-            fenced.append((fence_start, pos + len(line) + 1))
-        if not in_fence and not fence:
+        # CommonMark fence rules: an opener is a run of >= 3 backticks or
+        # tildes; a BACKTICK opener's info string may not contain ANY
+        # backtick (```a` is a paragraph — a single stray backtick used to
+        # be accepted and its fake fence swallowed every later table
+        # cell), a tilde opener's info string is unrestricted; the closer
+        # must use the SAME char, be at least as long, and carry no info.
+        m = _FENCE_RE.match(ls)
+        on_delim = False
+        if m is not None:
+            run, info = m.group(1), m.group(2)
+            if not in_fence:
+                if run[0] == "~" or "`" not in info:
+                    in_fence, fence_char, fence_len = True, run[0], len(run)
+                    fence_start = pos
+                    on_delim = True
+            elif run[0] == fence_char and len(run) >= fence_len and not info.strip():
+                in_fence = False
+                fenced.append((fence_start, pos + len(line) + 1))
+                on_delim = True
+        if not in_fence and not on_delim:
             for t, a, b in _pipe_row_cells(line):
                 if t:
                     spans.append({"start": pos + a, "end": pos + b, "label": "cell", "bbox": None})

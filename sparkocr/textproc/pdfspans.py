@@ -17,6 +17,7 @@ Spans on one visual row are joined with a single space; rows are joined with
 from __future__ import annotations
 
 import json
+import math
 
 ROW_QUANTUM = 10  # 0-999 normalized units per visual row bucket
 DEFAULT_W = 1275
@@ -57,6 +58,15 @@ def extract_pdf_spans(payload: str, width: int = DEFAULT_W, height: int = DEFAUL
                 and isinstance(x2, num) and isinstance(y2, num)
             ):
                 raise TypeError("non-numeric bbox")
+            # json.loads parses NaN/Infinity by default, and a finite
+            # 1.7e308 overflows to inf in the later /999*width denorm —
+            # both must land in THIS try so the payload degrades to an
+            # error record instead of killing the Arrow batch at the
+            # unguarded denorm/sort below
+            if not all(
+                math.isfinite(v) and abs(v) < 1e15 for v in (x1, y1, x2, y2)
+            ):
+                raise ValueError("non-finite or absurd bbox")
             recs.append(
                 (page, int(round(y1 / ROW_QUANTUM)), x1, i, t, (x1, y1, x2, y2))
             )

@@ -35,7 +35,9 @@ _HASH_MOD = (1 << 61) - 1
 
 
 def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
-    """Return the token index where a windowed n-gram repeat completes, or
+    """Return the START token index of the second (repeating) n-gram
+    occurrence (NOT the index where the repeat completes — callers slicing
+    at this position get the beginning of the repeated run), or
     None. An n-gram repeats if an identical n-gram starts within
     ``window_size`` tokens back (matching the processor's trailing-window
     scan, ngram_norepeat.py:22-31). N-grams containing a whitelisted token

@@ -80,6 +80,15 @@ def num_image_tokens(
     if crop_mode:
         if image_width <= 640 and image_height <= 640:
             crop_ratio = (1, 1)
+        elif image_width <= 0 or image_height <= 0:
+            # corrupt/missing dimension metadata (0 is the usual
+            # null-coalesced default): degrade like the small-image path
+            # instead of ZeroDivisionError in count_tiles' aspect ratio —
+            # note (0, 0) and (100, 0) already fell through the <=640
+            # guard above, so only a MIXED case (one dim > 640, other
+            # <= 0) used to crash. Deliberate deviation from the
+            # reference, which would divide by zero here too.
+            crop_ratio = (1, 1)
         else:
             crop_ratio = count_tiles(image_width, image_height, image_size=image_size)
         num_width_tiles, num_height_tiles = crop_ratio

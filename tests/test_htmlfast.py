@@ -95,6 +95,14 @@ class _RefCollector(HTMLParser):
     def handle_endtag(self, tag):
         tag = tag.lower()
         if tag in DROP_TAGS:
+            # stray close of an unopened drop container while only head
+            # scopes are open is ignored (mirrors htmlmain.on_end)
+            if (
+                self._head_drop
+                and self._drop_depth == self._head_drop
+                and tag != "head"
+            ):
+                return
             self._drop_depth = max(0, self._drop_depth - 1)
             if tag == "head" and self._head_drop:
                 self._head_drop -= 1

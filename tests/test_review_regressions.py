@@ -884,3 +884,97 @@ def test_extract_job_skips_docs_on_empty_input(spark, tmp_path, monkeypatch):
     assert summary["rows_out"] == 0
     assert summary["buckets_processed"] == 0
     assert not os.path.exists(os.path.join(out, "docs"))
+
+
+def test_pdfspans_nonfinite_bbox_degrades_to_error():
+    """json.loads parses NaN/Infinity by default, and a finite 1.7e308
+    overflows to inf in the denorm — both used to escape the parse
+    try/except and kill the Arrow batch at the unguarded denorm/sort."""
+    from sparkocr.textproc.pdfspans import extract_pdf_spans
+
+    for coord in ("NaN", "Infinity", "-Infinity", "1.7e308"):
+        payload = '{"page":0,"spans":[{"t":"a","bbox":[%s,5,10,10]}]}' % coord
+        text, spans, err = extract_pdf_spans(payload)
+        assert text == "" and spans == [] and "parse error" in err, coord
+
+
+def test_parse_bbox_fast_path_skips_overflow_like_fallback():
+    """A ~320-digit integer coordinate raises OverflowError at the /999
+    float division; the fallback path's per-box except skips that box, so
+    the fast path must too (it used to propagate and kill the batch)."""
+    from sparkocr.textproc import grounding
+
+    huge = "9" * 320
+    # fast-path shape (plain digits, no leading zeros)
+    assert grounding.parse_bbox(f"[[{huge},1,2,3]]") == []
+    assert grounding.parse_bbox(f"[[{huge},1,2,3], [1,2,3,4]]") == [
+        grounding.parse_bbox("[[1,2,3,4]]")[0]
+    ]
+    # whole-pipeline: must not raise
+    clean, spans, _ = grounding.clean_grounded(
+        f"<|ref|>x<|/ref|><|det|>[[{huge},1,2,3]]<|/det|>ok"
+    )
+    assert "ok" in clean
+
+
+def test_parse_geometry_malformed_shapes_return_none():
+    """The contract says literal-but-malformed payloads yield None — a
+    list where the Line dict belongs (AttributeError), an int where the
+    endpoint list belongs (TypeError), a scalar radius, all used to
+    raise out of the documented try/except-skip mirror."""
+    from sparkocr.textproc.geometry import parse_geometry
+
+    for payload in (
+        'line_type {"Line": [1,2]}',
+        'line_type {"Line": {"line_endpoint": 5}}',
+        'line_type {"Line": {"line": 7, "line_type": []}}',
+        'line_type {"Circle": {"circle_center": ["A(1,2)"], "radius": 3}}',
+    ):
+        parse_geometry(payload)  # must not raise; None or best-effort dict
+
+
+def test_stray_drop_close_does_not_leak_head_title():
+    """A stray </iframe> (any unopened DROP-tag close) while only <head>
+    scopes are open used to decrement the shared drop depth and cancel
+    the head drop — leaking the <title> into extracted main text.
+    Browsers ignore unmatched end tags."""
+    from sparkocr.textproc.htmlmain import extract_html_main
+
+    body = "<p>" + "real content words here " * 20 + "</p>"
+    title = "<title>A Very Long Site Title That Easily Exceeds Thresholds</title>"
+    leaked, _ = extract_html_main(
+        "<head></iframe>" + title + "</head><body>" + body
+    )
+    clean, _ = extract_html_main("<head>" + title + "</head><body>" + body)
+    assert leaked == clean
+    assert "Site Title" not in leaked
+
+
+def test_mdtable_fence_edges():
+    """CommonMark fences: a backtick opener whose info string contains a
+    backtick is a paragraph, not a fence (```a` used to swallow every
+    later cell); tilde fences are real fences (pipe rows inside used to
+    leak out as cells)."""
+    from sparkocr.textproc.mdtable import extract_markdown
+
+    _, spans = extract_markdown("```a`\n| x | y |\n|---|---|\n| 1 | 2 |\n")
+    assert len([s for s in spans if s["label"] == "cell"]) == 4
+
+    _, spans = extract_markdown("~~~\n| a | b |\n~~~\n| c | d |\n")
+    cells = [s for s in spans if s["label"] == "cell"]
+    assert len(cells) == 2  # only the row OUTSIDE the tilde fence
+
+    # a backtick-fence body line of tildes does not close it, and vice versa
+    _, spans = extract_markdown("```\n~~~\n| a | b |\n```\n")
+    assert [s for s in spans if s["label"] == "cell"] == []
+
+
+def test_num_image_tokens_zero_dimension():
+    """A 0 height with width > 640 used to reach count_tiles' aspect-ratio
+    division and ZeroDivisionError; corrupt dimension metadata must
+    degrade like the small-image 1x1 path."""
+    from sparkocr.textproc.tiles import num_image_tokens
+
+    assert num_image_tokens(1000, 0) == num_image_tokens(100, 100)
+    assert num_image_tokens(0, 1000) == num_image_tokens(100, 100)
+    assert num_image_tokens(0, 0) == num_image_tokens(100, 100)
