@@ -793,6 +793,13 @@ def q_doc_hash_split(spark, sf_dir):
 
 def q_doc_jaccard_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import jaccard_pairs
+    from sparkocr.pipeline import caching
+
+    # release the PREVIOUS cache-registering operator's handles: a driver
+    # evaluating all 50 entries in one session has no release hook of its
+    # own, so accumulation is bounded to one operator's caches at a time
+    # (this thread's registry only — a user's own caches are never touched)
+    caching.release_all()
 
     # df_max=256 exercises the document-frequency cap (the anti-quadratic
     # guard) under the oracle: the sf0.01 corpus has shingles in up to 394
@@ -809,6 +816,13 @@ def q_doc_minhash(spark, sf_dir):
 
 def q_doc_lsh_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import lsh_candidate_pairs
+    from sparkocr.pipeline import caching
+
+    # release the PREVIOUS cache-registering operator's handles: a driver
+    # evaluating all 50 entries in one session has no release hook of its
+    # own, so accumulation is bounded to one operator's caches at a time
+    # (this thread's registry only — a user's own caches are never touched)
+    caching.release_all()
 
     # bucket_max=9 exercises the hot-bucket cap under the oracle: the
     # sf0.01 corpus has band buckets of up to 14 docs, so the capped
@@ -851,6 +865,13 @@ def q_doc_chunk_fps(spark, sf_dir):
 
 def q_doc_simhash_pairs(spark, sf_dir):
     from sparkocr.pipeline.dedup import simhash_near_dups
+    from sparkocr.pipeline import caching
+
+    # release the PREVIOUS cache-registering operator's handles: a driver
+    # evaluating all 50 entries in one session has no release hook of its
+    # own, so accumulation is bounded to one operator's caches at a time
+    # (this thread's registry only — a user's own caches are never touched)
+    caching.release_all()
 
     # 3 = the largest radius the 4-chunk blocking covers completely —
     # which is exactly what lets the oracle verify it against the
@@ -931,6 +952,13 @@ def q_embedding_label_stats(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     from sparkocr.pipeline.similarity import embedding_near_dups
+    from sparkocr.pipeline import caching
+
+    # release the PREVIOUS cache-registering operator's handles: a driver
+    # evaluating all 50 entries in one session has no release hook of its
+    # own, so accumulation is bounded to one operator's caches at a time
+    # (this thread's registry only — a user's own caches are never touched)
+    caching.release_all()
 
     # threshold 0.3 (not the production-ish 0.9 default): the synthetic
     # random embeddings have no cosine>=0.9 pairs at any SF, and a
@@ -1169,6 +1197,9 @@ def _cosine_guard_sql(a: str, b: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparkocr.pipeline.textstats import LANGS, lang_score_sql
+
+    from sparkocr.pipeline.textstats import _WINDOW as _W  # noqa: N811 — keeps the
+    # chunk-fps short-text branch in lockstep with the operator constant
 
     # coalesce mirrors textstats.lang_id: NULL text scores 0 / 'und'
     _txt = "coalesce(text, '')"
@@ -1538,12 +1569,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # data pipeline
         "doc_exact_dedup": """
-            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+            -- coalesce = dedup._dedup_key: null-text docs are each their
+            -- OWN group, never one collapsed NULL cluster (vacuous on the
+            -- current fixtures, but the operator guarantees it)
+            SELECT coalesce(md5(text), 'null:' || doc_id) AS h,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
         "doc_dedup_corpus": """
             SELECT doc_id, text, lang, source FROM documents
-            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY coalesce(md5(text), 'null:' || doc_id))
         """,
         "doc_hash_split": """
             WITH b AS (
@@ -1572,7 +1608,11 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common), 6) AS jaccard
             FROM common JOIN sizes s1 ON id1 = s1.doc_id
             JOIN sizes s2 ON id2 = s2.doc_id
-            WHERE n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common) >= 0.3
+            -- filter the ROUNDED value like dedup.jaccard_pairs does: a
+            -- raw ratio in [0.2999995, 0.3) rounds up and is KEPT by the
+            -- operator, so the raw-value filter would diverge exactly at
+            -- the rounding boundary
+            WHERE round(n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.3
         """,
         "doc_minhash": shingle_cte + """
             SELECT doc_id,
@@ -1686,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
             -- cut or text shorter than the window)
             WITH {_chunk_fps_sql()}
             SELECT d.doc_id,
-                   (CASE WHEN length(d.text) < 16 THEN 1
+                   (CASE WHEN length(d.text) < {_W} THEN 1
                          ELSE coalesce(c.n_cuts, 0) + 1 END)::INT AS n_chunks,
                    substr(md5(CASE WHEN c.first_cut IS NULL THEN d.text
                                    ELSE substr(d.text, 1, c.first_cut) END),
