@@ -53,12 +53,15 @@ def test_clean_matches_oracle(text, include_images, remove_labels):
     got, spans, _ = g.clean_grounded(text, include_images, remove_labels)
     want = oracle.clean_output_text(text, include_images, remove_labels)
     assert got == want
-    # span offsets that exist must slice to the label for kept labels
+    # span offsets that exist must slice to the label for kept labels —
+    # classify by the extractor's own is_image flag (the IMAGE_MARK
+    # containment rule over the FULL match), not a re-derivation from the
+    # label text, which diverges when the mark sits in the det payload
     if not remove_labels:
         for s in spans:
             if (
                 s["start"] is not None
-                and "<|ref|>image<|/ref|>" not in f"<|ref|>{s['label']}<|/ref|>"
+                and not s["is_image"]
                 and s["end"] - s["start"] == len(s["label"])
             ):
                 assert got[s["start"] : s["end"]] == s["label"]
@@ -82,3 +85,54 @@ def test_markdown_grounded_matches_oracle(text):
     got = g.markdown_grounded(text)
     want = oracle.clean_formula(oracle.clean_output_text(text, True, True))
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    boxes=st.lists(
+        st.lists(st.integers(0, 10**6), min_size=2, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    spacey=st.booleans(),
+    pad_zero=st.booleans(),
+)
+def test_parse_bbox_fast_path_equals_fallback(boxes, spacey, pad_zero):
+    """The regex fast path and the literal_eval fallback must agree: the
+    generator varies spacing and zero-padding so examples land on BOTH
+    paths (zero-padded ints fail the fast regex), and box arity varies so
+    the per-box skip is exercised. The expected value is the fallback
+    semantics computed independently here."""
+    import ast as _ast
+
+    sep = ", " if spacey else ","
+
+    def fmt(v):
+        return f"0{v}" if pad_zero and v < 10 else str(v)
+
+    s = "[" + sep.join(
+        "[" + sep.join(fmt(v) for v in b) + "]" for b in boxes
+    ) + "]"
+    got = g.parse_bbox(s)
+    try:
+        lst = _ast.literal_eval(s)
+    except Exception:
+        # zero-padded ints are a SyntaxError in Python 3 literals: the
+        # fallback (and therefore parse_bbox) must return None
+        assert got is None, s
+        return
+    want = []
+    for pts in lst:
+        try:
+            x1, y1, x2, y2 = pts
+            want.append(
+                [
+                    int(x1 / 999 * g.DEFAULT_W),
+                    int(y1 / 999 * g.DEFAULT_H),
+                    int(x2 / 999 * g.DEFAULT_W),
+                    int(y2 / 999 * g.DEFAULT_H),
+                ]
+            )
+        except Exception:
+            continue
+    assert got == want, s

@@ -5,7 +5,6 @@ import datetime as dt
 import json
 import random
 
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from sparkocr.textproc import pdfspans
@@ -38,28 +37,45 @@ def test_pdfspans_invariants(spans, page):
     # every input span appears exactly once, offsets index its text
     assert len(out_spans) == len(spans)
     for s in out_spans:
-        assert text[s["start"] : s["end"]] is not None
+        assert 0 <= s["start"] <= s["end"] <= len(text)
     # offsets are non-overlapping and ordered (reading order is a sort)
     bounds = sorted((s["start"], s["end"]) for s in out_spans)
     for (a1, b1), (a2, b2) in zip(bounds, bounds[1:]):
         assert b1 <= a2
-    # no span text lost or duplicated: multiset of characters preserved
-    joined = "".join(text[s["start"] : s["end"]] for s in out_spans)
-    assert sorted(joined) == sorted("".join(s["t"] for s in spans))
+    # every offset pair slices to exactly one input span's text (multiset
+    # of SLICE STRINGS, not characters — a per-char multiset would pass
+    # swapped or shifted per-span offsets)
+    slices = [text[s["start"] : s["end"]] for s in out_spans]
+    assert sorted(slices) == sorted(s["t"] for s in spans)
 
 
-@settings(max_examples=60, deadline=None)
-@given(st.text(max_size=200), st.integers(1, 32))
-def test_chunk_roundtrip_model(text, k):
-    """Pure-python model of chunk_turns: fixed-width slices reassemble to
-    the input (the Spark variant is pinned by tests/test_regions_geometry;
-    this checks the arithmetic contract over arbitrary unicode)."""
-    n = len(text)
-    n_chunks = max((n + k - 1) // k, 1)
-    chunks = [text[i * k : (i + 1) * k] for i in range(n_chunks)]
-    assert "".join(chunks) == text
-    assert all(len(c) <= k for c in chunks)
-    assert n == 0 or all(len(c) == k for c in chunks[:-1])
+def test_chunk_turns_matches_python_slicing_unicode(spark):
+    """The REAL chunk_turns vs Python codepoint slicing over unicode that
+    stresses the length/substring semantics (astral-plane emoji, CJK,
+    combining marks): Spark's UTF8String functions count codepoints like
+    Python len(), and this pins it — the earlier version of this test
+    modeled the slicing in Python on both sides and could not catch any
+    divergence in the Spark arithmetic at all."""
+    from sparkocr.textproc.chunking import chunk_turns
+
+    texts = [
+        "", "abc", "😀" * 7 + "x", "𝕏y" * 5, "中文字符串测试" * 3,
+        "é" * 9, "a" * 10, "ab" * 6 + "c", "🙂🙃" * 4 + "🙂",
+    ]
+    k = 5
+    df = spark.createDataFrame(
+        [(f"c{i:02d}", 0, t) for i, t in enumerate(texts)],
+        "conv_id string, turn_idx int, text string",
+    )
+    by_conv: dict[str, list] = {}
+    for r in chunk_turns(df, max_chars=k).collect():
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for i, t in enumerate(texts):
+        got = sorted(by_conv[f"c{i:02d}"], key=lambda r: r.chunk_idx)
+        n_chunks = max((len(t) + k - 1) // k, 1)
+        want = [t[j * k : (j + 1) * k] for j in range(n_chunks)]
+        assert [r.chunk_text for r in got] == want, t
+        assert all(r.n_chunks == n_chunks for r in got), t
 
 
 # ---------------------------------------------------------------------------
@@ -210,9 +226,6 @@ def test_asof_chunked_microsecond_boundary_times(spark):
     exactly fractional-epoch time math). Offline 12-trial fuzz over random
     seeds/widths/null mixes found no divergence; this pins one crafted
     trial of it in CI."""
-    import datetime as dt
-    import random
-
     from sparkocr.pipeline.relational_ext import asof_join, session_counts
 
     rng = random.Random(1003)  # the trial shape with cs=7 (many carries)

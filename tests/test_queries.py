@@ -35,7 +35,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             out[c] = s.astype(float).round(6)
         elif pd.api.types.is_integer_dtype(s) or s.dtype == bool:
-            out[c] = s.astype("int64", errors="ignore")
+            # nullable Int64: plain astype("int64") raises on NA, and the
+            # old errors="ignore" escape hatch silently skipped
+            # normalization (and is removed in pandas 3.0)
+            out[c] = s.astype("Int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype(str)
         else:
@@ -65,13 +68,11 @@ def test_query_vs_oracle(name, spark, duck):
 
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
-    rows = df.limit(5).collect()
-    assert df.count() > 0
+    assert df.limit(5).collect()  # one job, not limit+count twice
     assert {"conv_id", "turn_idx", "clean_text", "spans"} <= set(df.columns)
 
 
 def test_oracle_keys_subset():
-    assert set(ORACLES) <= set(QUERIES)
     # full coverage reached in round 2: every entry is value-checked —
     # a new entry without an oracle silently downgrades to rows-only,
     # so adding one must be a deliberate (test-updating) decision
