@@ -769,17 +769,39 @@ def q_event_props_k(spark, sf_dir):
 # Data-pipeline catalog (documents / embeddings)
 # --------------------------------------------------------------------------
 
-def q_doc_exact_dedup(spark, sf_dir):
-    from sparkocr.pipeline.dedup import exact_dedup
-
-    return exact_dedup(_t(spark, sf_dir, "documents")).select("h", "keep_id", "n_dups")
-
-
 def q_doc_dedup_corpus(spark, sf_dir):
-    from sparkocr.pipeline.dedup import dedup_corpus
+    """exact_dedup + dedup_corpus in ONE entry (merged in round 3 to free
+    a catalog slot for doc_dup_clusters): the kept canonical rows carry
+    their group's n_dups, so the dedup relation (group sizes, min-id
+    canonical choice) and the materialization (full surviving rows) are
+    both value-checked through one output."""
+    from sparkocr.pipeline.dedup import dedup_corpus, exact_dedup
 
-    return dedup_corpus(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text", "lang", "source"
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"), "n_dups")
+    return dedup_corpus(docs).join(groups, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_dups"
+    )
+
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """End-to-end near-dup pipeline tail: candidate pairs (exact n-gram
+    jaccard, df-capped) → connected components → (doc_id, cluster_id =
+    min reachable id), singletons included. The oracle replays the
+    transitive closure with a recursive CTE."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import dup_clusters, jaccard_pairs
+
+    # release the PREVIOUS cache-registering operator's handles (driver
+    # convention — see q_doc_jaccard_pairs); dup_clusters consumes the
+    # pairs eagerly, so jaccard's own shingle cache is also done after
+    # this entry and the NEXT release_all() drops it
+    caching.release_all()
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=8, threshold=0.3, df_max=256)
+    return dup_clusters(pairs, nodes=docs.select("doc_id")).select(
+        F.col("id").alias("doc_id"), "cluster_id"
     )
 
 
@@ -984,8 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries: the round-1 driver checked only the first 50 of
     56, so low-value entries were merged (segment stats + anti-join, the
     two window demos, mode/skew metrics, decode + resize, fingerprints into
-    token counts) and the round-2 additions (CLI/eval cleanup, det
-    assembly, b64 embed, row-level locate) fit under the cap with every
+    token counts; round 3 merged exact_dedup into dedup_corpus) and the
+    round-2/3 additions (CLI/eval cleanup, det assembly, b64 embed,
+    row-level locate, near-dup clustering) fit under the cap with every
     entry checked."""
     return {
         # extraction surface
@@ -1023,8 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_hourly": q_event_type_hourly,
         "event_props_k": q_event_props_k,
         # data-pipeline catalog
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_dedup_corpus": q_doc_dedup_corpus,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_hash_split": q_doc_hash_split,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
@@ -1568,18 +1591,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # data pipeline
-        "doc_exact_dedup": """
+        "doc_dedup_corpus": """
             -- coalesce = dedup._dedup_key: null-text docs are each their
             -- OWN group, never one collapsed NULL cluster (vacuous on the
-            -- current fixtures, but the operator guarantees it)
-            SELECT coalesce(md5(text), 'null:' || doc_id) AS h,
-                   min(doc_id) AS keep_id, count(*) AS n_dups
-            FROM documents GROUP BY 1
+            -- current fixtures, but the operator guarantees it); kept
+            -- rows carry their group's n_dups so the merged entry checks
+            -- exact_dedup's relation AND the corpus materialization
+            WITH g AS (
+                SELECT coalesce(md5(text), 'null:' || doc_id) AS h,
+                       min(doc_id) AS keep_id, count(*) AS n_dups
+                FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.text, d.lang, d.source, g.n_dups
+            FROM documents d JOIN g ON d.doc_id = g.keep_id
         """,
-        "doc_dedup_corpus": """
-            SELECT doc_id, text, lang, source FROM documents
-            WHERE doc_id IN (SELECT min(doc_id) FROM documents
-                             GROUP BY coalesce(md5(text), 'null:' || doc_id))
+        "doc_dup_clusters": shingle_cte.replace("WITH sh", "WITH RECURSIVE sh") + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                     WHERE df <= 256),
+            fsh AS (SELECT doc_id, sh FROM sh WHERE sh IN (SELECT sh FROM keep)),
+            common AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            -- the SAME rounded-threshold pair rule as doc_jaccard_pairs
+            pairs AS (
+                SELECT id1, id2
+                FROM common JOIN sizes s1 ON id1 = s1.doc_id
+                JOIN sizes s2 ON id2 = s2.doc_id
+                WHERE round(n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common), 6)
+                      >= 0.3),
+            edges AS (
+                SELECT id1 AS u, id2 AS v FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+            -- transitive closure: cluster_id = min reachable doc id,
+            -- every doc a (possibly singleton) cluster member
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "doc_hash_split": """
             WITH b AS (

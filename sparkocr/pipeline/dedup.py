@@ -317,6 +317,117 @@ def lsh_candidate_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over candidate pairs → ``(id, cluster_id)``
+    with ``cluster_id`` = the smallest doc id reachable through the pair
+    graph (the canonical representative — the same min-id convention
+    ``exact_dedup`` uses for ``keep_id``).
+
+    This is the stage after pair generation that an end-to-end dedup
+    pipeline actually needs: ``jaccard_pairs``/``lsh_candidate_pairs``/
+    ``simhash_near_dups`` emit *edges*, but "keep one doc per near-dup
+    group" requires the transitive closure — A~B and B~C must land A, B,
+    C in ONE cluster even though (A, C) was never a candidate pair.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label(v) ← min over neighbours' labels, then label(v) ←
+    label(label(v))), the standard distributed-CC shape (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"). Pointer jumping
+    makes rounds O(log diameter) — a 10^5-node chain converges in ~17
+    rounds, not 10^5 — and every round is three key shuffles over the
+    (id, label) table (16 bytes/node — tiny next to the corpus), never a
+    join on the raw docs. Each generation is ``localCheckpoint``-ed
+    eagerly: the convergence loop is driver-paced (one count action per
+    round — this is an iterative algorithm, not a single lazy plan), and
+    without checkpointing the plan would double every round until the
+    optimizer chokes. Superseded generations are dropped by reference
+    (Spark's ContextCleaner frees their blocks); the RETURNED frame is
+    the final checkpointed generation — consume or copy it before
+    stopping the session.
+
+    ``nodes``: optional single-column DataFrame of ALL ids (e.g.
+    ``docs.select("doc_id")``) so isolated docs appear as singleton
+    clusters (cluster_id = own id); without it only ids present in
+    ``pairs`` are labelled. Null ids in ``pairs`` are dropped (a null
+    endpoint identifies no document; SQL joins would drop it anyway).
+    Raises after ``max_iter`` non-converged rounds instead of returning
+    silently wrong labels — at the default 25 that needs a component
+    diameter over ~2^24."""
+    id_cols = pairs.columns[:2]
+    e1 = pairs.select(F.col(id_cols[0]).alias("u"), F.col(id_cols[1]).alias("v"))
+    edges = (
+        e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    ids = edges.select(F.col("u").alias("id"))
+    if nodes is not None:
+        ids = ids.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
+                F.col("id").isNotNull()
+            )
+        )
+    # edges feed every round (and ids seeds labels): cache both, scoped to
+    # the operator run — released in the finally, not by the caller, since
+    # unlike the lazy operators the loop's actions happen right here
+    edges = edges.cache()
+    labels = ids.distinct().select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            msgs = edges.join(labels, edges["u"] == labels["id"]).select(
+                edges["v"].alias("id"), F.col("lbl"), F.lit(None).cast(labels.schema["lbl"].dataType).alias("old")
+            )
+            mine = labels.select("id", "lbl", F.col("lbl").alias("old"))
+            m = (
+                mine.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl1"), F.max("old").alias("old"))
+            )
+            # pointer jump: follow lbl1 to ITS label from the previous
+            # generation. Invariant lbl(x) <= x makes coalesce(plbl, lbl1)
+            # the minimum (labels only ever decrease)
+            parent = labels.select(F.col("id").alias("pid"), F.col("lbl").alias("plbl"))
+            nxt = (
+                m.join(parent, m["lbl1"] == parent["pid"], "left")
+                .select(
+                    "id",
+                    F.coalesce("plbl", "lbl1").alias("lbl"),
+                    (F.coalesce("plbl", "lbl1") != F.col("old")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            prev, labels = labels, nxt.select("id", "lbl")
+            if nxt.filter("_chg").limit(1).count() == 0:
+                return labels.select("id", F.col("lbl").alias("cluster_id"))
+            del prev  # superseded generation: ContextCleaner frees its blocks
+        raise ValueError(
+            f"dup_clusters: not converged after {max_iter} rounds — "
+            f"component diameter exceeds ~2^{max_iter - 1}; raise max_iter"
+        )
+    finally:
+        edges.unpersist()
+
+
+def neardup_corpus(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the near-dup-filtered corpus: one canonical row (the
+    cluster's min id) per connected component of ``pairs``, all other
+    cluster members dropped, docs untouched by any pair kept as their own
+    singleton clusters. The companion of ``dedup_corpus`` for NEAR dups —
+    run that (exact) first so exact clusters collapse before the
+    quadratic-risk pair generation."""
+    clusters = dup_clusters(pairs, nodes=docs.select(id_col))
+    keep = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 # --------------------------------------------------------------------------
 # SimHash (64-bit) — Arrow-batched numpy; oracle-verified via brute hamming
 # --------------------------------------------------------------------------
