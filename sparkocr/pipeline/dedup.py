@@ -340,7 +340,12 @@ def dup_clusters(
     makes rounds O(log diameter) — a 10^5-node chain converges in ~17
     rounds, not 10^5 — and every round is three key shuffles over the
     (id, label) table (16 bytes/node — tiny next to the corpus), never a
-    join on the raw docs. Each generation is ``localCheckpoint``-ed
+    join on the raw docs. Hot-component skew is survivable by
+    construction: the message aggregation is a groupBy min (map-side
+    partial aggregation collapses a high-degree node's messages before
+    the shuffle), and the pointer-jump lookup — where a giant cluster
+    converges onto ONE label value — is a plain equi-JOIN, which AQE
+    skew-splitting handles (unlike window partitions). Each generation is ``localCheckpoint``-ed
     eagerly: the convergence loop is driver-paced (one count action per
     round — this is an iterative algorithm, not a single lazy plan), and
     without checkpointing the plan would double every round until the
@@ -371,12 +376,19 @@ def dup_clusters(
                 F.col("id").isNotNull()
             )
         )
-    # edges feed every round (and ids seeds labels): cache both, scoped to
+    # edges feed every round (and ids seeds labels): cache them, scoped to
     # the operator run — released in the finally, not by the caller, since
-    # unlike the lazy operators the loop's actions happen right here
+    # unlike the lazy operators the loop's actions happen right here. The
+    # count fully materializes the cache up front (the expensive pair plan
+    # runs exactly once) and buys the empty-graph early exit: a clean
+    # corpus yields zero candidate pairs, and the answer is then just the
+    # singleton labelling — no propagation rounds at all.
     edges = edges.cache()
-    labels = ids.distinct().select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
     try:
+        singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
+        if edges.count() == 0:
+            return singletons.select("id", F.col("lbl").alias("cluster_id"))
+        labels = singletons.localCheckpoint(eager=True)
         for _ in range(max_iter):
             msgs = edges.join(labels, edges["u"] == labels["id"]).select(
                 edges["v"].alias("id"), F.col("lbl"), F.lit(None).cast(labels.schema["lbl"].dataType).alias("old")
@@ -391,6 +403,11 @@ def dup_clusters(
             # generation. Invariant lbl(x) <= x makes coalesce(plbl, lbl1)
             # the minimum (labels only ever decrease)
             parent = labels.select(F.col("id").alias("pid"), F.col("lbl").alias("plbl"))
+            # convergence count rides the checkpoint materialization as an
+            # Observation — one job per round, not a second pass (the
+            # observed plan is never AQE-pruned-empty here: labels has >= 1
+            # row whenever edges do, so obs.get always has a real row)
+            obs = Observation()
             nxt = (
                 m.join(parent, m["lbl1"] == parent["pid"], "left")
                 .select(
@@ -398,10 +415,11 @@ def dup_clusters(
                     F.coalesce("plbl", "lbl1").alias("lbl"),
                     (F.coalesce("plbl", "lbl1") != F.col("old")).alias("_chg"),
                 )
+                .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n_changed"))
                 .localCheckpoint(eager=True)
             )
             prev, labels = labels, nxt.select("id", "lbl")
-            if nxt.filter("_chg").limit(1).count() == 0:
+            if obs.get["n_changed"] == 0:
                 return labels.select("id", F.col("lbl").alias("cluster_id"))
             del prev  # superseded generation: ContextCleaner frees its blocks
         raise ValueError(
