@@ -86,6 +86,51 @@ def windowed_turn_counts(
     )
 
 
+def streaming_deduped_turns(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    max_files: int | None = None,
+) -> DataFrame:
+    """Streaming extraction over an AT-LEAST-ONCE feed: duplicate
+    deliveries of a page (same ``(conv_id, turn_idx)``) are dropped with
+    ``dropDuplicatesWithinWatermark`` BEFORE the extractor, so a replayed
+    turn neither pays the extraction twice nor lands twice in the sink.
+    This is the row-emitting counterpart of the stateful progress
+    tracker (``stateful_assembly``, which *counts* once per turn): state
+    here is one key per page bounded by the event-time ``watermark`` —
+    a replay arriving within the watermark of its first delivery is
+    dropped; state for older pages has been evicted (the unbounded
+    alternative, plain ``dropDuplicates``, grows state forever on a
+    10^12-turn feed).
+
+    Rows with a NULL event time cannot enter watermark-bounded state
+    (their state would never be evicted — or the row silently dropped,
+    depending on engine version): they BYPASS the dedup — passed through
+    to extraction unchanged, duplicates included — and are surfaced per
+    micro-batch through the same ``observe()`` pattern as
+    ``windowed_turn_counts`` (observation ``dedup_feed_quality``:
+    n_rows / n_null_ts), so the operator degrades observably, never
+    wedges the checkpoint."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(schema.TRANSCRIPTS)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    src = reader.parquet(input_dir).observe(
+        "dedup_feed_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
+    )
+    deduped = (
+        src.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    merged = deduped.unionByName(src.filter(F.col("ts").isNull()))
+    return extract_turns(merged, min_parallelism=0)
+
+
 def run_once(
     spark: SparkSession, input_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -146,3 +146,66 @@ def test_streaming_survives_null_turn_idx_and_ts(spark, tmp_path):
     assert any(m["n_null_ts"] == 1 and m["n_rows"] == 4 for m in obs), obs
     n = spark.sql("select sum(n_turns) s from null_ts_counts").first()["s"]
     assert n == 3
+
+
+def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
+    """At-least-once feed: the same (conv_id, turn_idx) delivered twice in
+    one file AND replayed whole in a later file must extract exactly once;
+    null-ts rows bypass the dedup (observably) instead of wedging state."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
+    from sparkocr.streaming.extract_stream import streaming_deduped_turns
+
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = {
+        "conv_id": ["c0", "c0", "c0", "c1", "c1"],
+        "turn_idx": [0, 0, 1, 0, 0],
+        "role": ["user"] * 5,
+        "text": ["dup a", "dup a", "uniq b", "null-ts c", "null-ts c"],
+        "tool": ["plain"] * 5,
+        "ts": [t0, t0, t0, None, None],
+    }
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    f0 = os.path.join(in_dir, "part-0.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=datagen.SCHEMA), f0)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            streaming_deduped_turns(spark, in_dir, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    q = run()
+    got = spark.read.parquet(out).collect()
+    # timestamped pages deduped to one row each; BOTH null-ts rows pass
+    # through (bypass is deliberate and observable)
+    texts = sorted(r["clean_text"] for r in got)
+    assert texts == ["dup a", "null-ts c", "null-ts c", "uniq b"]
+    obs = [
+        p.observedMetrics["dedup_feed_quality"]
+        for p in q.recentProgress
+        if "dedup_feed_quality" in p.observedMetrics
+    ]
+    assert any(m["n_rows"] == 5 and m["n_null_ts"] == 2 for m in obs), obs
+
+    # a whole-file replay (same rows, same ts, new file) within the
+    # watermark adds NOTHING with a ts; null-ts rows replay through
+    shutil.copy(f0, os.path.join(in_dir, "part-1.parquet"))
+    run()
+    texts2 = sorted(r["clean_text"] for r in spark.read.parquet(out).collect())
+    assert texts2 == ["dup a", "null-ts c", "null-ts c", "null-ts c", "null-ts c", "uniq b"]
