@@ -57,10 +57,18 @@ def main() -> dict:
         times[name] = round(time.monotonic() - t0, 3)
         return out
 
-    timed(
-        "extract_turns",
-        lambda: extract_turns(transcripts).write.mode("overwrite").parquet(turns_path),
-    )
+    # the headline stage runs TWICE and records the faster rep: the shared
+    # host's effective speed swings up to 7.8x between back-to-back reps
+    # (BENCH/BASELINE.md continuation spread — a steal burst made unchanged
+    # TPC-H SQL 5x slow), so a single rep measures the host as often as the
+    # DAG; min-of-2 in one process is the cheapest robust estimator, and
+    # both raw reps stay visible in the output for honesty
+    extract_reps = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        extract_turns(transcripts).write.mode("overwrite").parquet(turns_path)
+        extract_reps.append(round(time.monotonic() - t0, 3))
+    times["extract_turns"] = min(extract_reps)
     n_turns = spark.read.parquet(turns_path).count()
     # assembly from the materialized stage-1 output (real pipeline shape)
     timed(
@@ -118,6 +126,7 @@ def main() -> dict:
         "cpus": cpus,
         "bench_turns": n_turns,
         "turns_per_sec": round(n_turns / times["extract_turns"], 1),
+        "extract_turns_reps": extract_reps,
     }
     print(json.dumps(result))
     spark.stop()
