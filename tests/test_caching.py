@@ -143,6 +143,11 @@ def test_registry_is_thread_local(spark, docs):
     assert cm.isEmpty()
 
 
+@pytest.mark.filterwarnings(
+    # the crashing worker's RuntimeError is THE fixture under test (a
+    # thread dying before its release), not an accident to warn about
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+)
 def test_release_orphans_sweeps_dead_threads(spark, docs):
     """A worker thread that errors (or exits) before releasing must not
     leak its caches forever: the thread-local list dies with the thread,
