@@ -84,7 +84,9 @@ _MODES = {
 }
 
 
-def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
+def extract_batch(
+    pdf: pd.DataFrame, markdown: bool = True, dedup_markdown: bool = False
+) -> pd.DataFrame:
     """Extract one Arrow batch of transcript rows → TURNS_OUT columns.
 
     A flat per-row loop: the work is genuinely per-payload string algebra
@@ -94,7 +96,18 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
     ``markdown=False`` skips the markdown-variant cleanup pass (grounding
     payloads with markers run TWO full cleanup passes — labels kept vs
     dropped — because the reference emits both files); a clean-text-only
-    pipeline halves its grounding work and gets null ``markdown_text``."""
+    pipeline halves its markdown work and gets null ``markdown_text``.
+
+    ``dedup_markdown=True`` (internal; ``extract_turns`` only) emits
+    ``markdown_text`` as null whenever it equals ``clean_text`` — which is
+    every mode except marker-bearing grounding, so the duplicate payload
+    is never serialized back through Arrow — and ``extract_turns``
+    restores it JVM-side with ``coalesce(markdown_text, clean_text)``.
+    Safe because no extractor returns a null markdown beside a non-null
+    clean under ``markdown=True`` (grounding always returns strings;
+    every other mode returns the SAME object for both), so null
+    round-trips bijectively. Callers of this function directly get the
+    full un-deduped contract by default."""
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("").tolist()
     tools = pdf["tool"].fillna("plain")
@@ -130,7 +143,8 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
             fn = _MODES.get(mode, _extract_plain)
             c, m, s, tr, e = fn(t)
         clean[pos] = c
-        md[pos] = m
+        # identity first: 4 of 5 modes return the same str object for both
+        md[pos] = None if dedup_markdown and (m is c or m == c) else m
         spans_col[pos] = s
         trunc[pos] = tr
         err[pos] = e
@@ -158,11 +172,13 @@ def extract_batch(pdf: pd.DataFrame, markdown: bool = True) -> pd.DataFrame:
     )
 
 
-def _map_batches(markdown: bool = True):
+def _map_batches(markdown: bool = True, dedup_markdown: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield extract_batch(pdf, markdown=markdown)
+                yield extract_batch(
+                    pdf, markdown=markdown, dedup_markdown=dedup_markdown
+                )
 
     return gen
 
@@ -266,4 +282,18 @@ def extract_turns(
                 src = src.repartition(min(cores * 2, 256))
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
-    return src.mapInPandas(_map_batches(markdown), schema.TURNS_OUT)
+    out = src.mapInPandas(
+        _map_batches(markdown, dedup_markdown=markdown), schema.TURNS_OUT
+    )
+    if markdown:
+        # restore the Arrow-deduped markdown column (see extract_batch):
+        # a cheap JVM projection in the same whole-stage span, instead of
+        # serializing a byte-identical copy of clean_text out of every
+        # html/markdown/pdfspans/plain row (~40% of the map stage's
+        # output-leg bytes on the bench mix)
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "markdown_text", F.coalesce("markdown_text", "clean_text")
+        )
+    return out

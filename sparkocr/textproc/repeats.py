@@ -43,12 +43,18 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     scan, ngram_norepeat.py:22-31). N-grams containing a whitelisted token
     never count (whitelist semantics, ngram_norepeat.py:33).
 
-    Implementation: rolling polynomial hash over interned token ids — O(1)
-    per position instead of building and hashing an n-token tuple (which
-    was ~20% of the extraction hot path). A hash hit is verified by actual
-    token-slice comparison before returning, so a 61-bit collision can
-    never produce a false positive (it could only hide a later repeat,
-    p ≈ 2^-61 per pair)."""
+    Implementation: rolling polynomial hash over per-token ``hash()``
+    values — O(1) per position instead of building and hashing an n-token
+    tuple (which was ~20% of the extraction hot path). ``list(map(hash,
+    toks))`` replaces the earlier dict-interning pass (one C loop, and
+    CPython caches a str's hash in the object, so re-hashing repeated
+    tokens is a field read); the process hash salt makes the polynomial
+    non-adversarial, and the OUTPUT stays salt-independent because a hash
+    hit is verified by actual token-slice comparison before returning —
+    a 61-bit collision can never produce a false positive (it could only
+    hide a later repeat, p ≈ 2^-61 per pair). The whitelist prefix array
+    is built only when the raw text can contain a whitelisted token at
+    all (substring probe — one C scan vs a per-token Python loop)."""
     toks = tokenize(text)
     n = ngram_size
     # two occurrences of an n-gram can OVERLAP (a run of n+1 identical
@@ -56,16 +62,18 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     # any repeat is n+1 tokens, not 2n
     if len(toks) < n + 1:
         return None
-    intern: dict[str, int] = {}
-    setdefault = intern.setdefault
-    tid = [setdefault(t, len(intern)) + 1 for t in toks]
-    # prefix count of whitelisted tokens → O(1) "gram contains <td>" test
-    pw = [0] * (len(toks) + 1)
-    acc = 0
-    for k, t in enumerate(toks):
-        if t in WHITELIST:
-            acc += 1
-        pw[k + 1] = acc
+    tid = list(map(hash, toks))
+    # "<td>"/"</td>" tokens can only arise from those literal substrings,
+    # both containing "td>" — absent it, skip the whitelist bookkeeping
+    pw = None
+    if "td>" in text:
+        # prefix count of whitelisted tokens → O(1) "gram has <td>" test
+        pw = [0] * (len(toks) + 1)
+        acc = 0
+        for k, t in enumerate(toks):
+            if t in WHITELIST:
+                acc += 1
+            pw[k + 1] = acc
     B, MOD = _HASH_BASE, _HASH_MOD
     pow_n = pow(B, n - 1, MOD)
     h = 0
@@ -80,7 +88,7 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     for i in range(len(toks) - n + 1):
         if i:
             h = ((h - tid[i - 1] * pow_n) * B + tid[i + n - 1]) % MOD
-        if pw[i + n] == pw[i]:  # no whitelisted token in this gram
+        if pw is None or pw[i + n] == pw[i]:  # no whitelisted token in gram
             j = last.get(h)
             if (
                 j is not None

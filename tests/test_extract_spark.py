@@ -254,6 +254,37 @@ def test_extract_batch_survives_adversarial_garbage():
     assert len(extract_batch(df.copy(), markdown=False)) == len(df)
 
 
+def test_dedup_markdown_round_trips(spark, tiny_transcripts):
+    """The Arrow-transfer optimization (extract_batch emits markdown_text
+    null when byte-identical to clean_text; extract_turns restores it
+    JVM-side with coalesce) must be bijective: the deduped batch combined
+    with clean_text reproduces the default batch EXACTLY, and the Spark
+    output never surfaces a null markdown beside a non-null clean under
+    markdown=True. A legitimate-null regression (an extractor returning
+    md=None with clean set) would silently corrupt markdown into clean."""
+    import pandas as pd
+
+    from sparkocr.extract.dispatch import extract_batch
+
+    df = spark.read.parquet(tiny_transcripts)
+    pdf = df.select("conv_id", "turn_idx", "role", "text", "tool").toPandas()
+    full = extract_batch(pdf)
+    deduped = extract_batch(pdf, dedup_markdown=True)
+    restored = deduped["markdown_text"].combine_first(deduped["clean_text"])
+    pd.testing.assert_series_equal(
+        restored, full["markdown_text"], check_names=False
+    )
+    # markdown=False keeps its null-markdown contract for grounding rows
+    # (the skipped second pass) — no coalesce fill may resurrect them
+    assert extract_turns(df, markdown=False).filter(
+        "tool = 'grounding' and markdown_text is not null"
+    ).count() == 0
+    out = extract_turns(df)
+    assert out.filter(
+        "markdown_text is null and clean_text is not null"
+    ).count() == 0
+
+
 def test_extract_batch_tolerates_pandas_na_turn_idx():
     """Nullable Int32 batches (extract_batch's own output dtype) carry
     pd.NA, whose `!=` returns NA and raises on bool() — the null guard
