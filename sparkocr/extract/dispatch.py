@@ -143,8 +143,22 @@ def extract_batch(
             fn = _MODES.get(mode, _extract_plain)
             c, m, s, tr, e = fn(t)
         clean[pos] = c
-        # identity first: 4 of 5 modes return the same str object for both
-        md[pos] = None if dedup_markdown and (m is c or m == c) else m
+        if dedup_markdown:
+            # identity first: 4 of 5 modes return the same object for both
+            if m is c or m == c:
+                m = None
+            elif m is None and c is not None and (markdown or mode != "grounding"):
+                # the null sentinel is only restorable because no extractor
+                # returns a legitimate null markdown beside a non-null
+                # clean (outside the documented markdown=False grounding
+                # contract, which extract_turns restores by mode). A
+                # future mode breaking that invariant must fail loudly
+                # here, not silently coalesce markdown into clean_text.
+                raise AssertionError(
+                    f"extractor mode {mode!r} returned null markdown beside "
+                    "non-null clean under dedup_markdown — un-restorable"
+                )
+        md[pos] = m
         spans_col[pos] = s
         trunc[pos] = tr
         err[pos] = e
@@ -283,17 +297,19 @@ def extract_turns(
     elif min_parallelism and src.rdd.getNumPartitions() < int(min_parallelism):
         src = src.repartition(int(min_parallelism))
     out = src.mapInPandas(
-        _map_batches(markdown, dedup_markdown=markdown), schema.TURNS_OUT
+        _map_batches(markdown, dedup_markdown=True), schema.TURNS_OUT
     )
-    if markdown:
-        # restore the Arrow-deduped markdown column (see extract_batch):
-        # a cheap JVM projection in the same whole-stage span, instead of
-        # serializing a byte-identical copy of clean_text out of every
-        # html/markdown/pdfspans/plain row (~40% of the map stage's
-        # output-leg bytes on the bench mix)
-        from pyspark.sql import functions as F
+    # restore the Arrow-deduped markdown column (see extract_batch): a
+    # cheap JVM projection in the same whole-stage span, instead of
+    # serializing a byte-identical copy of clean_text out of every
+    # html/markdown/pdfspans/plain row (~40% of the map stage's
+    # output-leg bytes on the bench mix). Under markdown=False the
+    # grounding rows keep their contractual null (the mode dispatch's
+    # only legitimate null-markdown-beside-clean case); everything else
+    # coalesces back identically in both flag states.
+    from pyspark.sql import functions as F
 
-        out = out.withColumn(
-            "markdown_text", F.coalesce("markdown_text", "clean_text")
-        )
-    return out
+    restored = F.coalesce("markdown_text", "clean_text")
+    if not markdown:
+        restored = F.when(F.col("tool") != "grounding", restored)
+    return out.withColumn("markdown_text", restored)

@@ -63,10 +63,12 @@ def find_repeat(text: str, ngram_size: int = 20, window_size: int = 50):
     if len(toks) < n + 1:
         return None
     tid = list(map(hash, toks))
-    # "<td>"/"</td>" tokens can only arise from those literal substrings,
-    # both containing "td>" — absent it, skip the whitelist bookkeeping
+    # a whitelisted token can only arise from its literal substring in the
+    # raw text (the tokenizer matches them verbatim) — absent all of them,
+    # skip the whitelist bookkeeping. Derived from WHITELIST so a future
+    # whitelist edit cannot silently detune the probe.
     pw = None
-    if "td>" in text:
+    if any(w in text for w in WHITELIST):
         # prefix count of whitelisted tokens → O(1) "gram has <td>" test
         pw = [0] * (len(toks) + 1)
         acc = 0

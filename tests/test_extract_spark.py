@@ -262,8 +262,6 @@ def test_dedup_markdown_round_trips(spark, tiny_transcripts):
     output never surfaces a null markdown beside a non-null clean under
     markdown=True. A legitimate-null regression (an extractor returning
     md=None with clean set) would silently corrupt markdown into clean."""
-    import pandas as pd
-
     from sparkocr.extract.dispatch import extract_batch
 
     df = spark.read.parquet(tiny_transcripts)
@@ -274,15 +272,35 @@ def test_dedup_markdown_round_trips(spark, tiny_transcripts):
     pd.testing.assert_series_equal(
         restored, full["markdown_text"], check_names=False
     )
+    # end-to-end: the Spark output's markdown must EQUAL the un-deduped
+    # batch surface row-for-row (not just satisfy a coalesce shape — a
+    # corrupted restore that flattened grounding markdown into clean
+    # would still produce non-null values)
+    expected = {
+        (r.conv_id, r.turn_idx): m
+        for r, m in zip(pdf.itertuples(), full["markdown_text"])
+    }
+    rows = extract_turns(df).select(
+        "conv_id", "turn_idx", "tool", "markdown_text"
+    ).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r.markdown_text == expected[(r.conv_id, r.turn_idx)], (
+            r.conv_id, r.turn_idx, r.tool
+        )
     # markdown=False keeps its null-markdown contract for grounding rows
-    # (the skipped second pass) — no coalesce fill may resurrect them
-    assert extract_turns(df, markdown=False).filter(
-        "tool = 'grounding' and markdown_text is not null"
-    ).count() == 0
-    out = extract_turns(df)
-    assert out.filter(
-        "markdown_text is null and clean_text is not null"
-    ).count() == 0
+    # (the skipped second pass) — no coalesce fill may resurrect them —
+    # while every other mode still round-trips through the dedup
+    lean = extract_turns(df, markdown=False).select(
+        "tool", "markdown_text", "clean_text"
+    ).collect()
+    assert any(r.tool == "grounding" for r in lean)
+    for r in lean:
+        if r.tool == "grounding":
+            assert r.markdown_text is None
+        else:
+            # every non-grounding mode returns markdown identical to clean
+            assert r.markdown_text == r.clean_text
 
 
 def test_extract_batch_tolerates_pandas_na_turn_idx():
