@@ -76,27 +76,27 @@ def hash_split(
     return docs.withColumn("bucket_256", b).withColumn("split", split)
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
-    """Distinct character k-shingles per doc — JVM-only explode.
+def _shingle_explode(k: int):
+    """Exploded character k-shingle column (multiset — no dedup).
 
     Docs shorter than k chars yield NO shingles: guard with an explicit
     empty array, because ``sequence(1, 0)`` in Spark is the DESCENDING
     sequence [1, 0], not empty — unguarded it fabricates a whole-text
     shingle for every short/empty doc and the empty-text ones would all
     pair with each other at jaccard 1."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN length(text) < {k} THEN array()"
-                    f" ELSE transform(sequence(1, length(text) - {k - 1}),"
-                    f" i -> substr(text, i, {k})) END"
-                )
-            ).alias("sh"),
+    return F.explode(
+        F.expr(
+            f"CASE WHEN length(text) < {k} THEN array()"
+            f" ELSE transform(sequence(1, length(text) - {k - 1}),"
+            f" i -> substr(text, i, {k})) END"
         )
-        .distinct()
-    )
+    ).alias("sh")
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
+    """Distinct character k-shingles per doc — JVM-only explode + distinct
+    (set semantics; Jaccard's |A∩B| / |A∪B| needs each shingle once)."""
+    return docs.select("doc_id", _shingle_explode(k)).distinct()
 
 
 DF_MAX = 1000  # default document-frequency cap on candidate-join shingles
@@ -224,8 +224,16 @@ def jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) -> DataFrame:
     """MinHash via lexicographic min of md5(perm_id || shingle) — portable
-    across engines. One shuffle (groupBy doc_id), n_perm aggregate exprs."""
-    sh = shingles(docs, k)
+    across engines. One shuffle (groupBy doc_id), n_perm aggregate exprs.
+
+    Deliberately does NOT reuse ``shingles()``: its ``.distinct()`` (set
+    semantics, which Jaccard needs) is a second full shuffle of the
+    exploded ~n_chars-sized table, and ``min`` is duplicate-insensitive —
+    the signature over the shingle multiset equals the signature over the
+    set. Skipping it halves the operator's shuffled volume; the map-side
+    partial min-aggregation collapses each doc's shingles to n_perm
+    values before anything crosses the wire."""
+    sh = docs.select("doc_id", _shingle_explode(k))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("sh")))).alias(f"mh_{i}")
         for i in range(n_perm)
