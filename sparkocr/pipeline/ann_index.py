@@ -20,6 +20,16 @@ Layout under ``path``:
     vectors/   parquet, partitioned by sig= / cell=
     meta/      single-row parquet: kind, dim, n_planes|n_cells, seed
     centroids/ (IVF only) parquet: cell_id, centroid array<double>
+    deltas/    incremental appends (``append_to_index``): one
+               ``deltas/<append_id>/`` parquet dataset per committed
+               append, same partition layout as vectors/, plus a JSON
+               commit marker per append under ``deltas/_commits/``.
+               Probes union the base with every COMMITTED delta (each
+               scan still partition-pruned); ``compact_index`` folds the
+               deltas back into vectors/. An append that dies mid-write
+               leaves no marker → invisible to probes, and retrying the
+               same ``append_id`` overwrites the partial files
+               (idempotent, mirroring the extract job's bucket resume).
 
 Everything needed to probe is read back from the index (planes are re-seeded
 from meta, centroids from their table), so a probe never needs the original
@@ -35,6 +45,9 @@ signature/cell directory holds one file per shuffle partition that owns it
 
 from __future__ import annotations
 
+import json
+import re
+from functools import reduce
 from itertools import combinations
 
 import numpy as np
@@ -101,6 +114,224 @@ def _check_vectors_nonempty(spark: SparkSession, path: str, builder: str) -> Non
         raise
 
 
+_APPEND_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+_COMMIT_NAME_RE = re.compile(r"^([A-Za-z0-9][A-Za-z0-9._-]{0,127})\.json$")
+
+
+def _commit_dir(path: str) -> str:
+    return f"{path}/deltas/_commits"
+
+
+def _delta_path(path: str, append_id: str) -> str:
+    return f"{path}/deltas/{append_id}"
+
+
+def _delete_dir(spark: SparkSession, path_str: str) -> None:
+    from sparkocr.checkpoint import _fs
+
+    _, fs, jpath = _fs(spark, path_str)
+    fs.delete(jpath, True)  # recursive; absent → false, fine
+
+
+def _read_json_file(jvm, fs, path_str: str) -> dict:
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    stream = fs.open(p)
+    try:
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
+    finally:
+        stream.close()
+    return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+
+
+def _write_json_atomic(spark: SparkSession, path_str: str, payload: dict) -> None:
+    """tmp write + delete/rename publish — the checkpoint.py manifest
+    discipline: a crash in the gap leaves the marker missing (safe), and
+    Hadoop's boolean-failure renames are raised loudly."""
+    from sparkocr.checkpoint import _fs
+
+    jvm, fs, final = _fs(spark, path_str)
+    fs.mkdirs(final.getParent())
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"marker publish failed: {path_str}")
+
+
+def _committed_appends(spark: SparkSession, path: str) -> list[dict]:
+    """Commit markers of completed appends, sorted by append_id (stable
+    probe plans). Non-conforming names (editor backups, .tmp staging) are
+    skipped; an UNPARSEABLE committed marker raises — silently skipping
+    it would drop that append's rows from every probe."""
+    from sparkocr.checkpoint import _fs
+
+    jvm, fs, cdir = _fs(spark, _commit_dir(path))
+    if not fs.exists(cdir):
+        return []
+    out = []
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        m = _COMMIT_NAME_RE.match(name)
+        if not m:
+            continue
+        try:
+            payload = _read_json_file(jvm, fs, str(st.getPath()))
+        except ValueError as e:
+            raise ValueError(
+                f"corrupt append commit marker {st.getPath()}: the append's "
+                "rows would silently vanish from probes — delete the marker "
+                "(and its deltas/ dir) or restore it, then retry"
+            ) from e
+        out.append(payload)
+    out.sort(key=lambda d: d.get("append_id", ""))
+    return out
+
+
+def _scan_vectors(spark: SparkSession, path: str, flt) -> DataFrame:
+    """The probe-side scan: base vectors plus every committed non-empty
+    delta, each with the SAME partition filter (pruning applies per scan
+    root — sig=/cell= discovery runs under each delta dir exactly as under
+    vectors/). Uncommitted deltas (no marker: append in progress or died
+    mid-write) are invisible."""
+    base = spark.read.parquet(f"{path}/vectors").filter(flt)
+    frames = [
+        spark.read.parquet(_delta_path(path, mk["append_id"])).filter(flt)
+        for mk in _committed_appends(spark, path)
+        if mk.get("rows", 0) > 0
+    ]
+    return reduce(DataFrame.unionByName, frames, base)
+
+
+def append_to_index(emb: DataFrame, path: str, append_id: str) -> dict:
+    """Incrementally add ``emb``'s rows to a built index — the daily-
+    increment path a 10^9-vector pipeline needs (a full rebuild re-shuffles
+    the entire corpus to add 0.1% new rows). Rows are stamped with the
+    index's OWN stored parameters (re-seeded planes / persisted centroids,
+    never re-derived from data), written as ``deltas/<append_id>/`` in the
+    same partition layout, then committed with an atomic marker.
+
+    Semantics: exactly-once per ``append_id`` — re-running a committed id
+    is a no-op (``{"skipped": True}``), re-running a crashed one
+    overwrites its partial files; a delta without a marker is invisible to
+    probes. For IVF the centroids stay fixed (standard for IVF appends):
+    recall degrades if the appended distribution drifts from the trained
+    quantizer — compact + rebuild periodically.
+
+    Returns ``{"append_id", "rows", "skipped"}``."""
+    if not _APPEND_ID_RE.match(append_id or ""):
+        raise ValueError(
+            f"append_id {append_id!r} must match {_APPEND_ID_RE.pattern} "
+            "(it names files and directories)"
+        )
+    spark = emb.sparkSession
+    m = _read_meta(spark, path)  # refuses half-built indexes by design
+    for mk in _committed_appends(spark, path):
+        if mk.get("append_id") == append_id:
+            return {"append_id": append_id, "rows": mk.get("rows", 0), "skipped": True}
+    if m["kind"] == "lsh":
+        planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+        stamped = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+        pcol = "sig"
+    elif m["kind"] == "ivf":
+        cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell_id").collect()
+        cents = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+        stamped = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
+        pcol = "cell"
+    else:
+        raise ValueError(f"index at {path} has unknown kind={m['kind']}")
+    dpath = _delta_path(path, append_id)
+    stamped.repartition(pcol).write.mode("overwrite").partitionBy(pcol).parquet(dpath)
+    try:
+        rows = spark.read.parquet(dpath).count()  # footer-only metadata count
+    except Exception as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        rows = 0  # empty increment: committed as a zero-row marker
+    if rows:
+        # dim check AFTER the write, on the written delta (a pre-write
+        # detect_dim cannot distinguish an empty increment from a
+        # wrong-dim one without an extra action on the source plan);
+        # wrong-dim rows were zero-fill-stamped, so nothing crashed yet —
+        # but committing them would bury junk in sig 0 / a garbage cell
+        got = detect_dim(spark.read.parquet(dpath))
+        if got != m["dim"]:
+            _delete_dir(spark, dpath)
+            raise ValueError(
+                f"append_to_index: increment dim {got} != index dim "
+                f"{m['dim']} — delta discarded, nothing committed"
+            )
+    _write_json_atomic(
+        spark,
+        f"{_commit_dir(path)}/{append_id}.json",
+        {"append_id": append_id, "kind": m["kind"], "dim": int(m["dim"]), "rows": int(rows)},
+    )
+    return {"append_id": append_id, "rows": int(rows), "skipped": False}
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold committed deltas back into ``vectors/`` (bounding the probe's
+    scan-root count). Crash-safe via a pending marker: the merged copy is
+    fully written to a side directory FIRST, then the swap runs under the
+    meta-invalidation discipline (probes refuse the index only during the
+    swap window), and a crashed swap resumes from the marker on the next
+    call — no state loses rows at any step boundary.
+
+    Returns ``{"compacted": n_deltas, "rows": total}``."""
+    from sparkocr.checkpoint import _fs
+
+    pending_path = f"{path}/compact_pending.json"
+    jvm, fs, ppath = _fs(spark, pending_path)
+    tmp_dir = f"{path}/vectors_compacting"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    vec_p = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
+    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+
+    def _swap_and_commit(meta_kv: dict) -> None:
+        # steps are individually idempotent; guarded by tmp existence so a
+        # resume can never delete the live vectors without a replacement
+        if fs.exists(tmp_p):
+            _invalidate_meta(spark, path)
+            fs.delete(vec_p, True)
+            if not fs.rename(tmp_p, vec_p):
+                raise IOError(f"compact swap failed: rename {tmp_dir}")
+        _delete_dir(spark, f"{path}/deltas")
+        if not fs.exists(meta_p):
+            _write_meta(spark, path, **meta_kv)
+        fs.delete(ppath, False)
+
+    if fs.exists(ppath):
+        # resume a crashed compact (or clear a stale marker): the marker
+        # is only ever written AFTER the side copy is complete
+        meta_kv = _read_json_file(jvm, fs, pending_path)
+        _swap_and_commit(meta_kv)
+        return {"compacted": -1, "rows": None, "resumed": True}
+
+    m = _read_meta(spark, path)
+    marks = [mk for mk in _committed_appends(spark, path) if mk.get("rows", 0) > 0]
+    all_marks = _committed_appends(spark, path)
+    if not all_marks:
+        return {"compacted": 0, "rows": None}
+    if not marks:
+        # only zero-row appends: nothing to merge — just clear the markers
+        _delete_dir(spark, f"{path}/deltas")
+        return {"compacted": len(all_marks), "rows": None}
+    pcol = "sig" if m["kind"] == "lsh" else "cell"
+    base = spark.read.parquet(f"{path}/vectors")
+    frames = [spark.read.parquet(_delta_path(path, mk["append_id"])) for mk in marks]
+    merged = reduce(DataFrame.unionByName, frames, base)
+    merged.repartition(pcol).write.mode("overwrite").partitionBy(pcol).parquet(tmp_dir)
+    meta_kv = m.asDict()
+    _write_json_atomic(spark, pending_path, meta_kv)
+    _swap_and_commit(meta_kv)
+    rows = spark.read.parquet(f"{path}/vectors").count()
+    return {"compacted": len(all_marks), "rows": int(rows)}
+
+
 def build_lsh_index(
     emb: DataFrame,
     path: str,
@@ -114,6 +345,12 @@ def build_lsh_index(
     planes = hyperplanes(dim, n_planes, seed)
     spark = emb.sparkSession
     _invalidate_meta(spark, path)  # meta last: no probe-able half-index
+    # a REBUILD over an appended index must not leave stale deltas: the
+    # new base may re-include their rows (duplicates) or carry different
+    # parameters (junk partitions); same for a dead compact's leftovers
+    _delete_dir(spark, f"{path}/deltas")
+    _delete_dir(spark, f"{path}/compact_pending.json")
+    _delete_dir(spark, f"{path}/vectors_compacting")
     sigged = emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
     sigged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
         f"{path}/vectors"
@@ -164,8 +401,10 @@ def lsh_topk_indexed(
     # size==dim mirrors lsh_topk: null / wrong-dim rows are zero-filled
     # into sig 0 at build, so a ball containing 0 would surface them as
     # null-cosine junk whenever k exceeds the real match count
-    vecs = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("sig").isin(probe_sigs) & (F.size("embedding") == int(m["dim"]))
+    vecs = _scan_vectors(
+        spark,
+        path,
+        F.col("sig").isin(probe_sigs) & (F.size("embedding") == int(m["dim"])),
     )
     q = F.array(*[F.lit(float(v)) for v in query])
     return (
@@ -190,6 +429,9 @@ def build_ivf_index(
     cents = np.asarray(trainer(emb, n_cells), dtype=np.float64)
     spark = emb.sparkSession
     _invalidate_meta(spark, path)  # meta last: no probe-able half-index
+    _delete_dir(spark, f"{path}/deltas")  # same rebuild hygiene as LSH
+    _delete_dir(spark, f"{path}/compact_pending.json")
+    _delete_dir(spark, f"{path}/vectors_compacting")
     celled = emb.withColumn("cell", ivf_cell_col(F.col("embedding"), cents))
     celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/vectors"
@@ -230,8 +472,10 @@ def ivf_topk_indexed(
     # wrong-dim rows got a garbage cell at build time and would surface
     # as null-cosine rows whenever k exceeds the matching-row count —
     # without it the indexed and recompute probes diverge on dirty tables
-    vecs = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("cell").isin(probe) & (F.size("embedding") == int(m["dim"]))
+    vecs = _scan_vectors(
+        spark,
+        path,
+        F.col("cell").isin(probe) & (F.size("embedding") == int(m["dim"])),
     )
     q = F.array(*[F.lit(float(v)) for v in query])
     return (

@@ -268,3 +268,179 @@ def test_indexed_probes_match_operators_on_dirty_table(spark, emb, query, tmp_pa
     want_ivf = ivf_topk(dirty, query, k=k, n_probe=4, n_cells=4, dim=dim).collect()
     assert [(r.vec_id, r.cosine) for r in got_ivf] == [(r.vec_id, r.cosine) for r in want_ivf]
     assert all(r.cosine is not None for r in got_ivf)
+
+
+# ---- incremental appends -------------------------------------------------
+
+
+def _append_fixture(spark, emb, tmp_path, kind):
+    """Build an index over the even vec_ids, return (path, odd-half df)."""
+    from sparkocr.pipeline.ann_index import build_ivf_index, build_lsh_index
+    from sparkocr.pipeline.similarity import ivf_centroids
+
+    base = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / f"{kind}_appendable")
+    if kind == "lsh":
+        build_lsh_index(base, path)
+    else:
+        build_ivf_index(base, path, n_cells=16, trainer=ivf_centroids)
+    return path, rest
+
+
+def test_lsh_append_probe_equals_full_build(spark, emb, query, tmp_path):
+    """build(half) + append(half) must probe identically to build(full):
+    the appended rows are stamped with the index's stored planes, so the
+    signature space is the same space."""
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        build_lsh_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    r = append_to_index(rest, path, "inc-001")
+    assert r["skipped"] is False and r["rows"] == rest.count()
+    full_path = str(tmp_path / "lsh_full")
+    build_lsh_index(emb, full_path)
+    got = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    want = _rows(lsh_topk_indexed(spark, full_path, query, k=10))
+    assert got == want
+    # idempotence: the same append_id is a committed no-op
+    r2 = append_to_index(rest, path, "inc-001")
+    assert r2["skipped"] is True and r2["rows"] == r["rows"]
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+
+
+def test_ivf_append_finds_appended_vectors(spark, emb, tmp_path):
+    """IVF appends keep the trained centroids fixed; an appended vector
+    queried for itself must come back as its own top-1 (cell assignment
+    replayed from the persisted centroids, not re-derived)."""
+    from sparkocr.pipeline.ann_index import append_to_index, ivf_topk_indexed
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "ivf")
+    append_to_index(rest, path, "day-2026.08.18")
+    probe_row = rest.filter("embedding is not null").orderBy("vec_id").first()
+    q = [float(v) for v in probe_row["embedding"]]
+    top = ivf_topk_indexed(spark, path, q, k=1, n_probe=4).collect()
+    assert top and top[0].vec_id == probe_row["vec_id"], top
+
+
+def test_uncommitted_delta_is_invisible(spark, emb, query, tmp_path, monkeypatch):
+    """An append that dies after writing its delta but before the commit
+    marker must leave probe results unchanged — and retrying the same
+    append_id afterwards completes it."""
+    from sparkocr.pipeline import ann_index
+    from sparkocr.pipeline.ann_index import append_to_index, lsh_topk_indexed
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    before = _rows(lsh_topk_indexed(spark, path, query, k=10))
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(ann_index, "_write_json_atomic", boom)
+    with pytest.raises(RuntimeError):
+        append_to_index(rest, path, "inc-crash")
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == before
+    monkeypatch.undo()
+    r = append_to_index(rest, path, "inc-crash")
+    assert r["skipped"] is False and r["rows"] > 0
+
+
+def test_append_rejects_wrong_dim_and_bad_id(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.ann_index import append_to_index, lsh_topk_indexed
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    wrong = rest.withColumn(
+        "embedding", F.expr("slice(embedding, 1, 3)")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_to_index(wrong, path, "inc-wrongdim")
+    # the discarded delta must not have been committed
+    from sparkocr.pipeline.ann_index import _committed_appends
+
+    assert all(
+        mk["append_id"] != "inc-wrongdim" for mk in _committed_appends(spark, path)
+    )
+    with pytest.raises(ValueError, match="append_id"):
+        append_to_index(rest, path, "../escape")
+
+
+def test_append_probe_still_prunes_partitions(spark, emb, query, tmp_path):
+    """Every scan root (base AND delta) must keep the partition filter —
+    an append must not regress the probe into a full-table scan."""
+    from sparkocr.pipeline.ann_index import append_to_index, lsh_topk_indexed
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-prune")
+    plan = _plan(lsh_topk_indexed(spark, path, query, k=10))
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert len(filters) == 2, plan  # base + one delta
+    for f in filters:
+        assert re.search(r"sig#\d+L? IN", f), f
+
+
+def test_compact_folds_deltas_and_resumes(spark, emb, query, tmp_path, monkeypatch):
+    """compact_index merges deltas into vectors/ (probe unchanged, deltas
+    gone) and a compact killed mid-swap resumes losslessly from its
+    pending marker on the next call."""
+    import os
+
+    from sparkocr.pipeline import ann_index
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        compact_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-a")
+    want = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    r = compact_index(spark, path)
+    assert r["compacted"] == 1 and r["rows"] == emb.count()
+    assert not os.path.exists(f"{path}/deltas")
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+
+    # crash the NEXT compact right after the pending marker is published
+    # (side copy complete, swap not yet run) and resume it
+    append_to_index(emb.filter("vec_id < 0"), path, "inc-empty")  # zero rows
+    append_to_index(rest.limit(5), path, "inc-b")
+    want2 = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    real_write = ann_index._write_json_atomic
+
+    def write_then_boom(spark_, p, payload):
+        real_write(spark_, p, payload)
+        if p.endswith("compact_pending.json"):
+            raise RuntimeError("killed mid-compact")
+
+    monkeypatch.setattr(ann_index, "_write_json_atomic", write_then_boom)
+    with pytest.raises(RuntimeError):
+        compact_index(spark, path)
+    monkeypatch.undo()
+    # swap did not run: the index still probes (old meta intact) pre-resume
+    resumed = compact_index(spark, path)
+    assert resumed.get("resumed") is True
+    assert not os.path.exists(f"{path}/deltas")
+    assert not os.path.exists(f"{path}/compact_pending.json")
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want2
+
+
+def test_rebuild_clears_stale_deltas(spark, emb, query, tmp_path):
+    """Rebuilding over an appended index must drop the old deltas — the
+    new base re-includes their rows, so keeping them would double-count."""
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        build_lsh_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-stale")
+    build_lsh_index(emb, path)  # full rebuild, includes rest's rows
+    full_path = str(tmp_path / "lsh_full_rebuild")
+    build_lsh_index(emb, full_path)
+    got = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    assert got == _rows(lsh_topk_indexed(spark, full_path, query, k=10))
