@@ -84,22 +84,52 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(_manifest_dir(out_dir), f"bucket={bucket}.json")
 
 
+def read_json_fs(jvm, fs, path_str: str) -> dict:
+    """Read and parse one small JSON file through an already-resolved
+    FileSystem. LOUD: missing file / IO error / bad JSON all raise —
+    callers that want swallow-to-None semantics (manifest resume) wrap it.
+    Shared by the manifest reader here and the ANN index's commit/pending
+    markers (one copy of the bulk-copy stream discipline to maintain)."""
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    stream = fs.open(p)
+    try:
+        bos = jvm.java.io.ByteArrayOutputStream()
+        # one bulk copy instead of a py4j round trip per line
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
+    finally:
+        stream.close()
+    return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+
+
+def publish_json_atomic(spark: SparkSession, path_str: str, payload: dict) -> None:
+    """Write a small JSON file with the manifest publish discipline:
+    write to ``.tmp`` then delete+rename. HDFS/S3 rename refuses an
+    existing destination; a crash in the gap leaves the file missing,
+    which every caller treats as "not committed" (safe). Hadoop reports
+    most failures via a false RETURN, not an exception — a silent failed
+    publish would wedge the caller's resume logic forever, so raise
+    loudly instead."""
+    jvm, fs, final = _fs(spark, path_str)
+    fs.mkdirs(final.getParent())
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"json publish failed: rename {path_str}.tmp")
+
+
 def _read_manifest_fs(jvm, fs, path_str: str) -> BucketManifest | None:
     """Read one manifest through an already-resolved FileSystem. Only the
     read/parse is error-swallowed (unreadable manifest → pending bucket);
     infrastructure failures around FS resolution stay loud in callers."""
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
     try:
-        if not fs.exists(p):
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(path_str)):
             return None
-        stream = fs.open(p)
-        try:
-            bos = jvm.java.io.ByteArrayOutputStream()
-            # one bulk copy instead of a py4j round trip per line
-            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
-        finally:
-            stream.close()
-        return BucketManifest(**json.loads(bytes(bos.toByteArray()).decode("utf-8")))
+        return BucketManifest(**read_json_fs(jvm, fs, path_str))
     except Exception:
         return None  # unreadable manifest → treat bucket as pending
 
@@ -116,25 +146,7 @@ def write_manifest(
     out_dir: str, m: BucketManifest, spark: SparkSession | None = None
 ) -> None:
     spark = _active_spark(spark)
-    jvm, fs, mdir = _fs(spark, _manifest_dir(out_dir))
-    fs.mkdirs(mdir)
-    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(out_dir, m.bucket))
-    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(out_dir, m.bucket) + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(asdict(m)).encode("utf-8")))
-    finally:
-        out.close()
-    # delete+rename: HDFS/S3 rename refuses an existing destination; a
-    # crash in the gap leaves the manifest missing = bucket pending (safe).
-    # Hadoop reports most failures via a false RETURN, not an exception —
-    # a silent failed publish would make the bucket recompute forever, so
-    # raise loudly instead.
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(
-            f"manifest publish failed: rename {_manifest_path(out_dir, m.bucket)}.tmp"
-        )
+    publish_json_atomic(spark, _manifest_path(out_dir, m.bucket), asdict(m))
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

@@ -89,6 +89,24 @@ def _read_meta(spark: SparkSession, path: str):
     try:
         return spark.read.parquet(f"{path}/meta").first()
     except Exception as e:
+        from sparkocr.checkpoint import _fs
+
+        # a compact that crashed inside its swap window leaves meta/
+        # deleted but a pending marker behind — that state resumes in
+        # seconds; telling the operator to "rebuild the index" here would
+        # cost a full re-shuffle of the corpus (and the rebuild's delta
+        # hygiene would delete the recoverable pending state)
+        try:
+            _, fs, ppath = _fs(spark, f"{path}/compact_pending.json")
+            pending = fs.exists(ppath)
+        except Exception:
+            pending = False
+        if pending:
+            raise ValueError(
+                f"ANN index at {path} is mid-compact (a compact crashed "
+                "inside its swap window): call compact_index(spark, path) "
+                "to resume it — do NOT rebuild"
+            ) from e
         raise ValueError(
             f"no complete ANN index at {path}: meta/ is missing or "
             "unreadable — the build failed mid-way, is still in progress, "
@@ -134,40 +152,27 @@ def _delete_dir(spark: SparkSession, path_str: str) -> None:
 
 
 def _read_json_file(jvm, fs, path_str: str) -> dict:
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    stream = fs.open(p)
-    try:
-        bos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
-    finally:
-        stream.close()
-    return json.loads(bytes(bos.toByteArray()).decode("utf-8"))
+    from sparkocr.checkpoint import read_json_fs
+
+    return read_json_fs(jvm, fs, path_str)
 
 
 def _write_json_atomic(spark: SparkSession, path_str: str, payload: dict) -> None:
-    """tmp write + delete/rename publish — the checkpoint.py manifest
-    discipline: a crash in the gap leaves the marker missing (safe), and
-    Hadoop's boolean-failure renames are raised loudly."""
-    from sparkocr.checkpoint import _fs
+    """Module-level seam (tests crash it to simulate a death between the
+    delta write and the commit); IO itself is checkpoint.py's shared
+    tmp-write + delete/rename publish discipline."""
+    from sparkocr.checkpoint import publish_json_atomic
 
-    jvm, fs, final = _fs(spark, path_str)
-    fs.mkdirs(final.getParent())
-    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError(f"marker publish failed: {path_str}")
+    publish_json_atomic(spark, path_str, payload)
 
 
 def _committed_appends(spark: SparkSession, path: str) -> list[dict]:
     """Commit markers of completed appends, sorted by append_id (stable
     probe plans). Non-conforming names (editor backups, .tmp staging) are
-    skipped; an UNPARSEABLE committed marker raises — silently skipping
-    it would drop that append's rows from every probe."""
+    skipped; an UNPARSEABLE marker, or one whose append_id is missing or
+    does not match its file name, raises — silently skipping it would
+    drop that append's rows from every probe, and a mismatched id would
+    make probes scan the wrong delta directory."""
     from sparkocr.checkpoint import _fs
 
     jvm, fs, cdir = _fs(spark, _commit_dir(path))
@@ -187,9 +192,25 @@ def _committed_appends(spark: SparkSession, path: str) -> list[dict]:
                 "rows would silently vanish from probes — delete the marker "
                 "(and its deltas/ dir) or restore it, then retry"
             ) from e
+        if payload.get("append_id") != m.group(1):
+            raise ValueError(
+                f"append commit marker {st.getPath()} names append_id "
+                f"{payload.get('append_id')!r} but is filed as {m.group(1)!r} "
+                "— a hand-edited or misplaced marker; fix or delete it"
+            )
         out.append(payload)
-    out.sort(key=lambda d: d.get("append_id", ""))
+    out.sort(key=lambda d: d["append_id"])
     return out
+
+
+def _drop_append(spark: SparkSession, path: str, append_id: str) -> None:
+    """Remove one append's delta dataset and its commit marker — marker
+    FIRST: a crash between the two leaves a markerless orphan dataset
+    (invisible to probes, same as an append that died mid-write), never a
+    committed marker pointing at a deleted dataset, which would crash
+    every probe's scan."""
+    _delete_dir(spark, f"{_commit_dir(path)}/{append_id}.json")
+    _delete_dir(spark, _delta_path(path, append_id))
 
 
 def _scan_vectors(spark: SparkSession, path: str, flt) -> DataFrame:
@@ -253,18 +274,40 @@ def append_to_index(emb: DataFrame, path: str, append_id: str) -> dict:
             raise
         rows = 0  # empty increment: committed as a zero-row marker
     if rows:
+        delta = spark.read.parquet(dpath)
+        # column-set check BEFORE commit: probes union every committed
+        # delta with unionByName, so a delta whose columns differ from the
+        # base (the daily job added/renamed one) would crash every future
+        # probe — far from the append that caused it — until someone
+        # hand-deletes the marker. Fail the append instead.
+        base_cols = set(spark.read.parquet(f"{path}/vectors").columns)
+        delta_cols = set(delta.columns)
+        if delta_cols != base_cols:
+            _delete_dir(spark, dpath)
+            raise ValueError(
+                "append_to_index: increment columns differ from the index "
+                f"(extra: {sorted(delta_cols - base_cols)}, missing: "
+                f"{sorted(base_cols - delta_cols)}) — delta discarded, "
+                "nothing committed"
+            )
         # dim check AFTER the write, on the written delta (a pre-write
         # detect_dim cannot distinguish an empty increment from a
         # wrong-dim one without an extra action on the source plan);
         # wrong-dim rows were zero-fill-stamped, so nothing crashed yet —
-        # but committing them would bury junk in sig 0 / a garbage cell
-        got = detect_dim(spark.read.parquet(dpath))
-        if got != m["dim"]:
-            _delete_dir(spark, dpath)
-            raise ValueError(
-                f"append_to_index: increment dim {got} != index dim "
-                f"{m['dim']} — delta discarded, nothing committed"
-            )
+        # but committing them would bury junk in sig 0 / a garbage cell.
+        # Guarded on a non-null embedding existing: an all-null increment
+        # has no dimension (detect_dim would return its global fallback
+        # and fail spuriously) and is accepted exactly like build does —
+        # its rows sit in sig 0 / a junk cell and every probe's
+        # size(embedding)==dim restriction already screens them out.
+        if delta.where(F.col("embedding").isNotNull()).limit(1).count():
+            got = detect_dim(delta)
+            if got != m["dim"]:
+                _delete_dir(spark, dpath)
+                raise ValueError(
+                    f"append_to_index: increment dim {got} != index dim "
+                    f"{m['dim']} — delta discarded, nothing committed"
+                )
     _write_json_atomic(
         spark,
         f"{_commit_dir(path)}/{append_id}.json",
@@ -279,7 +322,11 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     fully written to a side directory FIRST, then the swap runs under the
     meta-invalidation discipline (probes refuse the index only during the
     swap window), and a crashed swap resumes from the marker on the next
-    call — no state loses rows at any step boundary.
+    call. The marker records exactly WHICH append_ids the side copy
+    folded, and the swap deletes only those — an append committed after
+    the marker (e.g. the next daily increment landing while the crashed
+    compact waits for its resume) keeps its delta and stays visible; a
+    blanket deltas/ wipe here would silently drop its rows.
 
     Returns ``{"compacted": n_deltas, "rows": total}``."""
     from sparkocr.checkpoint import _fs
@@ -291,7 +338,7 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     vec_p = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors")
     meta_p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
 
-    def _swap_and_commit(meta_kv: dict) -> None:
+    def _swap_and_commit(meta_kv: dict, folded: list[str]) -> None:
         # steps are individually idempotent; guarded by tmp existence so a
         # resume can never delete the live vectors without a replacement
         if fs.exists(tmp_p):
@@ -299,7 +346,8 @@ def compact_index(spark: SparkSession, path: str) -> dict:
             fs.delete(vec_p, True)
             if not fs.rename(tmp_p, vec_p):
                 raise IOError(f"compact swap failed: rename {tmp_dir}")
-        _delete_dir(spark, f"{path}/deltas")
+        for aid in folded:
+            _drop_append(spark, path, aid)
         if not fs.exists(meta_p):
             _write_meta(spark, path, **meta_kv)
         fs.delete(ppath, False)
@@ -307,27 +355,35 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if fs.exists(ppath):
         # resume a crashed compact (or clear a stale marker): the marker
         # is only ever written AFTER the side copy is complete
-        meta_kv = _read_json_file(jvm, fs, pending_path)
-        _swap_and_commit(meta_kv)
-        return {"compacted": -1, "rows": None, "resumed": True}
+        pend = _read_json_file(jvm, fs, pending_path)
+        _swap_and_commit(pend["meta"], pend["folded"])
+        return {"compacted": len(pend["folded"]), "rows": None, "resumed": True}
+
+    # a compact that died BEFORE publishing its marker leaves a full-size
+    # orphan side copy; nothing references it, so clear it on every fresh
+    # compact (including the early-return paths below)
+    _delete_dir(spark, tmp_dir)
 
     m = _read_meta(spark, path)
-    marks = [mk for mk in _committed_appends(spark, path) if mk.get("rows", 0) > 0]
     all_marks = _committed_appends(spark, path)
+    marks = [mk for mk in all_marks if mk.get("rows", 0) > 0]
     if not all_marks:
         return {"compacted": 0, "rows": None}
+    folded = [mk["append_id"] for mk in all_marks]
     if not marks:
         # only zero-row appends: nothing to merge — just clear the markers
-        _delete_dir(spark, f"{path}/deltas")
+        for aid in folded:
+            _drop_append(spark, path, aid)
         return {"compacted": len(all_marks), "rows": None}
     pcol = "sig" if m["kind"] == "lsh" else "cell"
     base = spark.read.parquet(f"{path}/vectors")
     frames = [spark.read.parquet(_delta_path(path, mk["append_id"])) for mk in marks]
     merged = reduce(DataFrame.unionByName, frames, base)
     merged.repartition(pcol).write.mode("overwrite").partitionBy(pcol).parquet(tmp_dir)
-    meta_kv = m.asDict()
-    _write_json_atomic(spark, pending_path, meta_kv)
-    _swap_and_commit(meta_kv)
+    _write_json_atomic(
+        spark, pending_path, {"meta": m.asDict(), "folded": folded}
+    )
+    _swap_and_commit(m.asDict(), folded)
     rows = spark.read.parquet(f"{path}/vectors").count()
     return {"compacted": len(all_marks), "rows": int(rows)}
 

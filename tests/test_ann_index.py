@@ -401,7 +401,12 @@ def test_compact_folds_deltas_and_resumes(spark, emb, query, tmp_path, monkeypat
     want = _rows(lsh_topk_indexed(spark, path, query, k=10))
     r = compact_index(spark, path)
     assert r["compacted"] == 1 and r["rows"] == emb.count()
-    assert not os.path.exists(f"{path}/deltas")
+    # folded appends fully dropped (dataset + marker); the deltas/ root may
+    # keep empty scaffolding — a blanket wipe would kill in-flight appends
+    from sparkocr.pipeline.ann_index import _committed_appends
+
+    assert _committed_appends(spark, path) == []
+    assert not os.path.exists(f"{path}/deltas/inc-a")
     assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
 
     # crash the NEXT compact right after the pending marker is published
@@ -423,7 +428,8 @@ def test_compact_folds_deltas_and_resumes(spark, emb, query, tmp_path, monkeypat
     # swap did not run: the index still probes (old meta intact) pre-resume
     resumed = compact_index(spark, path)
     assert resumed.get("resumed") is True
-    assert not os.path.exists(f"{path}/deltas")
+    assert _committed_appends(spark, path) == []
+    assert not os.path.exists(f"{path}/deltas/inc-b")
     assert not os.path.exists(f"{path}/compact_pending.json")
     assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want2
 
@@ -444,3 +450,170 @@ def test_rebuild_clears_stale_deltas(spark, emb, query, tmp_path):
     build_lsh_index(emb, full_path)
     got = _rows(lsh_topk_indexed(spark, path, query, k=10))
     assert got == _rows(lsh_topk_indexed(spark, full_path, query, k=10))
+
+
+def test_append_committed_during_pending_window_survives_resume(
+    spark, emb, query, tmp_path, monkeypatch
+):
+    """The data-loss scenario a blanket deltas/ wipe would cause: compact
+    crashes right after publishing its pending marker, the NEXT daily
+    append commits normally, and the eventual resume must fold only the
+    appends the marker recorded — the newer append's rows stay probeable."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline import ann_index
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        compact_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    first = rest.filter("vec_id % 4 = 1")
+    late = rest.filter("vec_id % 4 = 3")
+    append_to_index(first, path, "inc-early")
+
+    real_write = ann_index._write_json_atomic
+
+    def write_then_boom(spark_, p, payload):
+        real_write(spark_, p, payload)
+        if p.endswith("compact_pending.json"):
+            raise RuntimeError("killed mid-compact")
+
+    monkeypatch.setattr(ann_index, "_write_json_atomic", write_then_boom)
+    with pytest.raises(RuntimeError):
+        compact_index(spark, path)
+    monkeypatch.undo()
+
+    # the next increment lands while the crashed compact awaits its resume
+    r = append_to_index(late, path, "inc-late")
+    assert r["rows"] == late.count() > 0
+    want = _rows(lsh_topk_indexed(spark, path, query, k=10))
+
+    resumed = compact_index(spark, path)
+    assert resumed.get("resumed") is True
+    # only the folded append was dropped; the late one still probes
+    from sparkocr.pipeline.ann_index import _committed_appends
+
+    left = [mk["append_id"] for mk in _committed_appends(spark, path)]
+    assert left == ["inc-late"]
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+    # a follow-up compact folds the survivor too
+    compact_index(spark, path)
+    assert _committed_appends(spark, path) == []
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+
+
+def test_append_rejects_schema_drift_uncommitted(spark, emb, tmp_path):
+    """An increment whose column set differs from the base must fail the
+    APPEND (uncommitted), not crash every later probe's unionByName."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.ann_index import (
+        _committed_appends,
+        append_to_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    drifted = rest.withColumn("source", F.lit("daily-job"))
+    with pytest.raises(ValueError, match="columns differ"):
+        append_to_index(drifted, path, "inc-drift")
+    assert all(
+        mk["append_id"] != "inc-drift" for mk in _committed_appends(spark, path)
+    )
+
+
+def test_all_null_embedding_append_accepted(spark, emb, query, tmp_path):
+    """Rows with only null embeddings have no dimension: the dim check
+    must not fire its global fallback against them (build accepts such
+    rows; probes screen them via size(embedding)==dim)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from sparkocr.pipeline.ann_index import append_to_index, lsh_topk_indexed
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    before = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    nulls = rest.limit(7).withColumn(
+        "embedding", F.lit(None).cast(ArrayType(DoubleType()))
+    )
+    r = append_to_index(nulls, path, "inc-nulls")
+    assert r["skipped"] is False and r["rows"] == 7
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == before
+
+
+def test_mismatched_marker_id_raises(spark, emb, tmp_path):
+    """A commit marker filed under one name but naming another append_id
+    (hand-edited / misplaced) must raise loudly, not scan a wrong dir."""
+    import json as _json
+    import os
+
+    from sparkocr.pipeline.ann_index import _committed_appends, append_to_index
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-real")
+    bad = os.path.join(path, "deltas", "_commits", "inc-fake.json")
+    with open(bad, "w") as f:
+        _json.dump({"append_id": "somewhere-else", "rows": 5}, f)
+    with pytest.raises(ValueError, match="filed as"):
+        _committed_appends(spark, path)
+
+
+def test_probe_error_during_swap_window_points_to_resume(
+    spark, emb, query, tmp_path
+):
+    """A compact crash INSIDE the swap (meta deleted, pending marker
+    present) must tell the operator to resume, not to rebuild — and the
+    resume must restore a probeable index."""
+    from sparkocr.pipeline import ann_index
+    from sparkocr.pipeline.ann_index import (
+        _write_json_atomic,
+        append_to_index,
+        compact_index,
+        lsh_topk_indexed,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-swap")
+    want = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    # reproduce the crashed-swap state: side copy complete, pending marker
+    # published, meta invalidated, vectors swap not yet finished
+    m = ann_index._read_meta(spark, path)
+    spark.read.parquet(f"{path}/vectors").write.mode("overwrite").parquet(
+        f"{path}/vectors_compacting_tmpsrc"
+    )  # placeholder: the real side copy below
+    base = spark.read.parquet(f"{path}/vectors")
+    delta = spark.read.parquet(f"{path}/deltas/inc-swap")
+    base.unionByName(delta).repartition("sig").write.mode("overwrite").partitionBy(
+        "sig"
+    ).parquet(f"{path}/vectors_compacting")
+    _write_json_atomic(
+        spark,
+        f"{path}/compact_pending.json",
+        {"meta": m.asDict(), "folded": ["inc-swap"]},
+    )
+    ann_index._invalidate_meta(spark, path)
+    with pytest.raises(ValueError, match="compact_index"):
+        lsh_topk_indexed(spark, path, query, k=10)
+    resumed = compact_index(spark, path)
+    assert resumed.get("resumed") is True
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+
+
+def test_fresh_compact_clears_orphan_side_copy(spark, emb, query, tmp_path):
+    """A compact that died BEFORE publishing its marker leaves a full-size
+    orphan vectors_compacting/; the next fresh compact must remove it even
+    when it takes an early-return path."""
+    import os
+
+    from sparkocr.pipeline.ann_index import compact_index
+
+    path, _ = _append_fixture(spark, emb, tmp_path, "lsh")
+    orphan = os.path.join(path, "vectors_compacting")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("dead compact leftovers")
+    r = compact_index(spark, path)  # no committed appends: early return
+    assert r["compacted"] == 0
+    assert not os.path.exists(orphan)
