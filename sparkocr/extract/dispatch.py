@@ -311,5 +311,10 @@ def extract_turns(
 
     restored = F.coalesce("markdown_text", "clean_text")
     if not markdown:
-        restored = F.when(F.col("tool") != "grounding", restored)
+        # eqNullSafe, NOT !=: a null tool must restore, not silently null
+        # the column (plain != yields NULL for it). Unreachable today —
+        # extract_batch emits the fillna("plain") series as the output
+        # tool — but the restore must not depend on that cross-boundary
+        # invariant holding forever.
+        restored = F.when(~F.col("tool").eqNullSafe("grounding"), restored)
     return out.withColumn("markdown_text", restored)
