@@ -1,0 +1,217 @@
+"""Incremental LSH dedup store: the increment path must agree exactly
+with the full re-mine on every pair touching a new doc, with no
+corpus-sized shuffle — the store tables join Exchange-free."""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("doc_id", "text")
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, docs):
+    """Store over the first 80% of docs; yields (name, old_df, new_df)."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import build_lsh_store
+
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+    name = "lsh_store_t"
+    build_lsh_store(old, name, n_buckets=8)
+    caching.release_all()
+    yield name, old, new
+    for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _pairs(df):
+    return sorted(
+        (r.id1, r.id2, r.est_jaccard) for r in df.collect()
+    )
+
+
+def test_incremental_matches_full_remine(spark, docs, store):
+    """incremental(new) over store(old) must equal the full operator's
+    pairs restricted to those touching a new doc — same est_jaccard."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    try:
+        got = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        full = lsh_candidate_pairs(docs, bucket_max=None)
+        want = [
+            p
+            for p in _pairs(full)
+            if p[0] in new_ids or p[1] in new_ids
+        ]
+        assert got == want and len(got) > 0
+    finally:
+        caching.release_all()
+
+
+def test_incremental_correct_after_append(spark, docs, store):
+    """Appending the increment first must not change the result (store
+    rows with increment ids are excluded from the old side) and the
+    store must audit clean."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        check_lsh_store,
+        incremental_lsh_pairs,
+    )
+
+    name, old, new = store
+    try:
+        before = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
+        r = append_lsh_store(new, name)
+        assert r["rows"] == new.count()
+        health = check_lsh_store(spark, name)
+        assert health["dup_sig_docs"] == 0 and health["band_mismatch_docs"] == 0
+        assert health["docs"] == docs.count()
+        after = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
+        assert after == before
+        # a retried (duplicated) append is detected by the audit
+        append_lsh_store(new.limit(3), name)
+        bad = check_lsh_store(spark, name)
+        assert bad["dup_sig_docs"] == 3
+    finally:
+        caching.release_all()
+        # rebuild the fixture store for any later test
+        from sparkocr.pipeline.lsh_store import build_lsh_store
+
+        build_lsh_store(old, name, n_buckets=8)
+        caching.release_all()
+
+
+def test_store_side_joins_are_exchange_free(spark, store):
+    """The scale contract: corpus-sized store tables are never
+    shuffled — bucketed layout serves both the band-bucket counts
+    aggregate and the equi-joins; only increment/pair-sized sides
+    exchange."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    # at sf0.001 AQE correctly broadcasts the tiny store — which is
+    # exactly the join shape that cannot exist at 10^12 docs. Disable the
+    # broadcast threshold so the plan shows the AT-SCALE strategy (sort-
+    # merge against the bucketed layout); the explicit broadcast() hints
+    # on the increment-sized sides are unaffected.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # the hot-bucket counts aggregate reads co-located buckets
+        counts_plan = (
+            spark.table(f"{name}_bands")
+            .groupBy("bkey")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in counts_plan, counts_plan
+        plan = (
+            incremental_lsh_pairs(new, name)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every hashpartitioning Exchange must sit on increment- or
+        # pair-sized subtrees; the store scans' own bucket partitioning
+        # must be reused. Walk each store FileScan's ancestor chain
+        # (textual plans indent children under parents) up to the first
+        # join/aggregate that consumes it: no Exchange may appear on the
+        # way — that would mean the corpus-sized table was shuffled.
+        lines = plan.splitlines()
+
+        def _indent(s):
+            return len(s) - len(s.lstrip(" +-:*"))
+
+        scans = [
+            i for i, ln in enumerate(lines) if "FileScan" in ln and name in ln
+        ]
+        assert scans, plan  # store scans present
+        for i in scans:
+            cur = _indent(lines[i])
+            for j in range(i - 1, -1, -1):
+                pj = lines[j]
+                if not pj.strip():
+                    continue
+                pind = _indent(pj)
+                if pind >= cur:
+                    continue  # sibling subtree, not an ancestor
+                cur = pind
+                assert "Exchange" not in pj, f"store scan shuffled:\n{pj}"
+                if "Join" in pj or "Aggregate" in pj:
+                    break  # consumed without a shuffle — contract holds
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        caching.release_all()
+
+
+def test_bucket_max_caps_hot_store_buckets(spark, docs, store):
+    """A store bucket over the cap stops producing new-old candidates,
+    and the drop is observable via cap_metrics."""
+    from pyspark.sql import Observation
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import cap_metrics_get
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    try:
+        obs = Observation()
+        capped = incremental_lsh_pairs(new, name, bucket_max=1, cap_metrics=obs)
+        n_capped = capped.count()
+        uncapped = incremental_lsh_pairs(new, name, bucket_max=None).count()
+        metrics = cap_metrics_get(obs)
+        assert metrics is not None and metrics["capped_buckets"] > 0
+        assert n_capped < uncapped
+    finally:
+        caching.release_all()
+
+
+def test_half_built_store_refused(spark, docs):
+    """A build that died before writing meta leaves a store every reader
+    refuses loudly."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        build_lsh_store,
+        incremental_lsh_pairs,
+    )
+
+    name = "lsh_store_half"
+    try:
+        build_lsh_store(docs.limit(50), name, n_buckets=4)
+        caching.release_all()
+        spark.sql(f"DROP TABLE IF EXISTS {name}_meta")  # simulate the crash
+        with pytest.raises(ValueError, match="rebuild"):
+            incremental_lsh_pairs(docs.limit(5), name)
+        with pytest.raises(ValueError, match="rebuild"):
+            append_lsh_store(docs.limit(5), name)
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bad_band_divisibility_rejected(spark, docs):
+    from sparkocr.pipeline.lsh_store import build_lsh_store
+
+    with pytest.raises(ValueError, match="divisible"):
+        build_lsh_store(docs, "lsh_store_bad", n_perm=12, band_rows=5)
