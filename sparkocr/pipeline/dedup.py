@@ -222,6 +222,30 @@ def jaccard_pairs(
     return out
 
 
+def check_band_divisibility(n_perm: int, band_rows: int) -> None:
+    """Shared by the full LSH operator and the incremental store — ONE
+    copy of the validation so the S-curve contract cannot drift."""
+    if n_perm % band_rows != 0:
+        raise ValueError(
+            f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
+            "remainder permutations would be paid for but silently dropped "
+            "from banding, changing the S-curve from the requested one"
+        )
+
+
+def est_jaccard_col(n_perm: int):
+    """The estimate column both LSH paths emit: fraction of agreeing
+    minhashes over x_i / y_i signature-column pairs, rounded to 6
+    places. ONE definition — ``lsh_store.incremental_lsh_pairs``'
+    documented exact agreement with ``lsh_candidate_pairs`` depends on
+    the two never drifting."""
+    agree = sum(
+        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    return F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard")
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) -> DataFrame:
     """MinHash via lexicographic min of md5(perm_id || shingle) — portable
     across engines. One shuffle (groupBy doc_id), n_perm aggregate exprs.
@@ -266,12 +290,7 @@ def lsh_candidate_pairs(
     the consuming action (bench.py does), or executor storage
     accumulates."""
     _require_cap(bucket_max, cap_metrics)
-    if n_perm % band_rows != 0:
-        raise ValueError(
-            f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
-            "remainder permutations would be paid for but silently dropped "
-            "from banding, changing the S-curve from the requested one"
-        )
+    check_band_divisibility(n_perm, band_rows)
     sig = caching.register(minhash_signatures(docs, n_perm, k))
     n_bands = n_perm // band_rows
     bands = sig.select(
@@ -315,13 +334,10 @@ def lsh_candidate_pairs(
     )
     s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)])
     s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)])
-    agree = sum(
-        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0) for i in range(n_perm)
-    )
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .select("id1", "id2", F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard"))
+        .select("id1", "id2", est_jaccard_col(n_perm))
     )
 
 

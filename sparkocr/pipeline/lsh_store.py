@@ -45,6 +45,8 @@ from sparkocr.pipeline.dedup import (
     SHINGLE,
     _observe_cap,
     _require_cap,
+    check_band_divisibility,
+    est_jaccard_col,
     minhash_signatures,
 )
 
@@ -91,26 +93,23 @@ def _band_keys(sig: DataFrame, n_perm: int, band_rows: int) -> DataFrame:
     )
 
 
-def _check_divisible(n_perm: int, band_rows: int) -> None:
-    if n_perm % band_rows != 0:
-        raise ValueError(
-            f"n_perm={n_perm} not divisible by band_rows={band_rows}: the "
-            "remainder permutations would be paid for but silently dropped "
-            "from banding, changing the S-curve from the requested one"
-        )
-
-
 def read_store_meta(spark: SparkSession, store: str) -> dict:
     """Store parameters, or a loud error for a half-built store (meta is
-    written last, so its absence means a build died mid-way)."""
+    written last, so a missing — or registered-but-EMPTY — meta table
+    means a build died mid-way)."""
     try:
         row = spark.table(_meta_table(store)).first()
     except Exception as e:
+        row = None
+        err = e
+    else:
+        err = None
+    if row is None:
         raise ValueError(
             f"no complete LSH store named {store!r}: its meta table is "
-            "missing or unreadable — the build failed mid-way or the name "
-            "is wrong; rebuild with build_lsh_store"
-        ) from e
+            "missing, unreadable, or empty — the build failed mid-way or "
+            "the name is wrong; rebuild with build_lsh_store"
+        ) from err
     return {k: int(v) for k, v in row.asDict().items()}
 
 
@@ -129,7 +128,7 @@ def build_lsh_store(
 
     Meta is dropped first and written last: a build that dies in between
     leaves a store every reader refuses, never a probeable half-store."""
-    _check_divisible(n_perm, band_rows)
+    check_band_divisibility(n_perm, band_rows)
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {_meta_table(store)}")
     (
@@ -195,9 +194,11 @@ def check_lsh_store(spark: SparkSession, store: str) -> dict:
     """Consistency audit (one aggregate pass per table): every doc must
     have exactly one sigs row and exactly n_bands band rows. Returns
     ``{"docs", "dup_sig_docs", "band_mismatch_docs"}``; both counts are 0
-    for a healthy store. A crashed append shows up as band_mismatch
-    (sigs without bands); a retried one as dup_sig (and band_mismatch if
-    the bands append also re-ran)."""
+    for a healthy store. Diagnosis: a crashed append (sigs written,
+    bands not) is band_mismatch alone; a fully duplicated retry (both
+    appends re-ran) is dup_sig with band counts still proportional
+    (n_band == n_sig·n_bands, so NO band_mismatch); a retry where only
+    the sigs append re-ran shows BOTH."""
     m = read_store_meta(spark, store)
     n_bands = m["n_perm"] // m["band_rows"]
     sig_counts = (
@@ -235,24 +236,33 @@ def incremental_lsh_pairs(
     and new-old (increment band keys joined against the store's bands
     table — Exchange-free on the store side, the bands table is bucketed
     by bkey). Output ``(id1, id2, est_jaccard)`` with id1 < id2, the
-    same estimate definition as ``lsh_candidate_pairs``.
+    same estimate definition as ``lsh_candidate_pairs``
+    (``dedup.est_jaccard_col`` — one shared construction).
 
     Store rows whose doc_id appears in the increment are excluded from
     the old side (broadcast anti-join on the increment's ids), so the
     operator is correct whether it runs before or after
     ``append_lsh_store`` for the same increment.
 
-    ``bucket_max`` caps the STORE-side membership of a band bucket before
-    the join (the counts aggregate is itself Exchange-free on the
-    bucketed table): a boilerplate cluster of d store docs sharing a band
-    emits d rows per matching new doc — at 10^9-doc clusters that is the
-    hot-key blowup ``lsh_candidate_pairs`` caps the same way. Capped
-    drops are observable via ``cap_metrics`` (``dedup.cap_metrics_get``).
+    ``bucket_max`` caps a band bucket's COMBINED membership (store + the
+    increment itself) before either join, and the capped bucket is
+    dropped from BOTH sides — the same total-membership semantics as
+    ``lsh_candidate_pairs`` over old∪new, so the two operators agree
+    under equal caps, and a boilerplate cluster arriving INSIDE one
+    increment (a crawler re-fetching a template 10^5 times in a day)
+    cannot make the new-new self-join quadratic either. The store-side
+    counts aggregate is Exchange-free on the bucketed table; the
+    combined totals are increment-sized (every relevant bucket is one
+    the increment touches). Capped drops are observable via
+    ``cap_metrics`` (``dedup.cap_metrics_get``).
 
-    Scale shape: the only corpus-sized inputs are columnar scans of the
-    two store tables; every shuffle moves increment-sized or pair-sized
-    data. The increment is assumed small relative to the corpus — its id
-    set and band keys ride broadcast joins."""
+    Scale shape: per increment, two columnar scans of the bands table
+    (the counts aggregate and the join probe — two plan branches, both
+    Exchange-free) and one of the sigs table; every shuffle moves
+    increment-sized or pair-sized data. The increment is assumed
+    broadcastable (its id set and band keys ride broadcast hints —
+    roughly ≤10^8 docs); for a corpus-scale backfill, chunk the
+    increment into broadcastable slices or rebuild the store."""
     spark = new_docs.sparkSession
     m = read_store_meta(spark, store)
     _require_cap(bucket_max, cap_metrics)
@@ -268,22 +278,36 @@ def incremental_lsh_pairs(
         F.broadcast(new_ids), "doc_id", "left_anti"
     )
     if bucket_max is not None:
-        counts = _observe_cap(
-            store_bands.groupBy("bkey").agg(F.count(F.lit(1)).alias("bn")),
+        # combined bucket heat: store members (Exchange-free agg over the
+        # bucketed table) + increment members, summed per touched bucket.
+        # Only buckets the increment touches can produce pairs, so the
+        # totals frame is increment-sized and rides broadcast semi-joins
+        # onto both inputs.
+        counts_new = bands_new.groupBy("bkey").agg(
+            F.count(F.lit(1)).alias("bn_new")
+        )
+        counts_store = store_bands.groupBy("bkey").agg(
+            F.count(F.lit(1)).alias("bn_store")
+        )
+        totals = _observe_cap(
+            counts_new.join(counts_store, "bkey", "left").select(
+                "bkey",
+                (F.col("bn_new") + F.coalesce("bn_store", F.lit(0))).alias("bn"),
+            ),
             "bn",
             bucket_max,
             cap_metrics,
         )
-        small = counts.filter(F.col("bn") <= bucket_max).select("bkey")
-        store_bands = store_bands.join(small, "bkey", "left_semi")
+        small = totals.filter(F.col("bn") <= bucket_max).select("bkey")
+        # capping the INCREMENT side alone caps both joins: every pair
+        # needs a new-side band row in the kept set, so no store-side
+        # filter (a second consumer would also duplicate the observe
+        # node and lose the metrics)
+        bands_new = bands_new.join(F.broadcast(small), "bkey", "left_semi")
 
     xs = [F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)]
     ys = [F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)]
-    agree = sum(
-        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0)
-        for i in range(n_perm)
-    )
-    est = F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard")
+    est = est_jaccard_col(n_perm)
 
     a = bands_new.select("doc_id", "bkey", *xs).alias("a")
     b = bands_new.select("doc_id", "bkey", *ys).alias("b")

@@ -215,3 +215,79 @@ def test_bad_band_divisibility_rejected(spark, docs):
 
     with pytest.raises(ValueError, match="divisible"):
         build_lsh_store(docs, "lsh_store_bad", n_perm=12, band_rows=5)
+
+
+def test_incremental_agrees_with_full_under_equal_caps(spark, docs, store):
+    """bucket_max semantics must MATCH the full operator: combined
+    (store + increment) bucket membership, capped buckets dropped from
+    both sides — so capped incremental == capped full restricted to
+    new-doc pairs."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    try:
+        cap = 3
+        got = _pairs(incremental_lsh_pairs(new, name, bucket_max=cap))
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        want = [
+            p
+            for p in _pairs(lsh_candidate_pairs(docs, bucket_max=cap))
+            if p[0] in new_ids or p[1] in new_ids
+        ]
+        uncapped = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
+        assert got == want
+        assert len(got) < len(uncapped)  # the cap actually bit at cap=3
+    finally:
+        caching.release_all()
+
+
+def test_new_new_hot_bucket_is_capped(spark, docs, store):
+    """A duplicate cluster arriving INSIDE one increment (same doc text
+    repeated) must be capped by the same bucket_max — the new-new
+    self-join cannot be allowed to go quadratic just because the hot
+    bucket has no store members."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    try:
+        one = docs.filter("doc_id = 1").select("text")
+        clones = (
+            spark.range(900_001, 900_041)
+            .withColumnRenamed("id", "doc_id")
+            .crossJoin(one)
+        )
+        uncapped = incremental_lsh_pairs(clones, name, bucket_max=None)
+        n_unc = uncapped.count()
+        assert n_unc >= 40 * 39 / 2  # the clone clique is all-pairs
+        capped = incremental_lsh_pairs(clones, name, bucket_max=10)
+        n_cap = capped.count()
+        assert n_cap == 0, n_cap  # every clone bucket is over the cap
+    finally:
+        caching.release_all()
+
+
+def test_empty_meta_table_refused(spark, docs):
+    """A meta table that exists but holds zero rows (build died inside
+    the meta overwrite) must raise the loud rebuild error, not an
+    AttributeError."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import build_lsh_store, read_store_meta
+
+    name = "lsh_store_emptymeta"
+    try:
+        build_lsh_store(docs.limit(30), name, n_buckets=4)
+        caching.release_all()
+        schema = spark.table(f"{name}_meta").schema
+        spark.sql(f"DROP TABLE {name}_meta")
+        spark.createDataFrame([], schema).write.saveAsTable(f"{name}_meta")
+        with pytest.raises(ValueError, match="rebuild"):
+            read_store_meta(spark, name)
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
