@@ -30,13 +30,22 @@ from sparkocr import schema
 from sparkocr.extract.dispatch import extract_turns
 
 
-def streaming_turns(spark: SparkSession, input_dir: str, max_files: int | None = None) -> DataFrame:
-    """readStream over a transcripts parquet directory → streaming per-turn
-    extraction DataFrame (same extractor, stateless)."""
+def _transcript_stream(
+    spark: SparkSession, input_dir: str, max_files: int | None = None
+) -> DataFrame:
+    """The one readStream construction every operator here shares (declared
+    schema — file sources cannot infer — plus the optional per-trigger
+    file cap)."""
     reader = spark.readStream.schema(schema.TRANSCRIPTS)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    src = reader.parquet(input_dir)
+    return reader.parquet(input_dir)
+
+
+def streaming_turns(spark: SparkSession, input_dir: str, max_files: int | None = None) -> DataFrame:
+    """readStream over a transcripts parquet directory → streaming per-turn
+    extraction DataFrame (same extractor, stateless)."""
+    src = _transcript_stream(spark, input_dir, max_files)
     # min_parallelism=0: a streaming micro-batch's width is its file count;
     # the round-robin widening shuffle is a batch-only concern.
     return extract_turns(src, min_parallelism=0)
@@ -65,7 +74,7 @@ def windowed_turn_counts(
     a second (unsupported) streaming aggregate."""
     from pyspark.sql import functions as F
 
-    src = spark.readStream.schema(schema.TRANSCRIPTS).parquet(input_dir)
+    src = _transcript_stream(spark, input_dir)
     src = src.observe(
         "turn_feed_quality",
         F.count(F.lit(1)).alias("n_rows"),
@@ -106,28 +115,50 @@ def streaming_deduped_turns(
 
     Rows with a NULL event time cannot enter watermark-bounded state
     (their state would never be evicted — or the row silently dropped,
-    depending on engine version): they BYPASS the dedup — passed through
-    to extraction unchanged, duplicates included — and are surfaced per
-    micro-batch through the same ``observe()`` pattern as
+    depending on engine version), and rows with a NULL ``turn_idx``
+    must not either: ``dropDuplicates`` treats null keys as EQUAL, so
+    two distinct null-indexed pages in one conversation would collapse
+    to one. Both BYPASS the dedup — passed through to extraction
+    unchanged, duplicates included — and the feed quality is surfaced
+    per micro-batch through the same ``observe()`` pattern as
     ``windowed_turn_counts`` (observation ``dedup_feed_quality``:
-    n_rows / n_null_ts), so the operator degrades observably, never
-    wedges the checkpoint."""
+    n_rows / n_null_ts / n_null_key / n_deduped_out), so the operator
+    degrades observably, never wedges the checkpoint.
+
+    Two honest costs of this shape, for the operator running it:
+
+    - A delivery whose ts is older than the current watermark (max seen
+      ts minus ``watermark``) is dropped by the engine as LATE even if
+      it is the FIRST delivery of its page — that page never reaches the
+      sink. The metrics expose the total drop per batch
+      (``n_rows - n_null_ts - n_null_key - n_deduped_out`` = duplicates
+      plus late firsts; the engine cannot distinguish the two), so a
+      persistent nonzero residual on a feed known to be duplicate-free
+      means ``watermark`` is smaller than the feed's real disorder —
+      size it above the worst expected delivery skew.
+    - The null bypass union embeds the source twice in the plan: one
+      scan feeds the dedup, one the bypass. The bypass branch's
+      ``IS NULL`` filters push to the parquet scan and prune row groups
+      via null-count statistics, so on a healthy feed (few nulls) the
+      second scan is mostly footer reads, not a second decode."""
     from pyspark.sql import functions as F
 
-    reader = spark.readStream.schema(schema.TRANSCRIPTS)
-    if max_files is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files)
-    src = reader.parquet(input_dir).observe(
+    null_key = F.col("ts").isNull() | F.col("turn_idx").isNull()
+    src = _transcript_stream(spark, input_dir, max_files).observe(
         "dedup_feed_quality",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
+        F.sum(
+            (F.col("ts").isNotNull() & F.col("turn_idx").isNull()).cast("long")
+        ).alias("n_null_key"),
     )
     deduped = (
-        src.filter(F.col("ts").isNotNull())
+        src.filter(~null_key)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .observe("dedup_out", F.count(F.lit(1)).alias("n_deduped_out"))
     )
-    merged = deduped.unionByName(src.filter(F.col("ts").isNull()))
+    merged = deduped.unionByName(src.filter(null_key))
     return extract_turns(merged, min_parallelism=0)
 
 

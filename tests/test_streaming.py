@@ -153,8 +153,6 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     one file AND replayed whole in a later file must extract exactly once;
     null-ts rows bypass the dedup (observably) instead of wedging state."""
     import datetime as dt
-    import os
-    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -163,13 +161,17 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     from sparkocr.streaming.extract_stream import streaming_deduped_turns
 
     t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    # c2: two DISTINCT pages with null turn_idx and valid ts — the dedup
+    # key is (conv_id, turn_idx) and dropDuplicates treats null keys as
+    # equal, so inside the dedup they would collapse; they must bypass
     rows = {
-        "conv_id": ["c0", "c0", "c0", "c1", "c1"],
-        "turn_idx": [0, 0, 1, 0, 0],
-        "role": ["user"] * 5,
-        "text": ["dup a", "dup a", "uniq b", "null-ts c", "null-ts c"],
-        "tool": ["plain"] * 5,
-        "ts": [t0, t0, t0, None, None],
+        "conv_id": ["c0", "c0", "c0", "c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 0, 1, 0, 0, None, None],
+        "role": ["user"] * 7,
+        "text": ["dup a", "dup a", "uniq b", "null-ts c", "null-ts c",
+                 "null-idx d", "null-idx e"],
+        "tool": ["plain"] * 7,
+        "ts": [t0, t0, t0, None, None, t0, t0],
     }
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
@@ -192,20 +194,36 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
 
     q = run()
     got = spark.read.parquet(out).collect()
-    # timestamped pages deduped to one row each; BOTH null-ts rows pass
-    # through (bypass is deliberate and observable)
+    # timestamped full-key pages deduped to one row each; BOTH null-ts
+    # rows AND both distinct null-turn_idx rows pass through (bypass is
+    # deliberate and observable)
     texts = sorted(r["clean_text"] for r in got)
-    assert texts == ["dup a", "null-ts c", "null-ts c", "uniq b"]
+    assert texts == ["dup a", "null-idx d", "null-idx e",
+                     "null-ts c", "null-ts c", "uniq b"]
     obs = [
         p.observedMetrics["dedup_feed_quality"]
         for p in q.recentProgress
         if "dedup_feed_quality" in p.observedMetrics
     ]
-    assert any(m["n_rows"] == 5 and m["n_null_ts"] == 2 for m in obs), obs
+    assert any(
+        m["n_rows"] == 7 and m["n_null_ts"] == 2 and m["n_null_key"] == 2
+        for m in obs
+    ), obs
+    # the post-dedup count is observable too: total engine-side drop per
+    # batch = n_rows - n_null_ts - n_null_key - n_deduped_out
+    out_obs = [
+        p.observedMetrics["dedup_out"]
+        for p in q.recentProgress
+        if "dedup_out" in p.observedMetrics
+    ]
+    assert any(m["n_deduped_out"] == 2 for m in out_obs), out_obs
 
     # a whole-file replay (same rows, same ts, new file) within the
-    # watermark adds NOTHING with a ts; null-ts rows replay through
+    # watermark adds NOTHING with a full key; null-keyed rows replay
+    # through
     shutil.copy(f0, os.path.join(in_dir, "part-1.parquet"))
     run()
     texts2 = sorted(r["clean_text"] for r in spark.read.parquet(out).collect())
-    assert texts2 == ["dup a", "null-ts c", "null-ts c", "null-ts c", "null-ts c", "uniq b"]
+    assert texts2 == ["dup a", "null-idx d", "null-idx d", "null-idx e",
+                      "null-idx e", "null-ts c", "null-ts c", "null-ts c",
+                      "null-ts c", "uniq b"]
