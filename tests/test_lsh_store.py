@@ -291,3 +291,49 @@ def test_empty_meta_table_refused(spark, docs):
         caching.release_all()
         for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_edge_cases(spark, docs, store):
+    """Empty increment → empty result; an increment whose doc_ids are
+    ALREADY in the store (a re-delivery) excludes its own store copies
+    from the old side, so no self-pairs and no duplicates."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    try:
+        empty = docs.filter("doc_id < 0")
+        assert incremental_lsh_pairs(empty, name).count() == 0
+        # re-deliver docs that ARE the store: no doc may pair with its
+        # own store copy (a self-pair at est 1.0), every pair touches a
+        # delivered id, and nothing is emitted twice
+        redelivered = old.limit(40)
+        pairs = incremental_lsh_pairs(redelivered, name, bucket_max=None).collect()
+        ids = {r.doc_id for r in redelivered.select("doc_id").collect()}
+        assert all(p.id1 != p.id2 for p in pairs)
+        assert all(p.id1 in ids or p.id2 in ids for p in pairs)
+        keys = [(p.id1, p.id2) for p in pairs]
+        assert len(keys) == len(set(keys))
+    finally:
+        caching.release_all()
+
+
+def test_build_over_empty_input(spark, docs):
+    """A store built over zero docs is complete (meta present) and
+    answers increments without crashing — new-new pairs only."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import build_lsh_store, incremental_lsh_pairs
+
+    name = "lsh_store_empty"
+    try:
+        build_lsh_store(docs.filter("doc_id < 0"), name, n_buckets=4)
+        caching.release_all()
+        dup_pair = docs.filter("doc_id in (1, 2)").selectExpr(
+            "doc_id", "'identical twin text for the empty-store case' as text"
+        )
+        pairs = incremental_lsh_pairs(dup_pair, name).collect()
+        assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
