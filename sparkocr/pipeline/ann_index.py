@@ -151,10 +151,34 @@ def _delete_dir(spark: SparkSession, path_str: str) -> None:
     fs.delete(jpath, True)  # recursive; absent → false, fine
 
 
-def _read_json_file(jvm, fs, path_str: str) -> dict:
-    from sparkocr.checkpoint import read_json_fs
+def vacuum_index(spark: SparkSession, path: str) -> dict:
+    """Reclaim markerless orphan delta datasets — appends that died
+    mid-write and were retried under a DIFFERENT append_id (a same-id
+    retry overwrites its own partial files; compaction only drops
+    COMMITTED ids). Orphans are invisible to probes but are full-size
+    parquet that nothing else ever deletes short of a rebuild.
 
-    return read_json_fs(jvm, fs, path_str)
+    Run only when no append is in flight: an in-progress append is
+    itself a markerless delta and would be destroyed. (This is why
+    compact_index does not vacuum implicitly — compaction is safe to run
+    beside a live append, vacuuming is not.)
+
+    Returns ``{"reclaimed": [append_ids...]}``."""
+    from sparkocr.checkpoint import _fs
+
+    _, fs, droot = _fs(spark, f"{path}/deltas")
+    if not fs.exists(droot):
+        return {"reclaimed": []}
+    committed = {mk["append_id"] for mk in _committed_appends(spark, path)}
+    reclaimed = []
+    for st in fs.listStatus(droot):
+        name = st.getPath().getName()
+        if name == "_commits" or not st.isDirectory():
+            continue
+        if name not in committed:
+            fs.delete(st.getPath(), True)
+            reclaimed.append(name)
+    return {"reclaimed": sorted(reclaimed)}
 
 
 def _write_json_atomic(spark: SparkSession, path_str: str, payload: dict) -> None:
@@ -173,7 +197,7 @@ def _committed_appends(spark: SparkSession, path: str) -> list[dict]:
     does not match its file name, raises — silently skipping it would
     drop that append's rows from every probe, and a mismatched id would
     make probes scan the wrong delta directory."""
-    from sparkocr.checkpoint import _fs
+    from sparkocr.checkpoint import _fs, read_json_fs
 
     jvm, fs, cdir = _fs(spark, _commit_dir(path))
     if not fs.exists(cdir):
@@ -185,7 +209,7 @@ def _committed_appends(spark: SparkSession, path: str) -> list[dict]:
         if not m:
             continue
         try:
-            payload = _read_json_file(jvm, fs, str(st.getPath()))
+            payload = read_json_fs(jvm, fs, str(st.getPath()))
         except ValueError as e:
             raise ValueError(
                 f"corrupt append commit marker {st.getPath()}: the append's "
@@ -329,7 +353,7 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     blanket deltas/ wipe here would silently drop its rows.
 
     Returns ``{"compacted": n_deltas, "rows": total}``."""
-    from sparkocr.checkpoint import _fs
+    from sparkocr.checkpoint import _fs, read_json_fs
 
     pending_path = f"{path}/compact_pending.json"
     jvm, fs, ppath = _fs(spark, pending_path)
@@ -355,7 +379,15 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     if fs.exists(ppath):
         # resume a crashed compact (or clear a stale marker): the marker
         # is only ever written AFTER the side copy is complete
-        pend = _read_json_file(jvm, fs, pending_path)
+        pend = read_json_fs(jvm, fs, pending_path)
+        if "meta" not in pend or "folded" not in pend:
+            raise ValueError(
+                f"pending compact marker {pending_path} does not record "
+                "which appends its side copy folded (written by an older "
+                "build, or hand-edited) — resuming blindly would either "
+                "drop later appends or double-count folded ones; delete "
+                f"the marker and {tmp_dir}, then re-run compact_index"
+            )
         _swap_and_commit(pend["meta"], pend["folded"])
         return {"compacted": len(pend["folded"]), "rows": None, "resumed": True}
 

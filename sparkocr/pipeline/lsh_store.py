@@ -166,28 +166,32 @@ def append_lsh_store(new_docs: DataFrame, store: str) -> dict:
 
     Returns ``{"rows": n_docs_appended}``."""
     m = read_store_meta(new_docs.sparkSession, store)
-    spark = new_docs.sparkSession
-    sig = caching.register(
-        minhash_signatures(new_docs, m["n_perm"], m["k"])
-    )
-    (
-        sig.repartition(m["n_buckets"], "doc_id")
-        .write.mode("append")
-        .bucketBy(m["n_buckets"], "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .saveAsTable(_sigs_table(store))
-    )
-    (
-        _band_keys(sig, m["n_perm"], m["band_rows"])
-        .repartition(m["n_buckets"], "bkey")
-        .write.mode("append")
-        .bucketBy(m["n_buckets"], "bkey")
-        .sortBy("bkey")
-        .format("parquet")
-        .saveAsTable(_bands_table(store))
-    )
-    return {"rows": sig.count()}
+    # every consuming action happens inside this function, so the
+    # signature cache is scoped here instead of leaking to the caller's
+    # release (a daily driver looping appends would otherwise accumulate
+    # one materialized cache per day)
+    with caching.scope():
+        sig = caching.register(
+            minhash_signatures(new_docs, m["n_perm"], m["k"])
+        )
+        (
+            sig.repartition(m["n_buckets"], "doc_id")
+            .write.mode("append")
+            .bucketBy(m["n_buckets"], "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .saveAsTable(_sigs_table(store))
+        )
+        (
+            _band_keys(sig, m["n_perm"], m["band_rows"])
+            .repartition(m["n_buckets"], "bkey")
+            .write.mode("append")
+            .bucketBy(m["n_buckets"], "bkey")
+            .sortBy("bkey")
+            .format("parquet")
+            .saveAsTable(_bands_table(store))
+        )
+        return {"rows": sig.count()}
 
 
 def check_lsh_store(spark: SparkSession, store: str) -> dict:

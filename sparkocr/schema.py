@@ -31,13 +31,14 @@ SPAN = T.StructType(
 # Per-turn extraction output (the golden-equality surface + QC columns).
 TURNS_OUT = T.StructType(
     [
-        T.StructField("conv_id", T.StringType(), False),
-        # nullable: the TRANSCRIPTS declaration says non-null, but file
-        # sources force-nullable every field, so one producer row with a
-        # null turn_idx WILL reach the extractor — it must pass through
-        # (rows out == rows in) rather than poison-pill the task; the
-        # declared non-null output would make the JVM projection throw
-        # "Value at index is null" on exactly that row
+        # conv_id/turn_idx nullable: the TRANSCRIPTS declaration says
+        # non-null, but file sources force-nullable every field, so one
+        # producer row with a null key WILL reach the extractor — it must
+        # pass through (rows out == rows in) rather than poison-pill the
+        # task; a declared non-null output makes the JVM projection NPE
+        # on exactly that row (UnsafeWriter.write on a null UTF8String
+        # for conv_id; "Value at index is null" for turn_idx)
+        T.StructField("conv_id", T.StringType(), True),
         T.StructField("turn_idx", T.IntegerType(), True),
         T.StructField("role", T.StringType(), True),
         T.StructField("tool", T.StringType(), True),

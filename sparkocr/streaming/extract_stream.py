@@ -115,10 +115,12 @@ def streaming_deduped_turns(
 
     Rows with a NULL event time cannot enter watermark-bounded state
     (their state would never be evicted — or the row silently dropped,
-    depending on engine version), and rows with a NULL ``turn_idx``
-    must not either: ``dropDuplicates`` treats null keys as EQUAL, so
-    two distinct null-indexed pages in one conversation would collapse
-    to one. Both BYPASS the dedup — passed through to extraction
+    depending on engine version), and rows where ANY dedup-key column
+    (``conv_id``, ``turn_idx``) is NULL must not either:
+    ``dropDuplicates`` treats null keys as EQUAL, so two distinct
+    null-keyed pages — different conversations with conv_id omitted, or
+    one conversation's unindexed pages — would collapse to one. All
+    BYPASS the dedup — passed through to extraction
     unchanged, duplicates included — and the feed quality is surfaced
     per micro-batch through the same ``observe()`` pattern as
     ``windowed_turn_counts`` (observation ``dedup_feed_quality``:
@@ -143,13 +145,20 @@ def streaming_deduped_turns(
       second scan is mostly footer reads, not a second decode."""
     from pyspark.sql import functions as F
 
-    null_key = F.col("ts").isNull() | F.col("turn_idx").isNull()
+    null_key = (
+        F.col("ts").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("conv_id").isNull()
+    )
     src = _transcript_stream(spark, input_dir, max_files).observe(
         "dedup_feed_quality",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
         F.sum(
-            (F.col("ts").isNotNull() & F.col("turn_idx").isNull()).cast("long")
+            (
+                F.col("ts").isNotNull()
+                & (F.col("turn_idx").isNull() | F.col("conv_id").isNull())
+            ).cast("long")
         ).alias("n_null_key"),
     )
     deduped = (

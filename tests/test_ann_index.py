@@ -580,9 +580,6 @@ def test_probe_error_during_swap_window_points_to_resume(
     # reproduce the crashed-swap state: side copy complete, pending marker
     # published, meta invalidated, vectors swap not yet finished
     m = ann_index._read_meta(spark, path)
-    spark.read.parquet(f"{path}/vectors").write.mode("overwrite").parquet(
-        f"{path}/vectors_compacting_tmpsrc"
-    )  # placeholder: the real side copy below
     base = spark.read.parquet(f"{path}/vectors")
     delta = spark.read.parquet(f"{path}/deltas/inc-swap")
     base.unionByName(delta).repartition("sig").write.mode("overwrite").partitionBy(
@@ -617,3 +614,49 @@ def test_fresh_compact_clears_orphan_side_copy(spark, emb, query, tmp_path):
     r = compact_index(spark, path)  # no committed appends: early return
     assert r["compacted"] == 0
     assert not os.path.exists(orphan)
+
+
+def test_vacuum_reclaims_markerless_orphans_only(spark, emb, query, tmp_path):
+    """A delta that died mid-write under a never-retried append_id is
+    invisible but leaks storage; vacuum_index deletes exactly those —
+    committed deltas and the _commits dir are spared, probes unchanged."""
+    import os
+
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        lsh_topk_indexed,
+        vacuum_index,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    append_to_index(rest, path, "inc-live")
+    want = _rows(lsh_topk_indexed(spark, path, query, k=10))
+    orphan = os.path.join(path, "deltas", "inc-dead")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("partial write")
+    r = vacuum_index(spark, path)
+    assert r["reclaimed"] == ["inc-dead"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(path, "deltas", "inc-live"))
+    assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
+    assert vacuum_index(spark, path)["reclaimed"] == []
+
+
+def test_old_format_pending_marker_refused_with_named_error(
+    spark, emb, query, tmp_path
+):
+    """A pending compact marker lacking the folded-append record (older
+    build / hand-edited) cannot be resumed safely in either direction —
+    the resume must raise the remediation error, not KeyError."""
+    from sparkocr.pipeline.ann_index import (
+        _read_meta,
+        _write_json_atomic,
+        compact_index,
+    )
+
+    path, rest = _append_fixture(spark, emb, tmp_path, "lsh")
+    m = _read_meta(spark, path)
+    _write_json_atomic(spark, f"{path}/compact_pending.json", m.asDict())
+    with pytest.raises(ValueError, match="folded"):
+        compact_index(spark, path)

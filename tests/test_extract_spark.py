@@ -237,8 +237,11 @@ def test_extract_batch_survives_adversarial_garbage():
 
     # sprinkle null turn_idx: file sources force-nullable the schema, so
     # a null page index must degrade (grounding_cli error column; Int32
-    # passthrough elsewhere), never raise out of the batch
-    rows = [(f"c{i % 7}", None if i % 97 == 0 else i, "assistant",
+    # passthrough elsewhere), never raise out of the batch; same for
+    # null conv_id (TURNS_OUT declares it nullable for exactly this —
+    # a non-null declaration NPEs the JVM output projection on the row)
+    rows = [(None if i % 89 == 0 else f"c{i % 7}",
+             None if i % 97 == 0 else i, "assistant",
              garbage(), rng.choice(tools))
             for i in range(1500)]
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
@@ -325,3 +328,29 @@ def test_extract_batch_tolerates_pandas_na_turn_idx():
     assert len(out) == 2
     cli = out[out["tool"] == "grounding_cli"].iloc[0]
     assert cli["error"] and "null turn_idx" in cli["error"]
+
+
+def test_extract_turns_survives_null_conv_id(spark, tmp_path):
+    """A null conv_id must pass through the FULL Spark path — the pandas
+    batch always handled it, but a non-nullable conv_id in TURNS_OUT made
+    the JVM output projection NPE (UnsafeWriter on a null UTF8String),
+    which the pandas-surface sweep can never catch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
+
+    rows = {
+        "conv_id": [None, None, "a"],
+        "turn_idx": [0, 0, 1],
+        "role": ["user"] * 3,
+        "text": ["f", "g", "h"],
+        "tool": ["plain"] * 3,
+        "ts": [None] * 3,
+    }
+    p = str(tmp_path / "nullconv.parquet")
+    pq.write_table(pa.Table.from_pydict(rows, schema=datagen.SCHEMA), p)
+    out = extract_turns(spark.read.parquet(p)).collect()
+    assert sorted((r.conv_id or "", r.clean_text) for r in out) == [
+        ("", "f"), ("", "g"), ("a", "h"),
+    ]

@@ -161,17 +161,19 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     from sparkocr.streaming.extract_stream import streaming_deduped_turns
 
     t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
-    # c2: two DISTINCT pages with null turn_idx and valid ts — the dedup
-    # key is (conv_id, turn_idx) and dropDuplicates treats null keys as
-    # equal, so inside the dedup they would collapse; they must bypass
+    # c2: two DISTINCT pages with null turn_idx and valid ts; last two:
+    # two DISTINCT pages from different conversations whose conv_id was
+    # omitted — the dedup key is (conv_id, turn_idx) and dropDuplicates
+    # treats null keys as equal, so inside the dedup either pair would
+    # collapse; all four must bypass
     rows = {
-        "conv_id": ["c0", "c0", "c0", "c1", "c1", "c2", "c2"],
-        "turn_idx": [0, 0, 1, 0, 0, None, None],
-        "role": ["user"] * 7,
+        "conv_id": ["c0", "c0", "c0", "c1", "c1", "c2", "c2", None, None],
+        "turn_idx": [0, 0, 1, 0, 0, None, None, 0, 0],
+        "role": ["user"] * 9,
         "text": ["dup a", "dup a", "uniq b", "null-ts c", "null-ts c",
-                 "null-idx d", "null-idx e"],
-        "tool": ["plain"] * 7,
-        "ts": [t0, t0, t0, None, None, t0, t0],
+                 "null-idx d", "null-idx e", "null-conv f", "null-conv g"],
+        "tool": ["plain"] * 9,
+        "ts": [t0, t0, t0, None, None, t0, t0, t0, t0],
     }
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
@@ -198,15 +200,15 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     # rows AND both distinct null-turn_idx rows pass through (bypass is
     # deliberate and observable)
     texts = sorted(r["clean_text"] for r in got)
-    assert texts == ["dup a", "null-idx d", "null-idx e",
-                     "null-ts c", "null-ts c", "uniq b"]
+    assert texts == ["dup a", "null-conv f", "null-conv g", "null-idx d",
+                     "null-idx e", "null-ts c", "null-ts c", "uniq b"]
     obs = [
         p.observedMetrics["dedup_feed_quality"]
         for p in q.recentProgress
         if "dedup_feed_quality" in p.observedMetrics
     ]
     assert any(
-        m["n_rows"] == 7 and m["n_null_ts"] == 2 and m["n_null_key"] == 2
+        m["n_rows"] == 9 and m["n_null_ts"] == 2 and m["n_null_key"] == 4
         for m in obs
     ), obs
     # the post-dedup count is observable too: total engine-side drop per
@@ -224,6 +226,7 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     shutil.copy(f0, os.path.join(in_dir, "part-1.parquet"))
     run()
     texts2 = sorted(r["clean_text"] for r in spark.read.parquet(out).collect())
-    assert texts2 == ["dup a", "null-idx d", "null-idx d", "null-idx e",
+    assert texts2 == ["dup a", "null-conv f", "null-conv f", "null-conv g",
+                      "null-conv g", "null-idx d", "null-idx d", "null-idx e",
                       "null-idx e", "null-ts c", "null-ts c", "null-ts c",
                       "null-ts c", "uniq b"]
