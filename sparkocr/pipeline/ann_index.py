@@ -505,6 +505,86 @@ def lsh_topk_indexed(
     )
 
 
+def near_dups_indexed(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs touching at least one NEW vector, probed
+    against a materialized LSH index — the incremental counterpart of
+    ``similarity.embedding_near_dups`` (full-signature buckets, hamming
+    0, exact cosine ≥ threshold inside a bucket), the same way
+    ``lsh_store.incremental_lsh_pairs`` is the incremental counterpart
+    of the MinHash re-mine. A daily 0.1% increment must not re-signature
+    and self-join the whole 10^9-vector corpus.
+
+    New vectors are stamped with the index's STORED planes (re-seeded
+    from meta, never re-derived), the increment's distinct signatures
+    are collected driver-side (bounded by min(n_new, 2^n_planes) — at
+    the default 12 planes at most 4,096 values), and the index scan is
+    partition-pruned to exactly those sig= directories (base + committed
+    deltas). Index copies of the increment's vec_ids are excluded from
+    the old side, so the operator is correct before or after
+    ``append_to_index`` of the same increment. Wrong-dim / null
+    embeddings on either side are screened by the same
+    ``size(embedding) == dim`` restriction as every probe.
+
+    Output ``(id1, id2, cosine)`` with id1 < id2 — agrees exactly with
+    ``embedding_near_dups`` over old∪new restricted to pairs touching a
+    new vector (full-signature bucketing gives each vector ONE bucket,
+    so no pair is emitted twice)."""
+    m = _read_meta(spark, path)
+    if m["kind"] != "lsh":
+        raise ValueError(f"index at {path} is kind={m['kind']}, expected lsh")
+    planes = hyperplanes(m["dim"], m["n_planes"], m["seed"])
+    dim = int(m["dim"])
+    from sparkocr.pipeline import caching
+
+    sig_new = caching.register(
+        new_emb.filter(F.size("embedding") == dim).withColumn(
+            "sig", lsh_signature_col(F.col("embedding"), planes)
+        )
+    )
+    probe_sigs = [r["sig"] for r in sig_new.select("sig").distinct().collect()]
+    if not probe_sigs:
+        return spark.createDataFrame(
+            [], "id1 long, id2 long, cosine double"
+        )
+    new_ids = sig_new.select("vec_id")
+    old = _scan_vectors(
+        spark, path, F.col("sig").isin(probe_sigs) & (F.size("embedding") == dim)
+    ).join(F.broadcast(new_ids), "vec_id", "left_anti")
+
+    def _pairs(a, b, strict):
+        cond = F.col("a.sig") == F.col("b.sig")
+        cond = cond & (
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            if strict
+            else (F.col("a.vec_id") != F.col("b.vec_id"))
+        )
+        return (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(
+                F.least("a.vec_id", "b.vec_id").alias("id1"),
+                F.greatest("a.vec_id", "b.vec_id").alias("id2"),
+                F.round(
+                    cosine_expr(
+                        _as_double(F.col("a.embedding")),
+                        _as_double(F.col("b.embedding")),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    new_new = _pairs(sig_new, sig_new, strict=True)
+    new_old = _pairs(sig_new, old, strict=False)
+    return new_new.unionByName(new_old)
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

@@ -660,3 +660,65 @@ def test_old_format_pending_marker_refused_with_named_error(
     _write_json_atomic(spark, f"{path}/compact_pending.json", m.asDict())
     with pytest.raises(ValueError, match="folded"):
         compact_index(spark, path)
+
+
+def test_near_dups_indexed_matches_full_operator(spark, emb, tmp_path):
+    """Incremental near-dups over the index must equal the full
+    embedding_near_dups over old∪new restricted to pairs touching a new
+    vector — before AND after the increment is appended — and the probe
+    scan must stay partition-pruned."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.ann_index import (
+        append_to_index,
+        build_lsh_index,
+        near_dups_indexed,
+    )
+    from sparkocr.pipeline.similarity import embedding_near_dups
+
+    # near-dup fixture: clone a handful of vectors into "new" ids so
+    # threshold pairs exist across old/new and inside new
+    base = emb.filter("vec_id % 2 = 0 and embedding is not null").select(
+        "vec_id", "embedding"
+    )
+    clones = base.filter("vec_id <= 20").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    twin = base.filter("vec_id = 4").select(
+        F.lit(2_000_000).alias("vec_id"), "embedding"
+    )
+    new = clones.unionByName(twin)
+    path = str(tmp_path / "nd_idx")
+    build_lsh_index(base, path)
+    try:
+        got = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in near_dups_indexed(spark, path, new).collect()
+        )
+        new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+        want = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in embedding_near_dups(base.unionByName(new)).collect()
+            if r.id1 in new_ids or r.id2 in new_ids
+        )
+        assert got == want and len(got) >= len(new_ids.difference({2_000_000}))
+        # appending the increment must not change the answer (index
+        # copies of the new ids are excluded from the old side)
+        append_to_index(new, path, "nd-inc")
+        got2 = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in near_dups_indexed(spark, path, new).collect()
+        )
+        assert got2 == got
+        # pruned probe: the INDEX scan roots (base vectors + the appended
+        # delta) restrict to the increment's sigs; the increment's own
+        # source-table scans are unpartitioned and carry empty filters
+        plan = _plan(near_dups_indexed(spark, path, new))
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        pruned = [f for f in filters if re.search(r"sig#\d+L? IN", f)]
+        assert len(pruned) >= 2, plan  # base + delta both pruned
+        # empty increment: clean empty frame, no crash
+        assert near_dups_indexed(spark, path, new.filter("vec_id < 0")).count() == 0
+    finally:
+        caching.release_all()
