@@ -510,6 +510,8 @@ def near_dups_indexed(
     path: str,
     new_emb: DataFrame,
     threshold: float = 0.95,
+    bucket_max: int | None = None,
+    cap_metrics=None,
 ) -> DataFrame:
     """Embedding near-dup pairs touching at least one NEW vector, probed
     against a materialized LSH index — the incremental counterpart of
@@ -533,7 +535,17 @@ def near_dups_indexed(
     Output ``(id1, id2, cosine)`` with id1 < id2 — agrees exactly with
     ``embedding_near_dups`` over old∪new restricted to pairs touching a
     new vector (full-signature bucketing gives each vector ONE bucket,
-    so no pair is emitted twice)."""
+    so no pair is emitted twice; under equal ``bucket_max`` the two also
+    agree — both cap on combined old∪new bucket membership).
+
+    ``bucket_max`` (opt-in, same semantics as ``embedding_near_dups``):
+    caps a signature bucket's COMBINED membership (index + increment)
+    and drops capped buckets from the increment side — which caps both
+    joins, since every pair needs an increment-side row. Drops are
+    observable via ``cap_metrics`` (``dedup.cap_metrics_get``)."""
+    from sparkocr.pipeline.dedup import _observe_cap, _require_cap
+
+    _require_cap(bucket_max, cap_metrics)
     m = _read_meta(spark, path)
     if m["kind"] != "lsh":
         raise ValueError(f"index at {path} is kind={m['kind']}, expected lsh")
@@ -555,6 +567,18 @@ def near_dups_indexed(
     old = _scan_vectors(
         spark, path, F.col("sig").isin(probe_sigs) & (F.size("embedding") == dim)
     ).join(F.broadcast(new_ids), "vec_id", "left_anti")
+    if bucket_max is not None:
+        counts_new = sig_new.groupBy("sig").agg(F.count(F.lit(1)).alias("bn_new"))
+        counts_old = old.groupBy("sig").agg(F.count(F.lit(1)).alias("bn_old"))
+        totals = _observe_cap(
+            counts_new.join(counts_old, "sig", "left").select(
+                "sig",
+                (F.col("bn_new") + F.coalesce("bn_old", F.lit(0))).alias("bn"),
+            ),
+            "bn", bucket_max, cap_metrics,
+        )
+        small = totals.filter(F.col("bn") <= bucket_max).select("sig")
+        sig_new = sig_new.join(F.broadcast(small), "sig", "left_semi")
 
     def _pairs(a, b, strict):
         cond = F.col("a.sig") == F.col("b.sig")

@@ -339,11 +339,23 @@ def detect_dim(emb: DataFrame, sample_size: int = 4096, seed: int = _SEED) -> in
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = N_PLANES,
     dim: int | None = None,
+    bucket_max: int | None = None,
+    cap_metrics=None,
 ) -> DataFrame:
     """Near-dup vector pairs: bucket by full LSH signature (hamming 0) then
     exact cosine ≥ threshold inside buckets — the embedding-cosine analog of
     MinHash-LSH dedup. ``dim`` is read from the data when not given (a
-    hard-coded dimension would crash on any non-64-dim table)."""
+    hard-coded dimension would crash on any non-64-dim table).
+
+    ``bucket_max`` (opt-in, like ``jaccard_pairs``' df cap at the scale
+    call sites): a cluster of d identical/near-identical vectors shares
+    one full signature and emits d²/2 join rows — cap the bucket before
+    the self-join at 10^9-vector scale (run exact dedup first so the cap
+    rarely bites). Drops are observable via ``cap_metrics`` (a fresh
+    ``Observation``, read with ``dedup.cap_metrics_get``)."""
+    from sparkocr.pipeline.dedup import _observe_cap, _require_cap
+
+    _require_cap(bucket_max, cap_metrics)
     if dim is None:
         dim = detect_dim(emb)
     planes = hyperplanes(dim, n_planes)
@@ -353,6 +365,13 @@ def embedding_near_dups(
     sigged = caching.register(
         emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
     )
+    if bucket_max is not None:
+        counts = _observe_cap(
+            sigged.groupBy("sig").agg(F.count(F.lit(1)).alias("bn")),
+            "bn", bucket_max, cap_metrics,
+        )
+        small = counts.filter(F.col("bn") <= bucket_max).select("sig")
+        sigged = sigged.join(small, "sig", "left_semi")
     a, b = sigged.alias("a"), sigged.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -722,3 +722,63 @@ def test_near_dups_indexed_matches_full_operator(spark, emb, tmp_path):
         assert near_dups_indexed(spark, path, new.filter("vec_id < 0")).count() == 0
     finally:
         caching.release_all()
+
+
+def test_near_dups_cap_agrees_between_full_and_indexed(spark, emb, tmp_path):
+    """Under equal bucket_max both near-dup paths cap on combined bucket
+    membership: a clone cluster over the cap emits nothing (observably),
+    and capped-indexed equals capped-full restricted to new pairs."""
+    from pyspark.sql import Observation, functions as F
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.ann_index import build_lsh_index, near_dups_indexed
+    from sparkocr.pipeline.dedup import cap_metrics_get
+    from sparkocr.pipeline.similarity import embedding_near_dups
+
+    base = emb.filter("vec_id % 2 = 0 and embedding is not null").select(
+        "vec_id", "embedding"
+    )
+    one = base.filter("vec_id = 8").select("embedding")
+    clones = (
+        spark.range(3_000_000, 3_000_012)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(one)
+    )
+    # plus one re-fetched vector in a NORMAL bucket: its twin pair
+    # survives the cap, so the capped plan has output (a fully-empty
+    # result lets AQE prune the CollectMetrics node — the documented
+    # cap_metrics_get None case — and the test would assert nothing)
+    refetch = base.filter("vec_id = 30").select(
+        F.lit(3_000_100).alias("vec_id"), "embedding"
+    )
+    inc = clones.unionByName(refetch)
+    path = str(tmp_path / "nd_cap")
+    build_lsh_index(base, path)
+    try:
+        cap = 6  # 12 clones + their base twin = 13 > 6
+        obs = Observation()
+        capped = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in near_dups_indexed(
+                spark, path, inc, bucket_max=cap, cap_metrics=obs
+            ).collect()
+        )
+        metrics = cap_metrics_get(obs)
+        assert metrics is not None and metrics["capped_buckets"] >= 1
+        assert all(i1 == 30 or i2 == 3_000_100 for i1, i2, _ in capped)
+        assert (30, 3_000_100, 1.0) in capped  # the uncapped twin survives
+        new_ids = {r.vec_id for r in inc.select("vec_id").collect()}
+        want = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in embedding_near_dups(
+                base.unionByName(inc), bucket_max=cap
+            ).collect()
+            if r.id1 in new_ids or r.id2 in new_ids
+        )
+        assert capped == want  # equal caps → equal answers
+        # uncapped: the clone clique is all-pairs plus each clone's base
+        # twin plus the re-fetch twin
+        n_unc = near_dups_indexed(spark, path, inc).count()
+        assert n_unc >= (12 * 11) // 2 + 12 + 1
+    finally:
+        caching.release_all()
