@@ -512,6 +512,7 @@ def near_dups_indexed(
     threshold: float = 0.95,
     bucket_max: int | None = None,
     cap_metrics=None,
+    max_probe_sigs: int = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs touching at least one NEW vector, probed
     against a materialized LSH index — the incremental counterpart of
@@ -523,27 +524,32 @@ def near_dups_indexed(
 
     New vectors are stamped with the index's STORED planes (re-seeded
     from meta, never re-derived), the increment's distinct signatures
-    are collected driver-side (bounded by min(n_new, 2^n_planes) — at
-    the default 12 planes at most 4,096 values), and the index scan is
-    partition-pruned to exactly those sig= directories (base + committed
-    deltas). Index copies of the increment's vec_ids are excluded from
-    the old side, so the operator is correct before or after
-    ``append_to_index`` of the same increment. Wrong-dim / null
-    embeddings on either side are screened by the same
-    ``size(embedding) == dim`` restriction as every probe.
+    are collected driver-side, and the index scan is partition-pruned to
+    exactly those sig= directories (base + committed deltas). The sig
+    collect is bounded by min(n_new, 2^n_planes) — 4,096 at the DEFAULT
+    12 planes, but an index built with more planes admits up to n_new
+    distinct values, so the collect is guarded by ``max_probe_sigs``
+    (a million-literal isin would melt the planner before the scan ever
+    ran): past the bound, chunk the increment or run the full operator.
+    Index copies of the increment's vec_ids are excluded from the old
+    side, so the operator is correct before or after ``append_to_index``
+    of the same increment. Wrong-dim / null embeddings on either side
+    are screened by the same ``size(embedding) == dim`` restriction as
+    every probe (and as ``embedding_near_dups`` itself applies), so the
+    two paths see identical bucket membership.
 
     Output ``(id1, id2, cosine)`` with id1 < id2 — agrees exactly with
     ``embedding_near_dups`` over old∪new restricted to pairs touching a
     new vector (full-signature bucketing gives each vector ONE bucket,
     so no pair is emitted twice; under equal ``bucket_max`` the two also
-    agree — both cap on combined old∪new bucket membership).
+    agree — both cap on combined valid-row old∪new bucket membership).
 
     ``bucket_max`` (opt-in, same semantics as ``embedding_near_dups``):
     caps a signature bucket's COMBINED membership (index + increment)
     and drops capped buckets from the increment side — which caps both
     joins, since every pair needs an increment-side row. Drops are
     observable via ``cap_metrics`` (``dedup.cap_metrics_get``)."""
-    from sparkocr.pipeline.dedup import _observe_cap, _require_cap
+    from sparkocr.pipeline.dedup import _require_cap, cap_hot_buckets
 
     _require_cap(bucket_max, cap_metrics)
     m = _read_meta(spark, path)
@@ -558,27 +564,40 @@ def near_dups_indexed(
             "sig", lsh_signature_col(F.col("embedding"), planes)
         )
     )
-    probe_sigs = [r["sig"] for r in sig_new.select("sig").distinct().collect()]
+    probe_sigs = [
+        r["sig"]
+        for r in sig_new.select("sig").distinct().limit(max_probe_sigs + 1).collect()
+    ]
     if not probe_sigs:
         return spark.createDataFrame(
             [], "id1 long, id2 long, cosine double"
+        )
+    if len(probe_sigs) > max_probe_sigs:
+        raise ValueError(
+            f"near_dups_indexed: the increment touches more than "
+            f"{max_probe_sigs} distinct signatures — the pruning isin "
+            "literal would overwhelm the planner; chunk the increment, "
+            "raise max_probe_sigs deliberately, or run "
+            "similarity.embedding_near_dups over the combined corpus"
         )
     new_ids = sig_new.select("vec_id")
     old = _scan_vectors(
         spark, path, F.col("sig").isin(probe_sigs) & (F.size("embedding") == dim)
     ).join(F.broadcast(new_ids), "vec_id", "left_anti")
     if bucket_max is not None:
+        # the cap branch reads `old` twice (counts + join): cache the
+        # pruned scan so the partition listing + anti-join run once
+        old = caching.register(old)
         counts_new = sig_new.groupBy("sig").agg(F.count(F.lit(1)).alias("bn_new"))
         counts_old = old.groupBy("sig").agg(F.count(F.lit(1)).alias("bn_old"))
-        totals = _observe_cap(
-            counts_new.join(counts_old, "sig", "left").select(
-                "sig",
-                (F.col("bn_new") + F.coalesce("bn_old", F.lit(0))).alias("bn"),
-            ),
-            "bn", bucket_max, cap_metrics,
+        totals = counts_new.join(counts_old, "sig", "left").select(
+            "sig",
+            (F.col("bn_new") + F.coalesce("bn_old", F.lit(0))).alias("bn"),
         )
-        small = totals.filter(F.col("bn") <= bucket_max).select("sig")
-        sig_new = sig_new.join(F.broadcast(small), "sig", "left_semi")
+        sig_new = cap_hot_buckets(
+            sig_new, ["sig"], bucket_max, cap_metrics,
+            counts=totals, broadcast_small=True,
+        )
 
     def _pairs(a, b, strict):
         cond = F.col("a.sig") == F.col("b.sig")

@@ -162,6 +162,32 @@ def cap_metrics_get(obs: Observation) -> dict | None:
     return obs.get
 
 
+def cap_hot_buckets(
+    df: DataFrame,
+    keys: list[str],
+    cap: int,
+    obs: Observation | None,
+    counts: DataFrame | None = None,
+    broadcast_small: bool = False,
+) -> DataFrame:
+    """THE hot-bucket cap: keep only ``df`` rows whose bucket (``keys``)
+    has ≤ ``cap`` members, with drops observable through ``obs``
+    (``_observe_cap``). ``counts`` defaults to df's own per-key counts
+    (column ``bn``); incremental operators pass a COMBINED counts frame
+    (store + increment membership) instead. ``broadcast_small`` hints
+    the kept-keys side when it is increment-sized. One definition — the
+    five cap sites (LSH bands, simhash chunks, embedding buckets full +
+    indexed, incremental band store) previously each carried a copy,
+    and the copies had already begun to drift."""
+    if counts is None:
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("bn"))
+    counts = _observe_cap(counts, "bn", cap, obs)
+    small = counts.filter(F.col("bn") <= cap).select(*keys)
+    if broadcast_small:
+        small = F.broadcast(small)
+    return df.join(small, keys, "left_semi")
+
+
 def jaccard_pairs(
     docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5,
     df_max: int | None = DF_MAX,
@@ -315,12 +341,7 @@ def lsh_candidate_pairs(
         ).alias("e"),
     ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
     if bucket_max is not None:
-        counts = _observe_cap(
-            stacked.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("bn")),
-            "bn", bucket_max, cap_metrics,
-        )
-        small = counts.filter(F.col("bn") <= bucket_max).select("band_id", "bh")
-        stacked = stacked.join(small, ["band_id", "bh"], "left_semi")
+        stacked = cap_hot_buckets(stacked, ["band_id", "bh"], bucket_max, cap_metrics)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -561,12 +582,7 @@ def simhash_near_dups(
         ).alias("e"),
     ).select("doc_id", "simhash", "e.chunk_id", "e.chunk")
     if bucket_max is not None:
-        counts = _observe_cap(
-            chunks.groupBy("chunk_id", "chunk").agg(F.count(F.lit(1)).alias("bn")),
-            "bn", bucket_max, cap_metrics,
-        )
-        small = counts.filter(F.col("bn") <= bucket_max).select("chunk_id", "chunk")
-        chunks = chunks.join(small, ["chunk_id", "chunk"], "left_semi")
+        chunks = cap_hot_buckets(chunks, ["chunk_id", "chunk"], bucket_max, cap_metrics)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -43,8 +43,8 @@ from sparkocr.pipeline.dedup import (
     BAND_ROWS,
     N_PERM,
     SHINGLE,
-    _observe_cap,
     _require_cap,
+    cap_hot_buckets,
     check_band_divisibility,
     est_jaccard_col,
     minhash_signatures,
@@ -293,21 +293,18 @@ def incremental_lsh_pairs(
         counts_store = store_bands.groupBy("bkey").agg(
             F.count(F.lit(1)).alias("bn_store")
         )
-        totals = _observe_cap(
-            counts_new.join(counts_store, "bkey", "left").select(
-                "bkey",
-                (F.col("bn_new") + F.coalesce("bn_store", F.lit(0))).alias("bn"),
-            ),
-            "bn",
-            bucket_max,
-            cap_metrics,
+        totals = counts_new.join(counts_store, "bkey", "left").select(
+            "bkey",
+            (F.col("bn_new") + F.coalesce("bn_store", F.lit(0))).alias("bn"),
         )
-        small = totals.filter(F.col("bn") <= bucket_max).select("bkey")
         # capping the INCREMENT side alone caps both joins: every pair
         # needs a new-side band row in the kept set, so no store-side
         # filter (a second consumer would also duplicate the observe
         # node and lose the metrics)
-        bands_new = bands_new.join(F.broadcast(small), "bkey", "left_semi")
+        bands_new = cap_hot_buckets(
+            bands_new, ["bkey"], bucket_max, cap_metrics,
+            counts=totals, broadcast_small=True,
+        )
 
     xs = [F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)]
     ys = [F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)]

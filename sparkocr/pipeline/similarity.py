@@ -351,9 +351,15 @@ def embedding_near_dups(
     call sites): a cluster of d identical/near-identical vectors shares
     one full signature and emits d²/2 join rows — cap the bucket before
     the self-join at 10^9-vector scale (run exact dedup first so the cap
-    rarely bites). Drops are observable via ``cap_metrics`` (a fresh
-    ``Observation``, read with ``dedup.cap_metrics_get``)."""
-    from sparkocr.pipeline.dedup import _observe_cap, _require_cap
+    rarely bites). Bucket membership is counted over VALID rows only
+    (``size(embedding) == dim``): null / wrong-dim embeddings can never
+    produce a ≥-threshold pair (zero-filled sig, null cosine), so they
+    are dropped up front rather than inflating sig-0's count toward the
+    cap — and the incremental counterpart (``ann_index.near_dups_indexed``)
+    counts the same way, keeping the two paths' capped answers equal.
+    Drops are observable via ``cap_metrics`` (a fresh ``Observation``,
+    read with ``dedup.cap_metrics_get``)."""
+    from sparkocr.pipeline.dedup import _require_cap, cap_hot_buckets
 
     _require_cap(bucket_max, cap_metrics)
     if dim is None:
@@ -363,15 +369,12 @@ def embedding_near_dups(
     # products are the expensive projection; registered with caching —
     # consumers call caching.release_all() after the action (dedup.py note)
     sigged = caching.register(
-        emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+        emb.filter(F.size("embedding") == int(dim)).withColumn(
+            "sig", lsh_signature_col(F.col("embedding"), planes)
+        )
     )
     if bucket_max is not None:
-        counts = _observe_cap(
-            sigged.groupBy("sig").agg(F.count(F.lit(1)).alias("bn")),
-            "bn", bucket_max, cap_metrics,
-        )
-        small = counts.filter(F.col("bn") <= bucket_max).select("sig")
-        sigged = sigged.join(small, "sig", "left_semi")
+        sigged = cap_hot_buckets(sigged, ["sig"], bucket_max, cap_metrics)
     a, b = sigged.alias("a"), sigged.alias("b")
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))

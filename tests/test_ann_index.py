@@ -768,17 +768,64 @@ def test_near_dups_cap_agrees_between_full_and_indexed(spark, emb, tmp_path):
         assert all(i1 == 30 or i2 == 3_000_100 for i1, i2, _ in capped)
         assert (30, 3_000_100, 1.0) in capped  # the uncapped twin survives
         new_ids = {r.vec_id for r in inc.select("vec_id").collect()}
+        obs_full = Observation()
         want = sorted(
             (r.id1, r.id2, r.cosine)
             for r in embedding_near_dups(
-                base.unionByName(inc), bucket_max=cap
+                base.unionByName(inc), bucket_max=cap, cap_metrics=obs_full
             ).collect()
             if r.id1 in new_ids or r.id2 in new_ids
         )
+        full_metrics = cap_metrics_get(obs_full)
+        assert full_metrics is not None and full_metrics["capped_buckets"] >= 1
         assert capped == want  # equal caps → equal answers
         # uncapped: the clone clique is all-pairs plus each clone's base
         # twin plus the re-fetch twin
         n_unc = near_dups_indexed(spark, path, inc).count()
         assert n_unc >= (12 * 11) // 2 + 12 + 1
+    finally:
+        caching.release_all()
+
+
+def test_near_dups_cap_counts_valid_rows_only(spark, emb, tmp_path):
+    """Null / wrong-dim embeddings can never produce a qualifying pair,
+    so they must not inflate a bucket's count toward the cap — in either
+    path. (Zero-filled junk all lands in sig 0; counting it would cap
+    sig 0's REAL near-dups away in the full op but not the indexed one.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.ann_index import build_lsh_index, near_dups_indexed
+    from sparkocr.pipeline.similarity import embedding_near_dups
+
+    base = emb.filter("vec_id % 2 = 0 and embedding is not null").select(
+        "vec_id", "embedding"
+    )
+    junk = (
+        spark.range(5_000_000, 5_000_040)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", F.lit(None).cast(ArrayType(DoubleType())))
+    )
+    inc = base.filter("vec_id = 12").select(
+        F.lit(5_100_000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "nd_dirty_cap")
+    build_lsh_index(base.unionByName(junk), path)
+    try:
+        cap = 5  # far below the 40 junk rows, above any real clean bucket
+        got = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in near_dups_indexed(spark, path, inc, bucket_max=cap).collect()
+        )
+        want = sorted(
+            (r.id1, r.id2, r.cosine)
+            for r in embedding_near_dups(
+                base.unionByName(junk).unionByName(inc), bucket_max=cap
+            ).collect()
+            if r.id1 == 5_100_000 or r.id2 == 5_100_000
+        )
+        assert got == want
+        assert (12, 5_100_000, 1.0) in got  # the twin survives the cap
     finally:
         caching.release_all()
