@@ -1,0 +1,103 @@
+"""Sequence packing: exact agreement with a pure-Python greedy oracle,
+partition invariance (the cross-cluster-size reproducibility property),
+and the packing invariants a training pipeline relies on."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+BUDGET = 256
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+
+
+def _oracle(rows, budget, n_groups):
+    """Pure-Python replay: xxhash64 grouping is replayed from Spark's own
+    hash (collected once), packing greedy next-fit in doc_id order."""
+    out = {}
+    by_group = {}
+    for doc_id, n_tokens, group_id in rows:
+        by_group.setdefault(group_id, []).append((doc_id, n_tokens))
+    for gid, members in by_group.items():
+        local, used, pos = 0, 0, 0
+        for doc_id, n in sorted(members):
+            if used > 0 and used + n > budget:
+                local += 1
+                used, pos = 0, 0
+            out[doc_id] = (gid * (1 << 40) + local, pos)
+            used += n
+            pos += 1
+    return out
+
+
+def test_packing_matches_python_oracle(spark, docs):
+    from sparkocr.pipeline.packing import pack_sequences
+
+    packed = pack_sequences(docs, BUDGET, n_groups=8).collect()
+    rows = [(r.doc_id, r.n_tokens, r.group_id) for r in packed]
+    want = _oracle(rows, BUDGET, 8)
+    assert len(packed) == docs.count()  # every doc exactly once
+    for r in packed:
+        assert (r.pack_id, r.pack_pos) == want[r.doc_id], r
+
+
+def test_packing_invariants(spark, docs):
+    from sparkocr.pipeline.packing import pack_sequences, pack_stats
+
+    packed = pack_sequences(docs, BUDGET, n_groups=8)
+    stats = pack_stats(packed, BUDGET).collect()
+    assert stats
+    for p in stats:
+        # a pack only exceeds the budget when a single oversized doc
+        # owns it alone
+        assert p.n_tokens <= BUDGET or p.n_docs == 1, p
+        assert 0 < p.fill <= 1.0
+    # positions within each pack are 0..n_docs-1
+    rows = packed.collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r.pack_pos)
+    for pid, poss in by_pack.items():
+        assert sorted(poss) == list(range(len(poss))), pid
+
+
+def test_packing_is_partition_invariant(spark, docs):
+    """Identical packs no matter how the input is partitioned — the
+    property that makes local[8] and a 1000-executor run agree."""
+    from sparkocr.pipeline.packing import pack_sequences
+
+    def snap(src):
+        return sorted(
+            (r.doc_id, r.pack_id, r.pack_pos)
+            for r in pack_sequences(src, BUDGET, n_groups=8).collect()
+        )
+
+    assert snap(docs.coalesce(1)) == snap(docs.repartition(13))
+
+
+def test_packing_edges(spark, docs):
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.packing import pack_sequences
+
+    # oversized doc gets its own pack; empty text counts zero tokens
+    fixture = spark.createDataFrame(
+        [(1, "a " * 500), (2, ""), (3, None), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(fixture, 10, n_groups=1).collect()}
+    assert rows[1].n_tokens > 10  # oversized
+    # the oversized doc shares its pack with nobody
+    mates = [r for r in rows.values() if r.pack_id == rows[1].pack_id]
+    assert mates == [rows[1]]
+    assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(fixture, 0)
+    # precomputed size column path
+    sized = fixture.withColumn("sz", F.lit(4))
+    got = pack_sequences(sized, 10, n_groups=1, size_col="sz").collect()
+    assert all(r.n_tokens == 4 for r in got)
