@@ -9,17 +9,24 @@ on everything before it), so this is the scale-correct two-level shape:
 1. documents are hash-assigned to ``n_groups`` independent streams
    (``pmod(xxhash64(doc_id), n_groups)`` — deterministic, partition-
    layout-independent, same trick as ``dedup.hash_split``);
-2. within each stream, docs are packed greedily in ``doc_id`` order
-   (running total; open a new pack when the next doc would overflow the
-   budget) inside one ``applyInPandas`` group — bounded state (one
-   running counter), one shuffle on the group key.
+2. streams are shuffled to their owning partition and sorted there
+   (``repartition(group_id)`` + ``sortWithinPartitions``), then a
+   ``mapInPandas`` pass STREAMS the sorted Arrow batches through
+   per-group running counters — true O(1) state per group, never a
+   whole group materialized in one pandas frame (a group is ~corpus /
+   n_groups rows; loading it would OOM an executor at the stated
+   scale).
 
-Determinism: pack assignment is a pure function of (doc_id set, sizes,
-budget, n_groups) — independent of partitioning and Arrow batching, so
-local[8] and a 1000-executor run produce identical packs (the property
-every operator in this repo pins). A document larger than the budget
-gets a pack of its own (callers chunk oversized docs FIRST —
-``chunking.payload_chunks`` exists for exactly that).
+Determinism: pack assignment is a pure function of the (doc_id,
+n_tokens) multiset, budget, and n_groups — independent of partitioning
+and Arrow batching, so local[8] and a 1000-executor run produce
+identical packs (the property every operator in this repo pins). The
+in-stream order is (doc_id, n_tokens), so even duplicate doc_ids cannot
+make downstream assignments depend on physical row order. A document
+larger than the budget gets a pack of its own (callers split oversized
+payloads FIRST — ``textproc.chunking.chunk_turns`` is the bounded-
+segment splitter for that). ``doc_id`` is the documents schema's long
+key; hash or cast string keys before calling.
 
 Output: one row per document, ``(doc_id, n_tokens, group_id, pack_id,
 pack_pos)`` — ``pack_id`` is globally unique (``group_id * 2^40 +
@@ -27,6 +34,8 @@ local pack index``), ``pack_pos`` the doc's position inside its pack.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -43,61 +52,75 @@ def pack_sequences(
     """Pack ``docs`` (``doc_id``, ``text`` — or a precomputed
     ``size_col``) into packs of at most ``budget`` tokens per pack.
 
-    ``size_col``: name of an existing per-doc size column; default
-    derives whitespace-token counts from ``text`` the same way
-    ``textstats.token_counts`` does (JVM-side split, no UDF).
+    ``size_col``: name of an existing per-doc size column; the default
+    derives whitespace-token counts from ``text`` with the SAME
+    expression as ``textstats.token_counts`` (one shared definition).
+    Null sizes (null text, or a null/uncastable size_col value) count 0
+    and negatives are clamped to 0 — a poison row must degrade, not
+    kill the stage or corrupt the running total.
 
-    At 1000-executor scale the only shuffle is the group-key
-    ``applyInPandas``; each group's state is one running counter over
-    its ~1/n_groups slice, and raising ``n_groups`` bounds any group's
-    row count. Packing quality loses nothing material from grouping:
-    greedy next-fit wastes at most one document's tokens per pack
-    boundary regardless of stream count."""
+    Scale shape: one shuffle (the group repartition), per-partition sort,
+    and a streaming map whose state is one counter per in-flight group.
+    Raising ``n_groups`` bounds any stream's length; greedy next-fit
+    loses at most one document's tokens per pack boundary regardless of
+    stream count."""
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    if n_groups <= 0:
+        raise ValueError(
+            f"pack_sequences: n_groups must be positive, got {n_groups} "
+            "(pmod by zero would null every group id)"
+        )
     if size_col is None:
-        sized = docs.select(
-            "doc_id",
-            F.when(
-                F.trim(F.col("text")).isNotNull() & (F.trim(F.col("text")) != ""),
-                F.size(F.split(F.trim(F.col("text")), r"\s+")),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
+        from sparkocr.pipeline.textstats import ws_token_count_col
+
+        size_expr = ws_token_count_col()
     else:
-        sized = docs.select(
-            "doc_id", F.col(size_col).cast("long").alias("n_tokens")
+        size_expr = F.col(size_col).cast("long")
+    sized = docs.select(
+        "doc_id",
+        F.greatest(F.lit(0), F.coalesce(size_expr, F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    grouped = (
+        sized.withColumn(
+            "group_id",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups)).cast("int"),
         )
-    grouped = sized.withColumn(
-        "group_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups)).cast("int")
+        .repartition(n_groups, "group_id")
+        .sortWithinPartitions("group_id", "doc_id", "n_tokens")
     )
 
     out_schema = (
         "doc_id long, n_tokens long, group_id int, pack_id long, pack_pos int"
     )
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        gid = int(pdf["group_id"].iloc[0])
-        base = gid * _PACK_STRIDE
-        pack_ids, positions = [], []
-        local, used, pos = 0, 0, 0
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if used > 0 and used + n > budget:
-                local += 1
-                used, pos = 0, 0
-            pack_ids.append(base + local)
-            positions.append(pos)
-            used += n
-            pos += 1
-        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
-        pdf["pack_pos"] = pd.Series(positions, dtype="int32")
-        return pdf[["doc_id", "n_tokens", "group_id", "pack_id", "pack_pos"]]
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running state survives ACROSS Arrow batches of the sorted
+        # partition; groups are contiguous after the sort, so one open
+        # counter set per group suffices
+        gid = None
+        local = used = pos = 0
+        for pdf in batches:
+            pack_ids, positions = [], []
+            for g, n in zip(pdf["group_id"], pdf["n_tokens"]):
+                g, n = int(g), int(n)
+                if g != gid:
+                    gid, local, used, pos = g, 0, 0, 0
+                elif used > 0 and used + n > budget:
+                    local += 1
+                    used, pos = 0, 0
+                pack_ids.append(gid * _PACK_STRIDE + local)
+                positions.append(pos)
+                used += n
+                pos += 1
+            out = pdf[["doc_id", "n_tokens", "group_id"]].copy()
+            out["pack_id"] = pd.Series(pack_ids, dtype="int64")
+            out["pack_pos"] = pd.Series(positions, dtype="int32")
+            yield out
 
-    return grouped.groupBy("group_id").applyInPandas(_pack, out_schema)
+    return grouped.mapInPandas(_pack, out_schema)
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:

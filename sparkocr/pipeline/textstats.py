@@ -49,6 +49,18 @@ def lang_score_sql(col: str, lang: str) -> str:
     return f"(({parts}) * 1000.0 / (length({col}) + 1))"
 
 
+def ws_token_count_col(text_col: str = "text"):
+    """THE whitespace-token count expression — shared by ``token_counts``
+    and ``packing.pack_sequences`` so the two can never disagree. Full-
+    whitespace trim: ``trim()`` strips only ' ', so '\\ta b' would split
+    into a phantom leading token and tab/newline-only text would count 2.
+    Null text propagates null (callers that need a number coalesce)."""
+    fulltrim = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    return F.when(F.length(fulltrim) == 0, F.lit(0)).otherwise(
+        F.size(F.split(fulltrim, r"\s+"))
+    )
+
+
 def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     """Word + regex-token counts per document (JVM regexp, no UDF).
 
@@ -58,12 +70,7 @@ def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     ``fingerprint`` appends the md5 whole-document fingerprint column (the
     exact-dup key) in the same projection — one scan instead of a separate
     fingerprint pass."""
-    # full-whitespace trim: trim() strips only ' ', so '\ta b' would split
-    # into a phantom leading token and tab/newline-only text would count 2
-    fulltrim = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
-    ws = F.when(F.length(fulltrim) == 0, F.lit(0)).otherwise(
-        F.size(F.split(fulltrim, r"\s+"))
-    )
+    ws = ws_token_count_col()
     cols = [
         F.col("doc_id"),
         ws.alias("n_ws_tokens"),

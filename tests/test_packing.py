@@ -84,9 +84,11 @@ def test_packing_edges(spark, docs):
 
     from sparkocr.pipeline.packing import pack_sequences
 
-    # oversized doc gets its own pack; empty text counts zero tokens
+    # oversized doc gets its own pack; empty/null/whitespace-only text
+    # counts zero tokens (trailing newlines must NOT add phantom tokens)
     fixture = spark.createDataFrame(
-        [(1, "a " * 500), (2, ""), (3, None), (4, "one two three")],
+        [(1, "a " * 500), (2, ""), (3, None), (4, "one two three\n"),
+         (5, "\n\t ")],
         "doc_id long, text string",
     )
     rows = {r.doc_id: r for r in pack_sequences(fixture, 10, n_groups=1).collect()}
@@ -95,9 +97,52 @@ def test_packing_edges(spark, docs):
     mates = [r for r in rows.values() if r.pack_id == rows[1].pack_id]
     assert mates == [rows[1]]
     assert rows[2].n_tokens == 0 and rows[3].n_tokens == 0
+    assert rows[4].n_tokens == 3  # not 4: trailing newline is no token
+    assert rows[5].n_tokens == 0
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(fixture, 0)
-    # precomputed size column path
-    sized = fixture.withColumn("sz", F.lit(4))
-    got = pack_sequences(sized, 10, n_groups=1, size_col="sz").collect()
-    assert all(r.n_tokens == 4 for r in got)
+    with pytest.raises(ValueError, match="n_groups"):
+        pack_sequences(fixture, 10, n_groups=0)
+    # precomputed size column path: nulls count 0, negatives clamp to 0
+    # (poison rows degrade instead of crashing the stage / corrupting
+    # the running total)
+    sized = fixture.withColumn(
+        "sz",
+        F.when(F.col("doc_id") == 2, F.lit(None))
+        .when(F.col("doc_id") == 3, F.lit(-7))
+        .otherwise(F.lit(4)),
+    )
+    got = {r.doc_id: r for r in
+           pack_sequences(sized, 10, n_groups=1, size_col="sz").collect()}
+    assert got[2].n_tokens == 0 and got[3].n_tokens == 0
+    assert got[1].n_tokens == 4 and got[4].n_tokens == 4
+
+
+def test_packing_token_counts_match_textstats(spark, docs):
+    """The default sizer must agree exactly with textstats.token_counts —
+    one shared expression, pinned so the two can never drift."""
+    from sparkocr.pipeline.packing import pack_sequences
+    from sparkocr.pipeline.textstats import token_counts
+
+    want = {r.doc_id: r.n_ws_tokens for r in token_counts(docs).collect()}
+    got = {r.doc_id: r.n_tokens for r in
+           pack_sequences(docs, BUDGET, n_groups=4).collect()}
+    assert got == {k: (v if v is not None else 0) for k, v in want.items()}
+
+
+def test_packing_duplicate_doc_ids_stay_deterministic(spark):
+    """Duplicate doc_ids must not break partition invariance: the stream
+    order is (doc_id, n_tokens), so tied rows cannot inherit physical
+    row order from the input layout."""
+    from sparkocr.pipeline.packing import pack_sequences
+
+    rows = [(42, "x " * 5), (42, "y " * 200), (7, "z"), (8, "w " * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(src):
+        return sorted(
+            (r.doc_id, r.n_tokens, r.pack_id, r.pack_pos)
+            for r in pack_sequences(src, 16, n_groups=2).collect()
+        )
+
+    assert snap(df.coalesce(1)) == snap(df.repartition(4))
