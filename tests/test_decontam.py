@@ -1,0 +1,138 @@
+"""Benchmark decontamination: flags match a pure-Python n-gram oracle,
+the clean corpus removes exactly the flagged docs, and the plan never
+shuffles the exploded corpus-side n-gram table (broadcast probe)."""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+N = 5  # small n so fixture texts actually overlap
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+
+
+def _norm(text):
+    if text is None:
+        return []
+    cleaned = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    return cleaned.split(" ") if cleaned else []
+
+
+def _grams(text, n):
+    toks = _norm(text)
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@pytest.fixture(scope="module")
+def bench(spark, docs):
+    """Benchmark items: mid-document slices of a handful of corpus docs
+    (the realistic contamination shape) plus one novel item."""
+    rows = [r for r in docs.filter("doc_id in (3, 17, 40)").collect()]
+    items = []
+    for r in rows:
+        toks = _norm(r.text)
+        if len(toks) >= N + 4:
+            items.append((" ".join(toks[2 : 2 + N + 2]),))
+    items.append(("completely novel benchmark question nothing shares",))
+    assert len(items) >= 3
+    return spark.createDataFrame(items, "text string")
+
+
+def test_flags_match_python_oracle(spark, docs, bench):
+    from sparkocr.pipeline.decontam import contamination_flags
+
+    bench_set = set()
+    for b in bench.collect():
+        bench_set.update(_grams(b.text, N))
+    want = {}
+    for r in docs.collect():
+        hits = sum(1 for g in _grams(r.text, N) if g in bench_set)
+        if hits:
+            want[r.doc_id] = hits
+    got = {
+        r.doc_id: r.n_hits
+        for r in contamination_flags(docs, bench, n=N).collect()
+    }
+    assert got == want and len(got) >= 3  # the sliced docs are flagged
+
+
+def test_decontaminate_removes_exactly_flagged(spark, docs, bench):
+    from sparkocr.pipeline.decontam import contamination_flags, decontaminate
+
+    flagged = {
+        r.doc_id for r in contamination_flags(docs, bench, n=N).collect()
+    }
+    clean = decontaminate(docs, bench, n=N)
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert clean_ids == all_ids - flagged
+    assert set(clean.columns) == set(docs.columns)  # every column kept
+
+
+def test_corpus_ngrams_are_never_shuffled(spark, docs, bench):
+    """The scale contract: the exploded corpus n-gram table probes a
+    BROADCAST benchmark set — no hashpartitioning Exchange may sit
+    between the corpus scan/explode and the semi-join; only the tiny
+    matched-rows aggregation shuffles."""
+    from sparkocr.pipeline.decontam import contamination_flags
+
+    plan = (
+        contamination_flags(docs, bench, n=N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # ancestor walk from the corpus scan (textual plans indent children
+    # under parents): no Exchange may sit between the documents scan and
+    # the broadcast semi-join — the benchmark side's distinct() Exchange
+    # is benchmark-sized and allowed
+    lines = plan.splitlines()
+
+    def _indent(s):
+        return len(s) - len(s.lstrip(" +-:*"))
+
+    scans = [
+        i for i, ln in enumerate(lines)
+        if "FileScan" in ln and "documents" in ln
+    ]
+    assert scans, plan
+    for i in scans:
+        cur = _indent(lines[i])
+        for j in range(i - 1, -1, -1):
+            pj = lines[j]
+            if not pj.strip():
+                continue
+            pind = _indent(pj)
+            if pind >= cur:
+                continue  # sibling subtree
+            cur = pind
+            assert "Exchange" not in pj, f"corpus side shuffled:\n{pj}"
+            if "BroadcastHashJoin" in pj:
+                break  # reached the probe without a shuffle
+
+
+def test_short_and_poison_docs_are_safe(spark, bench):
+    from sparkocr.pipeline.decontam import contamination_flags, decontaminate
+
+    weird = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, ""), (4, "!!! ??? ..."),
+         (5, "completely novel benchmark question nothing shares")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: r.n_hits
+        for r in contamination_flags(weird, bench, n=N).collect()
+    }
+    assert set(flags) == {5}  # only the verbatim benchmark copy
+    assert {r.doc_id for r in decontaminate(weird, bench, n=N).collect()} == {
+        1, 2, 3, 4,
+    }
+    with pytest.raises(ValueError, match="n must be positive"):
+        contamination_flags(weird, bench, n=0)
