@@ -31,10 +31,9 @@ def _norm_tokens(text_col: str = "text"):
     """Normalized token array: lowercase, non-alphanumeric runs → one
     space, full trim, split. Null text → empty array (poison rows
     degrade to 'no n-grams', never a crashed task)."""
-    cleaned = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "),
-        r"^\s+|\s+$",
-        "",
+    # trim suffices: after the collapse every boundary char is ' '
+    cleaned = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
     )
     return F.when(
         F.col(text_col).isNull() | (F.length(cleaned) == 0), F.array()
@@ -65,7 +64,12 @@ def contamination_flags(
     OCCURRENCES that appear anywhere in the benchmark (a doc repeating
     one contaminated n-gram k times counts k — the magnitude signal a
     pipeline ranks removals by). Docs with zero hits are absent
-    (anti-join or ``decontaminate`` for the clean corpus)."""
+    (anti-join or ``decontaminate`` for the clean corpus).
+
+    Null doc_ids group as ONE row (SQL groupBy null semantics): the
+    count stays the honest total across them, but individual null-keyed
+    docs cannot be located by id — ``decontaminate`` handles them
+    fail-closed (see there)."""
     if n <= 0:
         raise ValueError(f"contamination_flags: n must be positive, got {n}")
     bench_grams = (
@@ -86,6 +90,19 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     """The clean corpus: every input column, minus docs flagged by
     ``contamination_flags``. The flagged-id side is a sliver of the
     corpus; the anti-join leaves its strategy to AQE (broadcast when it
-    fits, shuffle when a pathological benchmark flags half the corpus)."""
-    flagged = contamination_flags(docs, bench, n).select("doc_id")
-    return docs.join(flagged, "doc_id", "left_anti")
+    fits, shuffle when a pathological benchmark flags half the corpus).
+
+    The anti-join is NULL-SAFE (``<=>``), which makes null doc_ids fail
+    CLOSED: a plain equi-anti-join never matches a null key, so a
+    contaminated doc whose doc_id was lost would sail into the "clean"
+    corpus — the exact outcome this operator exists to prevent. Null-id
+    docs cannot be told apart by id, so if ANY of them is contaminated,
+    ALL of them are removed (over-removal of unidentifiable rows beats
+    silently shipping a benchmark leak); when none is flagged they all
+    survive."""
+    flagged = contamination_flags(docs, bench, n).select(
+        F.col("doc_id").alias("_flagged_id")
+    )
+    return docs.join(
+        flagged, F.col("doc_id").eqNullSafe(F.col("_flagged_id")), "left_anti"
+    )

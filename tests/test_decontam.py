@@ -136,3 +136,33 @@ def test_short_and_poison_docs_are_safe(spark, bench):
     }
     with pytest.raises(ValueError, match="n must be positive"):
         contamination_flags(weird, bench, n=0)
+
+
+def test_null_doc_id_fails_closed(spark, bench):
+    """A contaminated doc whose doc_id is null must NOT leak into the
+    clean corpus (a plain anti-join never matches null keys); when no
+    null-id doc is contaminated they all survive."""
+    from sparkocr.pipeline.decontam import contamination_flags, decontaminate
+
+    dirty = spark.createDataFrame(
+        [(None, "completely novel benchmark question nothing shares"),
+         (None, "an innocent null id document with plenty of words here"),
+         (1, "another innocent doc")],
+        "doc_id long, text string",
+    )
+    flags = contamination_flags(dirty, bench, n=N).collect()
+    # the 6-token verbatim copy holds two 5-grams, both contaminated
+    assert [(r.doc_id, r.n_hits) for r in flags] == [(None, 2)]
+    clean = decontaminate(dirty, bench, n=N).collect()
+    # fail closed: BOTH null-id docs removed (they cannot be told apart)
+    assert [r.doc_id for r in clean] == [1]
+
+    ok = spark.createDataFrame(
+        [(None, "an innocent null id document with plenty of words here"),
+         (1, "another innocent doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        (r.doc_id is None, r.doc_id) for r in decontaminate(ok, bench, n=N).collect()
+    )
+    assert len(kept) == 2  # nothing flagged → null-id docs survive
