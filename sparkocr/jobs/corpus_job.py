@@ -1,0 +1,164 @@
+"""End-to-end training-corpus pipeline: transcripts in, packed corpus out.
+
+The composition the individual operators exist for, as one spark-submit
+job:
+
+    extract (per-turn, Arrow-batched)
+      → assemble (per-conversation document)
+      → exact dedup (md5 groups, keep min id)
+      → near-dup dedup (MinHash-LSH pairs → connected components →
+        one canonical doc per cluster)
+      → quality filter (word-count threshold)
+      → benchmark decontamination (optional --bench parquet with a
+        ``text`` column; 13-gram overlap, fail-closed on null ids)
+      → train/val/test hash split
+      → sequence packing (fixed-token-budget packs)
+      → parquet corpus + one JSON summary line with per-stage counts.
+
+Usage (deployment shape mirrors ``extract_job``):
+
+    spark-submit --py-files sparkocr.zip sparkocr/jobs/corpus_job.py \
+        --input transcripts.parquet --out /corpus [--bench bench.parquet]
+        [--budget 2048] [--min-words 5]
+
+Document identity: ``doc_id = xxhash64(conv_id)`` (a long — the type the
+whole pipeline keys on), with ``conv_id`` carried alongside for
+traceability. A 64-bit hash collision would silently merge two
+conversations, so the job VERIFIES injectivity with one aggregate pass
+(distinct doc_ids == distinct conv_ids) and fails loudly on a collision
+(astronomically unlikely below ~10^8 docs; at larger corpora key the
+table upstream).
+
+Stage counts in the summary each force an action; intermediate frames
+are cached through ``pipeline.caching`` and released before exit, so the
+accounting does not recompute the chain stage-by-stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def build_corpus(
+    spark,
+    transcripts_path: str,
+    out_dir: str,
+    bench_path: str | None = None,
+    budget: int = 2048,
+    min_words: int = 5,
+    near_threshold: float = 0.8,
+) -> dict:
+    from sparkocr.assemble import assemble_docs_cli
+    from sparkocr.extract.dispatch import extract_turns
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import (
+        dedup_corpus,
+        hash_split,
+        lsh_candidate_pairs,
+        neardup_corpus,
+    )
+    from sparkocr.pipeline.decontam import decontaminate
+    from sparkocr.pipeline.packing import pack_sequences
+    from sparkocr.pipeline.textstats import ws_token_count_col
+
+    counts: dict[str, int] = {}
+    with caching.scope():
+        transcripts = spark.read.parquet(transcripts_path)
+        turns = extract_turns(transcripts)
+        docs = caching.register(
+            assemble_docs_cli(turns).select(
+                F.xxhash64("conv_id").alias("doc_id"),
+                "conv_id",
+                F.col("doc_text").alias("text"),
+            )
+        )
+        ids = docs.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.count_distinct("conv_id").alias("n_convs"),
+        ).first()
+        counts["assembled_docs"] = int(ids["rows"])
+        if ids["n_ids"] != ids["n_convs"]:
+            raise ValueError(
+                "corpus_job: xxhash64(conv_id) collided "
+                f"({ids['n_convs']} conversations → {ids['n_ids']} doc_ids) "
+                "— two conversations would silently merge; key the table "
+                "upstream with a wider id"
+            )
+
+        exact = caching.register(dedup_corpus(docs))
+        counts["after_exact_dedup"] = exact.count()
+
+        # LSH emits CANDIDATES; only pairs whose estimated similarity
+        # clears the threshold are duplicate edges — clustering raw
+        # candidates would over-merge anything sharing one band
+        pairs = lsh_candidate_pairs(exact).filter(
+            F.col("est_jaccard") >= near_threshold
+        )
+        neardup = caching.register(neardup_corpus(exact, pairs))
+        counts["after_near_dedup"] = neardup.count()
+
+        quality = caching.register(
+            neardup.filter(ws_token_count_col() >= min_words)
+        )
+        counts["after_quality_filter"] = quality.count()
+
+        if bench_path is not None:
+            bench = spark.read.parquet(bench_path)
+            final = caching.register(decontaminate(quality, bench))
+            counts["after_decontamination"] = final.count()
+        else:
+            final = quality
+
+        final = final.transform(hash_split, key="conv_id")
+        packed = pack_sequences(final.select("doc_id", "text"), budget)
+        corpus = final.join(
+            packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
+            "doc_id",
+        )
+        corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+
+        written = spark.read.parquet(os.path.join(out_dir, "corpus"))
+        counts["packed_docs"] = written.count()
+        counts["packs"] = int(
+            written.agg(F.count_distinct("pack_id").alias("p")).first()["p"]
+        )
+    return counts
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from sparkocr.session import build_session
+
+    spark = build_session("sparkocr-corpus", master=args.master)
+    t0 = time.monotonic()
+    counts = build_corpus(
+        spark,
+        args.input,
+        args.out,
+        bench_path=args.bench,
+        budget=args.budget,
+        min_words=args.min_words,
+        near_threshold=args.near_threshold,
+    )
+    summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
