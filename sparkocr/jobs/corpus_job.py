@@ -23,11 +23,19 @@ Usage (deployment shape mirrors ``extract_job``):
 
 Document identity: ``doc_id = xxhash64(conv_id)`` (a long — the type the
 whole pipeline keys on), with ``conv_id`` carried alongside for
-traceability. A 64-bit hash collision would silently merge two
-conversations, so the job VERIFIES injectivity with one aggregate pass
-(distinct doc_ids == distinct conv_ids) and fails loudly on a collision
-(astronomically unlikely below ~10^8 docs; at larger corpora key the
-table upstream).
+traceability; the one possible null-conv document (all null-conv turns
+assemble into a single doc) hashes a sentinel instead of colliding into
+``xxhash64(NULL)`` = the seed. A 64-bit hash collision would silently
+merge two conversations, so the job VERIFIES injectivity with one
+aggregate pass (distinct doc_ids == distinct conv keys, nulls counted)
+and fails loudly on a collision (astronomically unlikely below ~10^8
+docs; at larger corpora key the table upstream).
+
+Packing runs PER SPLIT: a pack mixing train and val/test documents is
+eval leakage for any consumer that materializes packs wholesale, and a
+split-filtered read would see holes in pack_pos — each split packs
+independently and pack ids are offset per split to stay globally
+unique.
 
 Stage counts in the summary each force an action; intermediate frames
 are cached through ``pipeline.caching`` and released before exit, so the
@@ -69,10 +77,14 @@ def build_corpus(
     counts: dict[str, int] = {}
     with caching.scope():
         transcripts = spark.read.parquet(transcripts_path)
-        turns = extract_turns(transcripts)
+        # markdown=False: this pipeline reads only clean_text (assembly +
+        # dedup feeds), so skip the second grounding-cleanup pass
+        turns = extract_turns(transcripts, markdown=False)
         docs = caching.register(
             assemble_docs_cli(turns).select(
-                F.xxhash64("conv_id").alias("doc_id"),
+                F.xxhash64(
+                    F.coalesce(F.col("conv_id"), F.lit("\x00corpus_job:null-conv"))
+                ).alias("doc_id"),
                 "conv_id",
                 F.col("doc_text").alias("text"),
             )
@@ -80,15 +92,20 @@ def build_corpus(
         ids = docs.agg(
             F.count(F.lit(1)).alias("rows"),
             F.count_distinct("doc_id").alias("n_ids"),
-            F.count_distinct("conv_id").alias("n_convs"),
+            # nulls are invisible to count_distinct; the (single) null
+            # conv is a real document and must count toward injectivity
+            (
+                F.count_distinct("conv_id")
+                + F.max(F.col("conv_id").isNull().cast("int"))
+            ).alias("n_convs"),
         ).first()
         counts["assembled_docs"] = int(ids["rows"])
         if ids["n_ids"] != ids["n_convs"]:
             raise ValueError(
-                "corpus_job: xxhash64(conv_id) collided "
-                f"({ids['n_convs']} conversations → {ids['n_ids']} doc_ids) "
-                "— two conversations would silently merge; key the table "
-                "upstream with a wider id"
+                "corpus_job: the doc_id hash collided "
+                f"({ids['n_convs']} conversation keys → {ids['n_ids']} "
+                "doc_ids) — two conversations would silently merge; key "
+                "the table upstream with a wider id"
             )
 
         exact = caching.register(dedup_corpus(docs))
@@ -115,19 +132,31 @@ def build_corpus(
         else:
             final = quality
 
-        final = final.transform(hash_split, key="conv_id")
-        packed = pack_sequences(final.select("doc_id", "text"), budget)
+        final = caching.register(final.transform(hash_split, key="conv_id"))
+        # pack PER SPLIT: one pack must never mix train with val/test
+        # docs (eval leakage / pack_pos holes for split-filtered reads);
+        # per-split pack ids are offset to stay globally unique
+        packed_parts = [
+            pack_sequences(
+                final.filter(F.col("split") == s).select("doc_id", "text"), budget
+            ).withColumn("pack_id", F.col("pack_id") + F.lit(i << 60))
+            for i, s in enumerate(["train", "val", "test"])
+        ]
+        packed = packed_parts[0]
+        for part in packed_parts[1:]:
+            packed = packed.unionByName(part)
         corpus = final.join(
             packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
             "doc_id",
         )
         corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
 
-        written = spark.read.parquet(os.path.join(out_dir, "corpus"))
-        counts["packed_docs"] = written.count()
-        counts["packs"] = int(
-            written.agg(F.count_distinct("pack_id").alias("p")).first()["p"]
-        )
+        written = spark.read.parquet(os.path.join(out_dir, "corpus")).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("pack_id").alias("packs"),
+        ).first()
+        counts["packed_docs"] = int(written["rows"])
+        counts["packs"] = int(written["packs"])
     return counts
 
 
@@ -157,6 +186,7 @@ def main(argv=None) -> dict:
     )
     summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
     print(json.dumps(summary))
+    spark.stop()
     return summary
 
 
