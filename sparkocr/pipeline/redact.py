@@ -1,0 +1,118 @@
+"""PII redaction and domain blocklist filtering — the remaining standard
+text-hygiene passes of a training-data pipeline.
+
+Everything is JVM-side ``regexp_replace`` / ``regexp_extract_all`` over
+whole-stage codegen — no UDF, no shuffle, scale cost = one map pass. The
+patterns are deliberately conservative, deterministic, and documented
+(recall-focused pattern packs are corpus-policy decisions; these are the
+unambiguous cores):
+
+- email addresses → ``<EMAIL>``
+- IPv4 addresses → ``<IP>`` (dotted quads with 0-255 octets)
+- international-ish phone numbers → ``<PHONE>`` (+CC or 10+ digit runs
+  with common separators; bounded so it cannot eat arbitrary numbers)
+- US SSN (ddd-dd-dddd with separators) → ``<SSN>``
+- 13-19 digit card-shaped runs → ``<CARD>`` (digit shape only — Luhn is
+  a python-side policy the caller can layer on sampled matches)
+
+Replacement order is fixed (email → ip → ssn → card → phone) so narrower
+patterns never see text a broader one already consumed; counts are
+computed BEFORE replacement from the same pattern, so the audit numbers
+always describe the applied redaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# one definition per pattern: the redactor and its counter must agree
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = (
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"
+)
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+CARD_RE = r"\b[0-9]{13,19}\b"
+PHONE_RE = (
+    r"(?<![0-9])(?:\+?[0-9]{1,3}[ .-])?"
+    r"\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}(?![0-9])"
+)
+
+_ORDERED = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("ssn", SSN_RE, "<SSN>"),
+    ("card", CARD_RE, "<CARD>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+URL_RE = r"https?://[^\s<>\"']+"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans in ``text_col`` with typed placeholders and
+    append per-kind match counts (``n_email``/``n_ip``/``n_ssn``/
+    ``n_card``/``n_phone`` — the audit columns a pipeline aggregates to
+    monitor redaction volume). Null text passes through null with zero
+    counts. All other columns are preserved."""
+    cur = F.col(text_col)
+    count_exprs = []
+    for kind, pat, repl in _ORDERED:
+        # each count is taken from the exact text state its replacement
+        # sees (the chain so far), so the audit numbers always describe
+        # the applied redaction
+        count_exprs.append(
+            F.coalesce(
+                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(*others, cur.alias(text_col), *count_exprs)
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per URL occurrence: ``(doc_id, url, domain)`` — the input
+    to link-graph stats and blocklist joins. Domain = lowercased host
+    with any port stripped."""
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.coalesce(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0)),
+                F.array().cast("array<string>"),
+            )
+        ).alias("url"),
+    )
+    host = F.lower(F.regexp_extract("url", r"^https?://([^/\s:?#]+)", 1))
+    return urls.withColumn("domain", host)
+
+
+def domain_filter(
+    docs: DataFrame, blocklist: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop documents containing a URL whose domain (or any parent
+    domain) is blocklisted — the standard crawl-hygiene pass. The
+    blocklist (a frame with a ``domain`` column, tiny) is broadcast and
+    matched suffix-wise (``ads.example.com`` blocks under
+    ``example.com``); the corpus-sized URL explode is never shuffled —
+    only the flagged doc_ids (a sliver) reach the anti-join, which the
+    documented null-key convention makes null-safe fail-closed like
+    ``decontam.decontaminate``."""
+    bl = blocklist.select(F.lower(F.col("domain")).alias("bdom")).distinct()
+    urls = extract_urls(docs, text_col)
+    flagged = (
+        urls.join(
+            F.broadcast(bl),
+            (F.col("domain") == F.col("bdom"))
+            | F.col("domain").endswith(F.concat(F.lit("."), F.col("bdom"))),
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(
+        flagged.select(F.col("doc_id").alias("_flagged_id")),
+        F.col("doc_id").eqNullSafe(F.col("_flagged_id")),
+        "left_anti",
+    )

@@ -1,0 +1,98 @@
+"""PII redaction and domain filtering: replacements and counts match a
+pure-Python re oracle (same patterns, same order), URLs and blocklist
+semantics verified, nulls degrade."""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+
+
+def _py_redact(text):
+    from sparkocr.pipeline.redact import _ORDERED
+
+    if text is None:
+        return None, {k: 0 for k, _, _ in _ORDERED}
+    counts = {}
+    for kind, pat, repl in _ORDERED:
+        counts[kind] = len(re.findall(pat, text))
+        text = re.sub(pat, repl, text)
+    return text, counts
+
+
+PII_SOUP = [
+    (1, "mail me at alice.smith+x@corp.example.org or bob@ex.io thanks"),
+    (2, "server 192.168.0.1 and 8.8.8.8 but not 999.1.1.1 or 1.2.3.4.5"),
+    (3, "ssn 123-45-6789, card 4111111111111111, call +1 415-555-2671"),
+    (4, "bare phone 4155552671 and (415) 555 2671 and 12 digits 123456789012"),
+    (5, None),
+    (6, "no pii here at all"),
+    (7, "v1.2.3.4 release notes; order #12345678901234567890 too long"),
+]
+
+
+def test_redaction_matches_python_oracle(spark):
+    from sparkocr.pipeline.redact import _ORDERED, redact_pii
+
+    df = spark.createDataFrame(PII_SOUP, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for doc_id, text in PII_SOUP:
+        want_text, want_counts = _py_redact(text)
+        r = got[doc_id]
+        assert r.text == want_text, (doc_id, r.text, want_text)
+        for kind, _, _ in _ORDERED:
+            assert getattr(r, f"n_{kind}") == want_counts[kind], (doc_id, kind)
+    # spot semantics: the obvious cases redact
+    assert got[1].n_email == 2 and "<EMAIL>" in got[1].text
+    # 3: the two real IPs plus the leading quad of "1.2.3.4.5" (a \b
+    # sits between "4" and "."), while "999.1.1.1" never matches
+    assert got[2].n_ip == 3 and "999.1.1.1" in got[2].text
+    assert got[3].n_ssn == 1 and got[3].n_card == 1 and got[3].n_phone == 1
+    assert got[4].n_phone == 2
+    assert got[6].text == "no pii here at all"
+
+
+def test_redaction_on_corpus_fixture(spark, docs):
+    """Sweeping the real fixture: rows in == rows out, all columns kept,
+    counts non-negative, null text passes through."""
+    from sparkocr.pipeline.redact import redact_pii
+
+    out = redact_pii(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert set(out.columns) >= {"doc_id", "text", "n_email", "n_phone"}
+    for r in rows:
+        for k in ("n_email", "n_ip", "n_ssn", "n_card", "n_phone"):
+            assert getattr(r, k) >= 0
+
+
+def test_url_extraction_and_domain_filter(spark):
+    from sparkocr.pipeline.redact import domain_filter, extract_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://ads.tracker.example.com/x?q=1 and http://ok.org/p"),
+            (2, "only https://GOOD.example.net:8080/path here"),
+            (3, "no urls"),
+            (4, None),
+            (None, "https://tracker.example.com hit on a null-id doc"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = {(r.doc_id, r.url, r.domain) for r in extract_urls(df).collect()}
+    assert (1, "https://ads.tracker.example.com/x?q=1", "ads.tracker.example.com") in urls
+    assert (2, "https://GOOD.example.net:8080/path", "good.example.net") in urls
+    bl = spark.createDataFrame([("tracker.example.com",)], "domain string")
+    kept = [r.doc_id for r in domain_filter(df, bl).collect()]
+    # doc 1 blocked (subdomain suffix match), the null-id doc blocked
+    # fail-closed, the rest kept
+    assert sorted(x for x in kept if x is not None) == [2, 3, 4]
+    assert None not in kept
