@@ -92,17 +92,14 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     corpus; the anti-join leaves its strategy to AQE (broadcast when it
     fits, shuffle when a pathological benchmark flags half the corpus).
 
-    The anti-join is NULL-SAFE (``<=>``), which makes null doc_ids fail
-    CLOSED: a plain equi-anti-join never matches a null key, so a
-    contaminated doc whose doc_id was lost would sail into the "clean"
-    corpus — the exact outcome this operator exists to prevent. Null-id
-    docs cannot be told apart by id, so if ANY of them is contaminated,
-    ALL of them are removed (over-removal of unidentifiable rows beats
-    silently shipping a benchmark leak); when none is flagged they all
+    The anti-join is ``dedup.drop_flagged`` — the shared NULL-SAFE
+    fail-closed convention: a plain equi-anti-join never matches a null
+    key, so a contaminated doc whose doc_id was lost would sail into the
+    "clean" corpus — the exact outcome this operator exists to prevent.
+    Null-id docs cannot be told apart by id, so if ANY of them is
+    contaminated, ALL of them are removed; when none is flagged they all
     survive."""
-    flagged = contamination_flags(docs, bench, n).select(
-        F.col("doc_id").alias("_flagged_id")
-    )
-    return docs.join(
-        flagged, F.col("doc_id").eqNullSafe(F.col("_flagged_id")), "left_anti"
-    )
+    from sparkocr.pipeline.dedup import drop_flagged
+
+    flagged = contamination_flags(docs, bench, n).select("doc_id")
+    return drop_flagged(docs, flagged)

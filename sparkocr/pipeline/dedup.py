@@ -188,6 +188,22 @@ def cap_hot_buckets(
     return df.join(small, keys, "left_semi")
 
 
+def drop_flagged(docs: DataFrame, flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Remove flagged docs from a corpus with a NULL-SAFE anti-join —
+    THE fail-closed convention the hygiene operators share
+    (``decontam.decontaminate``, ``redact.domain_filter``): a plain
+    equi-anti-join never matches a null key, so a flagged doc whose id
+    was lost would sail into the "clean" output. Null-id docs cannot be
+    told apart, so if ANY is flagged ALL are removed (over-removing
+    unidentifiable rows beats silently shipping the thing the filter
+    exists to remove); when none is flagged they all survive."""
+    return docs.join(
+        flagged.select(F.col(id_col).alias("_flagged_id")),
+        F.col(id_col).eqNullSafe(F.col("_flagged_id")),
+        "left_anti",
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame, k: int = SHINGLE, threshold: float = 0.5,
     df_max: int | None = DF_MAX,
