@@ -100,6 +100,15 @@ def build_corpus(
             ).alias("n_convs"),
         ).first()
         counts["assembled_docs"] = int(ids["rows"])
+        if counts["assembled_docs"] == 0:
+            # empty input (or every turn truncated away): there is no
+            # corpus to write — and the injectivity guard's max() over
+            # zero rows would be null, firing a spurious collision error
+            counts.update(
+                after_exact_dedup=0, after_near_dedup=0,
+                after_quality_filter=0, packed_docs=0, packs=0,
+            )
+            return counts
         if ids["n_ids"] != ids["n_convs"]:
             raise ValueError(
                 "corpus_job: the doc_id hash collided "
@@ -138,8 +147,11 @@ def build_corpus(
         # per-split pack ids are offset to stay globally unique
         packed_parts = [
             pack_sequences(
-                final.filter(F.col("split") == s).select("doc_id", "text"), budget
-            ).withColumn("pack_id", F.col("pack_id") + F.lit(i << 60))
+                final.filter(F.col("split") == s).select("doc_id", "text"),
+                budget,
+                id_offset=i << 60,  # validated against the group layout
+                # by pack_sequences itself — the namespace lives there
+            )
             for i, s in enumerate(["train", "val", "test"])
         ]
         packed = packed_parts[0]

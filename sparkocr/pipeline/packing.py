@@ -48,6 +48,7 @@ def pack_sequences(
     budget: int,
     n_groups: int = 64,
     size_col: str | None = None,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Pack ``docs`` (``doc_id``, ``text`` — or a precomputed
     ``size_col``) into packs of at most ``budget`` tokens per pack.
@@ -58,6 +59,16 @@ def pack_sequences(
     Null sizes (null text, or a null/uncastable size_col value) count 0
     and negatives are clamped to 0 — a poison row must degrade, not
     kill the stage or corrupt the running total.
+
+    ``id_offset``: added to every pack_id — the NAMESPACE hook for
+    callers that pack several partitions of a corpus independently
+    (e.g. per train/val/test split) and need globally unique ids.
+    Pack ids then lie in ``[id_offset, id_offset + (n_groups+1) *
+    2^40)``; space successive offsets at least that far apart (the
+    ``corpus_job`` uses ``i << 60``, which holds for any
+    ``n_groups < 2^20``, checked here). A stream needing 2^40 packs
+    would break intra-group uniqueness regardless of offsets and raises
+    loudly instead of wrapping.
 
     Scale shape: one shuffle (the group repartition), per-partition sort,
     and a streaming map whose state is one counter per in-flight group.
@@ -70,6 +81,14 @@ def pack_sequences(
         raise ValueError(
             f"pack_sequences: n_groups must be positive, got {n_groups} "
             "(pmod by zero would null every group id)"
+        )
+    if id_offset < 0:
+        raise ValueError(f"pack_sequences: id_offset must be >= 0, got {id_offset}")
+    if id_offset and n_groups * _PACK_STRIDE >= id_offset:
+        raise ValueError(
+            f"pack_sequences: id_offset {id_offset} is inside the id range "
+            f"of the {n_groups}-group layout (< {n_groups * _PACK_STRIDE}) "
+            "— namespaces would overlap; use a larger offset or fewer groups"
         )
     if size_col is None:
         from sparkocr.pipeline.textstats import ws_token_count_col
@@ -111,7 +130,13 @@ def pack_sequences(
                 elif used > 0 and used + n > budget:
                     local += 1
                     used, pos = 0, 0
-                pack_ids.append(gid * _PACK_STRIDE + local)
+                    if local >= _PACK_STRIDE:
+                        raise ValueError(
+                            "pack_sequences: a single stream exceeded "
+                            f"{_PACK_STRIDE} packs — pack ids would wrap; "
+                            "raise n_groups"
+                        )
+                pack_ids.append(id_offset + gid * _PACK_STRIDE + local)
                 positions.append(pos)
                 used += n
                 pos += 1

@@ -118,3 +118,22 @@ def test_null_conv_id_survives_corpus_job(spark, tmp_path):
     got = spark.read.parquet(os.path.join(out, "corpus")).collect()
     ids = {r.doc_id for r in got}
     assert len(ids) == 3 and 42 not in ids  # sentinel hash, not the seed
+
+
+def test_empty_input_yields_empty_summary(spark, tmp_path):
+    """Zero assembled docs (empty input) must return a zeroed summary —
+    not fire the injectivity guard with a spurious null-count collision
+    error, and not attempt a corpus write there is nothing to write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
+    from sparkocr.jobs.corpus_job import build_corpus
+
+    empty = {k: [] for k in
+             ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    inp = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.Table.from_pydict(empty, schema=datagen.SCHEMA), inp)
+    counts = build_corpus(spark, inp, str(tmp_path / "out"), budget=64)
+    assert counts["assembled_docs"] == 0 and counts["packs"] == 0
+    assert not os.path.exists(str(tmp_path / "out" / "corpus"))

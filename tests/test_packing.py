@@ -146,3 +146,23 @@ def test_packing_duplicate_doc_ids_stay_deterministic(spark):
         )
 
     assert snap(df.coalesce(1)) == snap(df.repartition(4))
+
+
+def test_id_offset_namespacing(spark, docs):
+    """id_offset shifts every pack id by exactly the offset (the
+    namespace hook per-split packing uses) and rejects an offset inside
+    the group layout's own id range."""
+    from sparkocr.pipeline.packing import pack_sequences
+
+    base = sorted(
+        (r.doc_id, r.pack_id) for r in pack_sequences(docs, BUDGET, n_groups=8).collect()
+    )
+    off = sorted(
+        (r.doc_id, r.pack_id)
+        for r in pack_sequences(docs, BUDGET, n_groups=8, id_offset=1 << 60).collect()
+    )
+    assert off == [(d, p + (1 << 60)) for d, p in base]
+    with pytest.raises(ValueError, match="id_offset"):
+        pack_sequences(docs, BUDGET, n_groups=8, id_offset=-1)
+    with pytest.raises(ValueError, match="overlap"):
+        pack_sequences(docs, BUDGET, n_groups=8, id_offset=1 << 40)

@@ -136,3 +136,22 @@ def test_e164_phone_redacts(spark):
     got = {r.doc_id: r for r in redact_pii(df).collect()}
     assert got[1].n_phone == 1 and "<PHONE>" in got[1].text
     assert got[2].n_phone == 1 and "14155552671" not in got[2].text
+
+
+def test_trailing_dot_fqdn_and_reredaction_guard(spark):
+    """'https://evil.com./x' is the same host as evil.com (root-label
+    dot) and must still be blocked; re-redacting redacted output is
+    rejected loudly instead of emitting duplicate audit columns."""
+    from sparkocr.pipeline.redact import domain_filter, extract_urls, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "click https://evil.com./steal now"), (2, "ok https://fine.io/a")],
+        "doc_id long, text string",
+    )
+    doms = {r.doc_id: r.domain for r in extract_urls(df).collect()}
+    assert doms[1] == "evil.com"
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    assert [r.doc_id for r in domain_filter(df, bl).collect()] == [2]
+    once = redact_pii(df)
+    with pytest.raises(ValueError, match="audit columns"):
+        redact_pii(once)
