@@ -9,8 +9,13 @@ job:
       → near-dup dedup (MinHash-LSH pairs → connected components →
         one canonical doc per cluster)
       → quality filter (word-count threshold)
+      → domain blocklist (optional --blocklist parquet with a
+        ``domain`` column; suffix-matched, fail-closed on null ids)
       → benchmark decontamination (optional --bench parquet with a
-        ``text`` column; 13-gram overlap, fail-closed on null ids)
+        ``text`` column; 13-gram overlap on the RAW text — redaction
+        placeholders must not mask an eval overlap — fail-closed)
+      → PII redaction (optional --redact flag; audit counts ride into
+        the corpus columns and the summary)
       → train/val/test hash split
       → sequence packing (fixed-token-budget packs)
       → parquet corpus + one JSON summary line with per-stage counts.
@@ -60,6 +65,8 @@ def build_corpus(
     budget: int = 2048,
     min_words: int = 5,
     near_threshold: float = 0.8,
+    blocklist_path: str | None = None,
+    redact: bool = False,
 ) -> dict:
     from sparkocr.assemble import assemble_docs_cli
     from sparkocr.extract.dispatch import extract_turns
@@ -134,12 +141,27 @@ def build_corpus(
         )
         counts["after_quality_filter"] = quality.count()
 
+        final = quality
+        if blocklist_path is not None:
+            from sparkocr.pipeline.redact import domain_filter
+
+            blocklist = spark.read.parquet(blocklist_path)
+            final = caching.register(domain_filter(final, blocklist))
+            counts["after_domain_filter"] = final.count()
         if bench_path is not None:
             bench = spark.read.parquet(bench_path)
-            final = caching.register(decontaminate(quality, bench))
+            final = caching.register(decontaminate(final, bench))
             counts["after_decontamination"] = final.count()
-        else:
-            final = quality
+        if redact:
+            from sparkocr.pipeline.redact import _ORDERED, redact_pii
+
+            final = caching.register(redact_pii(final))
+            red = final.agg(
+                *[F.sum(f"n_{k}").alias(k) for k, _, _ in _ORDERED]
+            ).first()
+            counts["pii_redactions"] = int(
+                sum(red[k] or 0 for k, _, _ in _ORDERED)
+            )
 
         final = caching.register(final.transform(hash_split, key="conv_id"))
         # pack PER SPLIT: one pack must never mix train with val/test
@@ -177,6 +199,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--bench", default=None)
+    ap.add_argument("--blocklist", default=None)
+    ap.add_argument("--redact", action="store_true")
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--near-threshold", type=float, default=0.8)
@@ -195,6 +219,8 @@ def main(argv=None) -> dict:
         budget=args.budget,
         min_words=args.min_words,
         near_threshold=args.near_threshold,
+        blocklist_path=args.blocklist,
+        redact=args.redact,
     )
     summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
     print(json.dumps(summary))

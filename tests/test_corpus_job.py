@@ -137,3 +137,39 @@ def test_empty_input_yields_empty_summary(spark, tmp_path):
     counts = build_corpus(spark, inp, str(tmp_path / "out"), budget=64)
     assert counts["assembled_docs"] == 0 and counts["packs"] == 0
     assert not os.path.exists(str(tmp_path / "out" / "corpus"))
+
+
+def test_full_hygiene_chain(spark, tiny_transcripts, bench_file, tmp_path):
+    """blocklist + decontamination + redaction all enabled: the funnel
+    stays monotone, redaction audit columns ride into the corpus, and
+    decontamination sees raw text (placeholders cannot mask an eval
+    overlap because redaction runs after it)."""
+    from sparkocr.jobs.corpus_job import build_corpus
+
+    bench_path, victim_conv = bench_file
+    bl_path = str(tmp_path / "bl.parquet")
+    spark.createDataFrame(
+        [("blocked.example",)], "domain string"
+    ).write.parquet(bl_path)
+    out = str(tmp_path / "corpus_full")
+    counts = build_corpus(
+        spark,
+        tiny_transcripts,
+        out,
+        bench_path=bench_path,
+        blocklist_path=bl_path,
+        redact=True,
+        budget=512,
+        min_words=3,
+    )
+    assert (
+        counts["after_quality_filter"]
+        >= counts["after_domain_filter"]
+        >= counts["after_decontamination"]
+        == counts["packed_docs"]
+        > 0
+    ), counts
+    assert counts["pii_redactions"] >= 0
+    rows = spark.read.parquet(os.path.join(out, "corpus")).collect()
+    assert victim_conv not in {r.conv_id for r in rows}
+    assert all(hasattr(r, "n_email") and r.n_email >= 0 for r in rows)
