@@ -155,3 +155,41 @@ def test_trailing_dot_fqdn_and_reredaction_guard(spark):
     once = redact_pii(df)
     with pytest.raises(ValueError, match="audit columns"):
         redact_pii(once)
+
+
+def test_unicode_soup_differential(spark):
+    """Java (Spark) and Python regex must agree on the PII patterns and
+    the decontam normalization over adversarial unicode — case-folding
+    specials (ß, İ), fullwidth forms, zero-width space, astral chars,
+    CJK. A 3000-doc offline sweep was clean; CI keeps 500."""
+    import random
+
+    from sparkocr.pipeline.decontam import _norm_tokens
+    from sparkocr.pipeline.redact import _ORDERED, redact_pii
+
+    rng = random.Random(777)
+    atoms = ["a@b.co", " ", " ", " ", "ex@d.org", "1.2.3.4", "123-45-6789",
+             "+1 415 555 2671", "4111111111111111", "ħëłlo", "日本語", "\t",
+             "\n", "𝕏", "https://e.com/x", "HTTP://E.COM", ".", ",",
+             "é@ü.de", "x" * 30, "​", "ß", "İ",
+             "ｅｍａｉｌ＠ｄｏｍ．ｃｏｍ", "123", "()", "-"]
+    docs = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randrange(1, 25))))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for doc_id, text in docs:
+        t = text
+        for kind, pat, repl in _ORDERED:
+            assert len(re.findall(pat, t)) == getattr(got[doc_id], f"n_{kind}"), (
+                doc_id, kind, t,
+            )
+            t = re.sub(pat, repl, t)
+        assert t == got[doc_id].text, doc_id
+    norm = {r.doc_id: list(r.toks) for r in
+            df.select("doc_id", _norm_tokens().alias("toks")).collect()}
+    for doc_id, text in docs:
+        cleaned = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        want = cleaned.split(" ") if cleaned else []
+        assert norm[doc_id] == want, doc_id
