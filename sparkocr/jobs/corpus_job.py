@@ -23,8 +23,9 @@ job:
 Usage (deployment shape mirrors ``extract_job``):
 
     spark-submit --py-files sparkocr.zip sparkocr/jobs/corpus_job.py \
-        --input transcripts.parquet --out /corpus [--bench bench.parquet]
-        [--budget 2048] [--min-words 5]
+        --input transcripts.parquet --out /corpus
+        [--bench bench.parquet] [--blocklist domains.parquet] [--redact]
+        [--budget 2048] [--min-words 5] [--near-threshold 0.8]
 
 Document identity: ``doc_id = xxhash64(conv_id)`` (a long — the type the
 whole pipeline keys on), with ``conv_id`` carried alongside for
@@ -115,6 +116,15 @@ def build_corpus(
                 after_exact_dedup=0, after_near_dedup=0,
                 after_quality_filter=0, packed_docs=0, packs=0,
             )
+            # optional stage keys must exist whenever their flag is on —
+            # a monitoring consumer reading the summary on an empty-input
+            # day must not hit a missing key
+            if blocklist_path is not None:
+                counts["after_domain_filter"] = 0
+            if bench_path is not None:
+                counts["after_decontamination"] = 0
+            if redact:
+                counts["pii_redactions"] = 0
             return counts
         if ids["n_ids"] != ids["n_convs"]:
             raise ValueError(
@@ -153,15 +163,10 @@ def build_corpus(
             final = caching.register(decontaminate(final, bench))
             counts["after_decontamination"] = final.count()
         if redact:
-            from sparkocr.pipeline.redact import _ORDERED, redact_pii
+            from sparkocr.pipeline.redact import audit_totals, redact_pii
 
             final = caching.register(redact_pii(final))
-            red = final.agg(
-                *[F.sum(f"n_{k}").alias(k) for k, _, _ in _ORDERED]
-            ).first()
-            counts["pii_redactions"] = int(
-                sum(red[k] or 0 for k, _, _ in _ORDERED)
-            )
+            counts["pii_redactions"] = audit_totals(final)["total"]
 
         final = caching.register(final.transform(hash_split, key="conv_id"))
         # pack PER SPLIT: one pack must never mix train with val/test

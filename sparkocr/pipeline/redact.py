@@ -90,6 +90,18 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*others, cur.alias(text_col), *count_exprs)
 
 
+def audit_totals(redacted: DataFrame) -> dict:
+    """Total redactions per kind plus a grand total from a
+    ``redact_pii`` output — THE aggregation consumers monitor; lives
+    here so the audit-column namespace has one owner (corpus_job and
+    friends must not unpack ``_ORDERED`` themselves)."""
+    row = redacted.agg(
+        *[F.sum(f"n_{k}").alias(k) for k, _, _ in _ORDERED]
+    ).first()
+    per_kind = {k: int(row[k] or 0) for k, _, _ in _ORDERED}
+    return {"total": sum(per_kind.values()), **per_kind}
+
+
 def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per URL occurrence: ``(doc_id, url, domain)`` — the input
     to link-graph stats and blocklist joins. Domain = lowercased host

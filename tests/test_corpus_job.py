@@ -141,12 +141,39 @@ def test_empty_input_yields_empty_summary(spark, tmp_path):
 
 def test_full_hygiene_chain(spark, tiny_transcripts, bench_file, tmp_path):
     """blocklist + decontamination + redaction all enabled: the funnel
-    stays monotone, redaction audit columns ride into the corpus, and
-    decontamination sees raw text (placeholders cannot mask an eval
-    overlap because redaction runs after it)."""
+    stays monotone, the blocklist DEMONSTRABLY drops a doc (the fixture
+    alone has no URLs — a vacuous no-op leg would hide a broken stage),
+    redaction audit columns ride into the corpus, and decontamination
+    sees raw text (placeholders cannot mask an eval overlap because
+    redaction runs after it)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkocr import datagen
     from sparkocr.jobs.corpus_job import build_corpus
 
     bench_path, victim_conv = bench_file
+    # augment the fixture with one conversation linking a blocklisted
+    # domain and one linking a fine domain, plus a PII-bearing turn
+    t0 = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    extra = {
+        "conv_id": ["zz_blocked", "zz_fine"],
+        "turn_idx": [0, 0],
+        "role": ["user"] * 2,
+        "text": ["spam with enough words https://ads.blocked.example/x here",
+                 "mail me at pii@example.org with enough words here too"],
+        "tool": ["plain"] * 2,
+        "ts": [t0] * 2,
+    }
+    import os as _os
+    in_dir = str(tmp_path / "in")
+    _os.makedirs(in_dir)
+    import shutil
+    shutil.copy(tiny_transcripts, _os.path.join(in_dir, "base.parquet"))
+    pq.write_table(pa.Table.from_pydict(extra, schema=datagen.SCHEMA),
+                   _os.path.join(in_dir, "extra.parquet"))
     bl_path = str(tmp_path / "bl.parquet")
     spark.createDataFrame(
         [("blocked.example",)], "domain string"
@@ -154,7 +181,7 @@ def test_full_hygiene_chain(spark, tiny_transcripts, bench_file, tmp_path):
     out = str(tmp_path / "corpus_full")
     counts = build_corpus(
         spark,
-        tiny_transcripts,
+        in_dir,
         out,
         bench_path=bench_path,
         blocklist_path=bl_path,
@@ -164,12 +191,15 @@ def test_full_hygiene_chain(spark, tiny_transcripts, bench_file, tmp_path):
     )
     assert (
         counts["after_quality_filter"]
-        >= counts["after_domain_filter"]
+        > counts["after_domain_filter"]  # the blocked conv actually fell
         >= counts["after_decontamination"]
         == counts["packed_docs"]
         > 0
     ), counts
-    assert counts["pii_redactions"] >= 0
+    assert counts["pii_redactions"] >= 1  # the planted email was redacted
     rows = spark.read.parquet(os.path.join(out, "corpus")).collect()
-    assert victim_conv not in {r.conv_id for r in rows}
-    assert all(hasattr(r, "n_email") and r.n_email >= 0 for r in rows)
+    convs = {r.conv_id for r in rows}
+    assert victim_conv not in convs and "zz_blocked" not in convs
+    assert "zz_fine" in convs
+    pii_doc = next(r for r in rows if r.conv_id == "zz_fine")
+    assert pii_doc.n_email == 1 and "<EMAIL>" in pii_doc.text
