@@ -687,13 +687,18 @@ def q_asof_latest_order(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
     )
-    # chunk_seconds engages the skew-safe two-phase plan: the last-carry
-    # window partitions on (user, 30-day chunk) so one hyperactive user
-    # can never pin the whole sort into a single task
+    # ADAPTIVE skew dispatch: the chunked two-phase plan (last-carry
+    # window per (user, 30-day chunk)) engages only when a cheap
+    # key-column probe finds a user with >= 100k rows — one hyperactive
+    # user can never pin the whole sort into a single task, but a
+    # balanced input (every test/bench SF) keeps the single-window
+    # single-scan plan and skips the two-phase constant (~2.5x at
+    # sf0.1). The chunked branch's semantics stay oracle-checked via
+    # q_event_sessions (unconditional chunking) and differential pytest.
     j = asof_join(
         e, o, key="user_id", left_time="ts", right_time="otime",
         right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
-        chunk_seconds=30 * 86400,
+        chunk_seconds=30 * 86400, chunk_min_key_rows=100_000,
     )
     return j.select(
         "event_id", "user_id",
@@ -733,7 +738,11 @@ def q_event_sessions(spark, sf_dir):
     arithmetic matches the DuckDB oracle exactly (unix_timestamp() would
     truncate); chunk_seconds engages the skew-safe two-phase plan — break
     counting per (user, week) window + boundary gaps over one summary row
-    per chunk, so a bot user with 10^9 events is #weeks tasks, not one."""
+    per chunk, so a bot user with 10^9 events is #weeks tasks, not one.
+    Chunking is deliberately UNCONDITIONAL here (no chunk_min_key_rows):
+    this is the catalog entry that keeps the chunked branch value-checked
+    by the DuckDB oracle now that q_asof_latest_order dispatches
+    adaptively and runs unchunked at oracle/bench scale."""
     from sparkocr.pipeline.relational_ext import session_counts
 
     e = _t(spark, sf_dir, "events")

@@ -40,6 +40,23 @@ def _epoch_s(col):
     return F.col(col).cast("timestamp").cast("double")
 
 
+def _max_key_rows(keys: DataFrame) -> int:
+    """Skew probe: the largest per-key row count over a single-column
+    frame. Column-pruned to the key alone at the scan and map-side
+    partial-aggregated before its (distinct-key-sized) shuffle — the
+    cheapest honest answer to "does a hot key exist?". Null keys count
+    as one key, matching window partitioning (nulls partition together).
+    Eager: one job at call time, the same measured-dispatch discipline
+    as ``extract_turns``' byte-skew file listing."""
+    row = (
+        keys.groupBy(keys.columns[0])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    return int(row["mx"] or 0)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -50,6 +67,7 @@ def asof_join(
     suffix: str = "_asof",
     right_tiebreak: str | None = None,
     chunk_seconds: int | None = None,
+    chunk_min_key_rows: int | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     right[key] == left[key] and right[right_time] <= left[left_time]
@@ -61,6 +79,36 @@ def asof_join(
     ordering puts nulls FIRST, so an unfiltered null-time row would be
     carried to every left row before the first real right row —
     fabricating matches.
+
+    ``chunk_seconds``: when set, the skew-safe two-phase plan (see
+    ``_asof_join_plan`` for the mechanics and its one-narrow-rescan cost).
+    ``chunk_min_key_rows``: ADAPTIVE engagement — when set alongside
+    ``chunk_seconds``, a cheap probe (one key-column-only scan of both
+    inputs, ``_max_key_rows``) measures the hottest key first and the
+    chunked plan engages only if some key holds at least this many rows;
+    below the threshold the single-window single-scan plan runs, so a
+    balanced input never pays the two-phase constant (measured ~2.5× at
+    sf0.1) just to buy immunity it doesn't need. This is the same
+    measured-skew dispatch ``extract_turns`` uses for byte-skewed scans:
+    pay one cheap measurement, pick the plan the data actually needs.
+    ``None`` (default) keeps ``chunk_seconds`` unconditional — callers
+    that KNOW the key is skewed skip the probe scan."""
+    if chunk_seconds is not None and chunk_min_key_rows is not None:
+        # hot-key rows in the window = union of both sides per key
+        probe = left.select(F.col(key)).unionByName(right.select(F.col(key)))
+        if _max_key_rows(probe) < chunk_min_key_rows:
+            chunk_seconds = None
+    return _asof_join_plan(
+        left, right, key, left_time, right_time, right_cols,
+        suffix, right_tiebreak, chunk_seconds,
+    )
+
+
+def _asof_join_plan(
+    left, right, key, left_time, right_time, right_cols,
+    suffix, right_tiebreak, chunk_seconds,
+) -> DataFrame:
+    """The plan builder behind ``asof_join`` (post skew dispatch).
 
     ``chunk_seconds``: when set, the skew-safe two-phase plan — the
     last-carry window runs per (key, time-chunk) so a hot key's rows
@@ -169,6 +217,7 @@ def session_counts(
     time: str,
     gap_seconds: float,
     chunk_seconds: int | None = None,
+    chunk_min_key_rows: int | None = None,
 ) -> DataFrame:
     """Per-key sessionization: (key, n_sessions, n_events), where a new
     session starts at any gap > ``gap_seconds`` between consecutive events
@@ -181,7 +230,14 @@ def session_counts(
     n_events); phase 2 adds boundary breaks between consecutive chunk
     summaries (gap from the previous chunk's last event to this chunk's
     first) over a per-key window that sees #chunks rows, not #events.
-    total sessions = within breaks + boundary breaks + 1."""
+    total sessions = within breaks + boundary breaks + 1.
+
+    ``chunk_min_key_rows``: adaptive engagement, same contract as
+    ``asof_join`` — one key-column probe, chunking only when the hottest
+    key holds at least this many events; ``None`` = unconditional."""
+    if chunk_seconds is not None and chunk_min_key_rows is not None:
+        if _max_key_rows(events.select(F.col(key))) < chunk_min_key_rows:
+            chunk_seconds = None
     ts = _epoch_s(time)
     e = events.select(F.col(key).alias("_k"), ts.alias("_ts"))
     if chunk_seconds is None:

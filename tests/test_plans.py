@@ -223,6 +223,74 @@ def test_asof_chunked_splits_hot_key(spark):
     assert got == want
 
 
+def test_asof_adaptive_dispatch_probes_skew(spark):
+    # chunk_min_key_rows: the measured-skew dispatch — the SAME call
+    # engages the chunked plan on a hot-key input and the single-window
+    # plan on a balanced one, decided by the key-column probe
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    right = spark.range(10).select(
+        F.lit("hot").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id") * 1000).cast("timestamp").alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kw = dict(key="k", left_time="t", right_time="rt", right_cols=["rid"],
+              right_tiebreak="rid", chunk_seconds=3600,
+              chunk_min_key_rows=50_000)
+    hot = spark.range(60_000).select(
+        F.lit("hot").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id")).cast("timestamp").alias("t"),
+        F.col("id").alias("lid"),
+    )
+    plan_hot = _plan(asof_join(hot, right, **kw))
+    assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan_hot), plan_hot
+    balanced = spark.range(60_000).select(
+        (F.col("id") % 1000).cast("string").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id")).cast("timestamp").alias("t"),
+        F.col("id").alias("lid"),
+    )
+    plan_bal = _plan(asof_join(balanced, right, **kw))
+    assert "_chunk" not in plan_bal, plan_bal
+    # probe counts the UNION of both sides: a left side just under the
+    # threshold must still chunk when the right side tips the hot key over
+    near = spark.range(49_995).select(
+        F.lit("hot").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id")).cast("timestamp").alias("t"),
+        F.col("id").alias("lid"),
+    )
+    plan_near = _plan(asof_join(near, right, **kw))
+    assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan_near), plan_near
+
+
+def test_session_counts_adaptive_dispatch_probes_skew(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import session_counts
+
+    kw = dict(key="u", time="ts", gap_seconds=5, chunk_seconds=3600,
+              chunk_min_key_rows=50_000)
+    hot = spark.range(60_000).select(
+        F.concat(F.lit("bot"), F.substring(F.col("id").cast("string"), 1, 0)).alias("u"),
+        (F.lit(1_700_000_000) + F.col("id") * 7).cast("timestamp").alias("ts"),
+    )
+    plan_hot = _plan(session_counts(hot, **kw))
+    assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan_hot), plan_hot
+    row = session_counts(hot, **kw).collect()[0]
+    assert (row.n_sessions, row.n_events) == (60_000, 60_000)
+    balanced = spark.range(60_000).select(
+        (F.col("id") % 1000).cast("string").alias("u"),
+        (F.lit(1_700_000_000) + F.col("id") * 7).cast("timestamp").alias("ts"),
+    )
+    plan_bal = _plan(session_counts(balanced, **kw))
+    assert "_chunk" not in plan_bal, plan_bal
+
+
 def test_session_counts_chunked_splits_hot_key(spark):
     import re
 
