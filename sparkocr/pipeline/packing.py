@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -49,6 +50,7 @@ def pack_sequences(
     n_groups: int = 64,
     size_col: str | None = None,
     id_offset: int = 0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Pack ``docs`` (``doc_id``, ``text`` — or a precomputed
     ``size_col``) into packs of at most ``budget`` tokens per pack.
@@ -59,6 +61,14 @@ def pack_sequences(
     Null sizes (null text, or a null/uncastable size_col value) count 0
     and negatives are clamped to 0 — a poison row must degrade, not
     kill the stage or corrupt the running total.
+
+    ``group_col``: name of an existing stream-assignment column instead
+    of the default ``pmod(xxhash64(doc_id), n_groups)``. Caller contract:
+    integer values in ``[0, n_groups)`` derived from doc identity alone
+    (an engine-portable assignment like ``hash_split``'s md5 bucket lets
+    an external oracle replay the packing exactly); nulls degrade to
+    group 0. Out-of-range values would break pack-id uniqueness, so they
+    are rejected at the stream head when first seen.
 
     ``id_offset``: added to every pack_id — the NAMESPACE hook for
     callers that pack several partitions of a corpus independently
@@ -96,19 +106,19 @@ def pack_sequences(
         size_expr = ws_token_count_col()
     else:
         size_expr = F.col(size_col).cast("long")
+    if group_col is None:
+        group_expr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups))
+    else:
+        group_expr = F.coalesce(F.col(group_col).cast("long"), F.lit(0))
     sized = docs.select(
         "doc_id",
         F.greatest(F.lit(0), F.coalesce(size_expr, F.lit(0)))
         .cast("long")
         .alias("n_tokens"),
+        group_expr.cast("int").alias("group_id"),
     )
-    grouped = (
-        sized.withColumn(
-            "group_id",
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups)).cast("int"),
-        )
-        .repartition(n_groups, "group_id")
-        .sortWithinPartitions("group_id", "doc_id", "n_tokens")
+    grouped = sized.repartition(n_groups, "group_id").sortWithinPartitions(
+        "group_id", "doc_id", "n_tokens"
     )
 
     out_schema = (
@@ -118,28 +128,95 @@ def pack_sequences(
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # running state survives ACROSS Arrow batches of the sorted
         # partition; groups are contiguous after the sort, so one open
-        # counter set per group suffices
+        # counter set per group suffices. The greedy recurrence is
+        # inherently sequential per stream, but each PACK (not each row)
+        # can be closed with one numpy searchsorted over the group's
+        # token cumsum — python-interpreter work scales with #packs +
+        # #groups per batch, not #rows (the one pipeline stage that used
+        # to touch every doc row-by-row).
         gid = None
         local = used = pos = 0
         for pdf in batches:
-            pack_ids, positions = [], []
-            for g, n in zip(pdf["group_id"], pdf["n_tokens"]):
-                g, n = int(g), int(n)
+            groups = pdf["group_id"].to_numpy()
+            sizes = pdf["n_tokens"].to_numpy(dtype=np.int64)
+            if group_col is not None and len(groups):
+                bad_lo, bad_hi = groups.min(), groups.max()
+                if bad_lo < 0 or bad_hi >= n_groups:
+                    raise ValueError(
+                        f"pack_sequences: group_col {group_col!r} has values "
+                        f"outside [0, {n_groups}) (saw {bad_lo}..{bad_hi}) — "
+                        "pack ids would collide across streams"
+                    )
+            # phase 1 walks PACK boundaries (searchsorted over the token
+            # cumsum + scalar state), emitting one (pack_id, row_count,
+            # start_pos) slab per pack-slice in row order; phase 2 expands
+            # every slab at once with np.repeat — no per-pack slicing, no
+            # scatter (slabs cover the batch rows exactly in order)
+            slab_pids: list[int] = []
+            slab_counts: list[int] = []
+            slab_pos0: list[int] = []
+            # contiguous group segments within the batch (sorted input)
+            bounds = np.flatnonzero(np.diff(groups)) + 1
+            seg_starts = np.concatenate(([0], bounds)) if len(groups) else []
+            seg_ends = np.concatenate((bounds, [len(groups)])) if len(groups) else []
+            for s, e in zip(seg_starts, seg_ends):
+                g = int(groups[s])
                 if g != gid:
                     gid, local, used, pos = g, 0, 0, 0
-                elif used > 0 and used + n > budget:
-                    local += 1
-                    used, pos = 0, 0
-                    if local >= _PACK_STRIDE:
-                        raise ValueError(
-                            "pack_sequences: a single stream exceeded "
-                            f"{_PACK_STRIDE} packs — pack ids would wrap; "
-                            "raise n_groups"
-                        )
-                pack_ids.append(id_offset + gid * _PACK_STRIDE + local)
-                positions.append(pos)
-                used += n
-                pos += 1
+                cs = np.cumsum(sizes[s:e])
+                i = 0
+                # `used` tokens already sit in the open pack: the first
+                # sweep's budget is what remains of it
+                base = -used
+                while i < e - s:
+                    # maximal prefix with cumulative <= budget since the
+                    # pack opened; an item overflowing an EMPTY pack still
+                    # enters it alone (oversized docs get their own pack)
+                    j = int(np.searchsorted(cs, base + budget, side="right"))
+                    if j == i:  # first item alone exceeds the budget
+                        if used > 0:  # close the open pack first
+                            local += 1
+                            if local >= _PACK_STRIDE:
+                                raise ValueError(
+                                    "pack_sequences: a single stream "
+                                    f"exceeded {_PACK_STRIDE} packs — pack "
+                                    "ids would wrap; raise n_groups"
+                                )
+                            used, pos = 0, 0
+                            base = cs[i - 1] if i else 0
+                            continue
+                        j = i + 1
+                    slab_pids.append(id_offset + gid * _PACK_STRIDE + local)
+                    slab_counts.append(j - i)
+                    slab_pos0.append(pos)
+                    used += int(cs[j - 1] - (cs[i - 1] if i else 0))
+                    pos += j - i
+                    if j < e - s:
+                        # the next item overflows the remaining budget; a
+                        # new pack opens only if this one holds tokens —
+                        # a pack of zero-size docs stays open (used == 0,
+                        # so even an oversized next doc joins it, exactly
+                        # the row-at-a-time greedy rule)
+                        base = cs[j - 1]
+                        if used > 0:
+                            local += 1
+                            used, pos = 0, 0
+                            if local >= _PACK_STRIDE:
+                                raise ValueError(
+                                    "pack_sequences: a single stream "
+                                    f"exceeded {_PACK_STRIDE} packs — pack "
+                                    "ids would wrap; raise n_groups"
+                                )
+                    i = j
+            counts = np.asarray(slab_counts, dtype=np.int64)
+            pack_ids = np.repeat(np.asarray(slab_pids, dtype=np.int64), counts)
+            # per-slab offset ramp: global arange minus each slab's start
+            offs = np.arange(len(groups), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            positions = (
+                np.repeat(np.asarray(slab_pos0, dtype=np.int64), counts) + offs
+            ).astype(np.int32)
             out = pdf[["doc_id", "n_tokens", "group_id"]].copy()
             out["pack_id"] = pd.Series(pack_ids, dtype="int64")
             out["pack_pos"] = pd.Series(positions, dtype="int32")

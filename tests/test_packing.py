@@ -148,6 +148,62 @@ def test_packing_duplicate_doc_ids_stay_deterministic(spark):
     assert snap(df.coalesce(1)) == snap(df.repartition(4))
 
 
+def test_packing_adversarial_sizes_match_row_oracle(spark):
+    """Stress the vectorized per-pack sweep against the row-at-a-time
+    greedy definition on the shapes that exercise its branches: zero-size
+    runs, oversized docs mid-stream, oversized docs at a batch head with
+    a non-empty open pack, exact-budget fits."""
+    import random
+
+    from sparkocr.pipeline.packing import pack_sequences
+
+    rng = random.Random(4)
+    sizes = []
+    for _ in range(2000):
+        r = rng.random()
+        if r < 0.15:
+            sizes.append(0)
+        elif r < 0.25:
+            sizes.append(rng.randint(30, 90))  # oversized (budget 25)
+        elif r < 0.35:
+            sizes.append(25)  # exact fit
+        else:
+            sizes.append(rng.randint(1, 25))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, sz int"
+    )
+    packed = pack_sequences(df, 25, n_groups=3, size_col="sz").collect()
+    rows = [(r.doc_id, r.n_tokens, r.group_id) for r in packed]
+    want = _oracle(rows, 25, 3)
+    for r in packed:
+        assert (r.pack_id, r.pack_pos) == want[r.doc_id], r
+
+
+def test_packing_group_col(spark, docs):
+    """group_col: a caller-supplied engine-portable stream assignment
+    (hash_split's md5 bucket here) replaces the xxhash64 default, packs
+    stay greedy-exact per stream, and out-of-range groups are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.dedup import hash_split
+    from sparkocr.pipeline.packing import pack_sequences
+
+    src = hash_split(docs).withColumn(
+        "grp", (F.col("bucket_256") % 8).cast("int")
+    )
+    packed = pack_sequences(src, BUDGET, n_groups=8, group_col="grp").collect()
+    want_groups = {r.doc_id: r.grp for r in src.collect()}
+    assert {r.doc_id: r.group_id for r in packed} == want_groups
+    rows = [(r.doc_id, r.n_tokens, r.group_id) for r in packed]
+    want = _oracle(rows, BUDGET, 8)
+    for r in packed:
+        assert (r.pack_id, r.pack_pos) == want[r.doc_id], r
+    bad = src.withColumn("grp", (F.col("grp") + 100).cast("int"))
+    with _pytest.raises(Exception, match="outside"):
+        pack_sequences(bad, BUDGET, n_groups=8, group_col="grp").collect()
+
+
 def test_id_offset_namespacing(spark, docs):
     """id_offset shifts every pack id by exactly the offset (the
     namespace hook per-split packing uses) and rejects an offset inside
