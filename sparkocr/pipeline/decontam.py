@@ -16,6 +16,20 @@ At 10^12 documents the shape that works is asymmetric:
 Zero corpus-sized shuffles; the plan is scan → explode → broadcast
 semi-probe → tiny agg (asserted in tests/test_decontam.py).
 
+PRE-PROBE (the corpus-volume lever): materializing every corpus n-gram
+costs corpus-tokens exploded rows even when the corpus is clean. Before
+constructing a window's n-gram, its first ``prefix_probe`` tokens are
+hashed and checked against the benchmark's distinct window-prefix set
+(collected once — bounded by the tiny-benchmark invariant, capped at
+``probe_cap`` and falling back loudly to the unfiltered plan beyond
+it). Catalyst compiles the membership test to an InSet hash lookup, so
+the filter runs inside the same JVM projection; only windows sharing a
+benchmark prefix are expanded to full n-grams. Exactness is untouched:
+a window whose prefix is absent from the benchmark prefix set cannot
+match any benchmark n-gram, and surviving windows still face the exact
+full-gram broadcast semi-join. On clean corpora this cuts the exploded
+row count by orders of magnitude (measured in BENCH/BASELINE.md).
+
 Normalization (both sides, one shared expression): lowercase, collapse
 every non-alphanumeric run to a single space, whitespace-split. N-grams
 hash with xxhash64 over the joined token window — 8 bytes per n-gram in
@@ -23,6 +37,8 @@ the broadcast instead of the strings themselves.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -40,21 +56,86 @@ def _norm_tokens(text_col: str = "text"):
     ).otherwise(F.split(cleaned, " "))
 
 
+def _gram_positions(tokens_col, n: int):
+    """array<int> of 1-based window start positions. Docs shorter than
+    n tokens yield an EMPTY array — ``sequence(1, 0)`` is the DESCENDING
+    [1, 0] in Spark, not empty (the same trap ``dedup._shingle_explode``
+    guards), so the short case is explicit."""
+    return F.when(
+        F.size(tokens_col) < n, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)))
+
+
+def _window_hash(tokens_col, pos, k: int):
+    """xxhash64 over the k-token window starting at 1-based ``pos``."""
+    return F.xxhash64(F.concat_ws(" ", F.slice(tokens_col, pos, k)))
+
+
 def _ngram_hashes(tokens_col, n: int):
-    """array<long> of xxhash64 over each n-token window. Docs shorter
-    than n tokens yield an EMPTY array — ``sequence(1, 0)`` is the
-    DESCENDING [1, 0] in Spark, not empty (the same trap
-    ``dedup._shingle_explode`` guards), so the short case is explicit."""
-    return F.when(F.size(tokens_col) < n, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens_col, i, n))),
-        )
+    """array<long> of xxhash64 over each n-token window (unfiltered)."""
+    return F.transform(
+        _gram_positions(tokens_col, n), lambda i: _window_hash(tokens_col, i, n)
     )
 
 
+def _bench_prefix_set(
+    bench: DataFrame, n: int, k: int, probe_cap: int
+) -> list[int] | None:
+    """The benchmark's distinct window-PREFIX hashes (first k tokens of
+    each n-token window), collected driver-side. Bounded by the
+    tiny-benchmark invariant; returns None past ``probe_cap`` (caller
+    falls back to the unfiltered plan) with a visible warning, because a
+    silently skipped optimization on a benchmark 100x the expected size
+    is exactly the regression a pipeline owner needs to hear about."""
+    toks = _norm_tokens()
+    rows = (
+        bench.select(
+            F.explode(
+                F.transform(
+                    _gram_positions(toks, n), lambda i: _window_hash(toks, i, k)
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .limit(probe_cap + 1)
+        .collect()
+    )
+    if len(rows) > probe_cap:
+        warnings.warn(
+            f"contamination_flags: benchmark prefix set exceeds probe_cap="
+            f"{probe_cap}; pre-probe disabled, falling back to the "
+            "unfiltered n-gram explode",
+            stacklevel=3,
+        )
+        return None
+    return [r.g for r in rows]
+
+
+def _doc_gram_table(
+    docs: DataFrame, n: int, k: int, probe_vals: list[int] | None
+) -> DataFrame:
+    """(doc_id, g) — one row per corpus n-gram occurrence, prefix-
+    filtered when ``probe_vals`` is given. The filter runs inside the
+    projection BEFORE the explode, so pruned windows never become rows."""
+    toks = _norm_tokens()
+    pos = _gram_positions(toks, n)
+    if probe_vals is not None:
+        if not probe_vals:  # benchmark holds no n-grams: nothing can match
+            pos = F.filter(pos, lambda i: F.lit(False))
+        else:
+            pos = F.filter(
+                pos, lambda i: _window_hash(toks, i, k).isin(probe_vals)
+            )
+    grams = F.transform(pos, lambda i: _window_hash(toks, i, n))
+    return docs.select("doc_id", F.explode(grams).alias("g"))
+
+
 def contamination_flags(
-    docs: DataFrame, bench: DataFrame, n: int = 13
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    prefix_probe: int = 2,
+    probe_cap: int = 100_000,
 ) -> DataFrame:
     """Per-document contamination counts against the benchmark set.
 
@@ -66,19 +147,25 @@ def contamination_flags(
     pipeline ranks removals by). Docs with zero hits are absent
     (anti-join or ``decontaminate`` for the clean corpus).
 
+    ``prefix_probe``: leading tokens per window hashed for the pre-probe
+    filter (see module docstring); 0 disables it and restores the plain
+    explode-everything plan. Result-identical either way — the pre-probe
+    only prunes windows that cannot match.
+
     Null doc_ids group as ONE row (SQL groupBy null semantics): the
     count stays the honest total across them, but individual null-keyed
     docs cannot be located by id — ``decontaminate`` handles them
     fail-closed (see there)."""
     if n <= 0:
         raise ValueError(f"contamination_flags: n must be positive, got {n}")
+    k = min(prefix_probe, n) if prefix_probe and prefix_probe > 0 else 0
+    probe_vals = _bench_prefix_set(bench, n, k, probe_cap) if k else None
     bench_grams = (
         bench.select(F.explode(_ngram_hashes(_norm_tokens(), n)).alias("g"))
         .distinct()
     )
-    doc_grams = docs.select(
-        "doc_id", F.explode(_ngram_hashes(_norm_tokens(), n)).alias("g")
-    )
+    doc_grams = _doc_gram_table(docs, n, k if probe_vals is not None else 0,
+                                probe_vals)
     return (
         doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
         .groupBy("doc_id")
@@ -86,7 +173,12 @@ def contamination_flags(
     )
 
 
-def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    prefix_probe: int = 2,
+) -> DataFrame:
     """The clean corpus: every input column, minus docs flagged by
     ``contamination_flags``. The flagged-id side is a sliver of the
     corpus; the anti-join leaves its strategy to AQE (broadcast when it
@@ -101,5 +193,7 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     survive."""
     from sparkocr.pipeline.dedup import drop_flagged
 
-    flagged = contamination_flags(docs, bench, n).select("doc_id")
+    flagged = contamination_flags(
+        docs, bench, n, prefix_probe=prefix_probe
+    ).select("doc_id")
     return drop_flagged(docs, flagged)

@@ -138,6 +138,76 @@ def test_short_and_poison_docs_are_safe(spark, bench):
         contamination_flags(weird, bench, n=0)
 
 
+def test_preprobe_is_result_identical(spark, docs, bench):
+    """The prefix pre-probe is a pure pruning step: flags with the
+    probe on (default), with a 1-token prefix, and fully disabled must
+    be identical — including the poison/short-doc edges."""
+    from sparkocr.pipeline.decontam import contamination_flags
+
+    weird = spark.createDataFrame(
+        [(1001, "tiny"), (1002, None), (1003, ""), (1004, "!!! ??? ..."),
+         (1005, "completely novel benchmark question nothing shares")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(weird)
+    base = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_flags(both, bench, n=N, prefix_probe=0).collect()
+    }
+    for k in (1, 2, 3):
+        got = {
+            (r.doc_id, r.n_hits)
+            for r in contamination_flags(
+                both, bench, n=N, prefix_probe=k
+            ).collect()
+        }
+        assert got == base, f"prefix_probe={k} diverged"
+    assert base  # the fixture actually flags something
+
+
+def test_preprobe_prunes_exploded_rows(spark, docs, bench):
+    """The point of the pre-probe: on a mostly-clean corpus the
+    prefix-filtered n-gram table is a fraction of the full explode."""
+    from sparkocr.pipeline.decontam import (
+        _bench_prefix_set, _doc_gram_table,
+    )
+
+    full = _doc_gram_table(docs, N, 0, None).count()
+    vals = _bench_prefix_set(bench, N, 2, 100_000)
+    pruned = _doc_gram_table(docs, N, 2, vals).count()
+    assert pruned < full * 0.2, (pruned, full)
+    assert pruned > 0  # the contaminated slices survive the filter
+
+
+def test_preprobe_empty_benchmark_and_cap_fallback(spark, docs):
+    from sparkocr.pipeline.decontam import contamination_flags
+
+    # benchmark with no n-grams at all (every item shorter than n)
+    tiny_bench = spark.createDataFrame([("one two",), (None,)], "text string")
+    assert contamination_flags(docs, tiny_bench, n=N).count() == 0
+
+    # prefix set past the cap: loud warning + identical (fallback) result
+    import warnings as _w
+
+    big_bench = docs.limit(20)  # plenty of distinct 2-token prefixes
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        capped = {
+            (r.doc_id, r.n_hits)
+            for r in contamination_flags(
+                docs, big_bench, n=N, probe_cap=5
+            ).collect()
+        }
+    assert any("pre-probe disabled" in str(c.message) for c in caught)
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_flags(
+            docs, big_bench, n=N, prefix_probe=0
+        ).collect()
+    }
+    assert capped == want
+
+
 def test_null_doc_id_fails_closed(spark, bench):
     """A contaminated doc whose doc_id is null must NOT leak into the
     clean corpus (a plain anti-join never matches null keys); when no
