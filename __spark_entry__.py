@@ -751,26 +751,29 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
-def q_event_type_hourly(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .orderBy("hour", "event_type")
-    )
-
-
-def q_event_props_k(spark, sf_dir):
+def q_event_hourly_stats(spark, sf_dir):
+    """event_type_hourly + event_props_k merged in round 4 (freeing a
+    catalog slot under the driver's 50-entry cap for doc_contamination):
+    the hour truncation/formatting, per-type counts and value sums, AND
+    the JSON props "k" regexp extraction are all value-checked through
+    one (hour, event_type) output."""
     e = _t(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
     return (
-        e.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.max("k").alias("max_k"))
-        .orderBy("event_type")
+        e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "value",
+            k.alias("k"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("hour", "event_type")
     )
 
 
@@ -814,12 +817,41 @@ def q_doc_dup_clusters(spark, sf_dir):
     )
 
 
-def q_doc_hash_split(spark, sf_dir):
+def q_doc_pack_assignments(spark, sf_dir):
+    """Sequence packing value-checked end-to-end (round 4 — absorbed the
+    doc_hash_split entry, whose bucket/split columns ride along, so one
+    output checks hash_split's md5 bucketing AND the greedy next-fit
+    packer). The stream assignment is hash_split's engine-portable md5
+    bucket (group_col), so the DuckDB oracle can replay the exact pack
+    walk with a recursive CTE over the same (group, doc_id)-sorted
+    stream; budget 100 on ~40-ws-token docs yields 2-3 doc packs with
+    plenty of boundary cases."""
     from sparkocr.pipeline.dedup import hash_split
+    from sparkocr.pipeline.packing import pack_sequences
 
-    return hash_split(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "bucket_256", "split"
+    docs = hash_split(_t(spark, sf_dir, "documents"))
+    src = docs.withColumn("grp", (F.col("bucket_256") % 8).cast("int"))
+    packed = pack_sequences(src, budget=100, n_groups=8, group_col="grp")
+    return packed.join(
+        docs.select("doc_id", "bucket_256", "split"), "doc_id"
+    ).select(
+        "doc_id", "n_tokens", "group_id", "pack_id", "pack_pos",
+        "bucket_256", "split",
     )
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination value-checked (round 4): the benchmark
+    is a deterministic slice of the corpus itself (doc_id % 50 == 3), so
+    the flagged set covers self-matches, exact dups, and near-dups that
+    share a 13-gram. Runs with the DEFAULT prefix pre-probe, so the
+    pruned-window branch is itself under the oracle (the same discipline
+    doc_lsh_pairs applies to its hot-bucket cap)."""
+    from sparkocr.pipeline.decontam import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter((F.col("doc_id") % 50) == 3).select("text")
+    return contamination_flags(docs, bench, n=13)
 
 
 def q_doc_jaccard_pairs(spark, sf_dir):
@@ -1015,10 +1047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries: the round-1 driver checked only the first 50 of
     56, so low-value entries were merged (segment stats + anti-join, the
     two window demos, mode/skew metrics, decode + resize, fingerprints into
-    token counts; round 3 merged exact_dedup into dedup_corpus) and the
-    round-2/3 additions (CLI/eval cleanup, det assembly, b64 embed,
-    row-level locate, near-dup clustering) fit under the cap with every
-    entry checked."""
+    token counts; round 3 merged exact_dedup into dedup_corpus; round 4
+    merged the two event demos into event_hourly_stats and folded
+    doc_hash_split into doc_pack_assignments) so the round-4 additions
+    (sequence packing, benchmark decontamination) fit under the cap with
+    every entry checked."""
     return {
         # extraction surface
         "extract_clean": q_extract_clean,
@@ -1052,12 +1085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "orders_range_join": q_orders_range_join,
         "event_sessions": q_event_sessions,
-        "event_type_hourly": q_event_type_hourly,
-        "event_props_k": q_event_props_k,
+        "event_hourly_stats": q_event_hourly_stats,
         # data-pipeline catalog
         "doc_dedup_corpus": q_doc_dedup_corpus,
         "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_hash_split": q_doc_hash_split,
+        "doc_pack_assignments": q_doc_pack_assignments,
+        "doc_contamination": q_doc_contamination,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash": q_doc_minhash,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -1586,18 +1619,14 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS sess
                 FROM g) GROUP BY user_id
         """,
-        "event_type_hourly": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
-                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "event_props_k": """
+        "event_hourly_stats": """
             -- TRY_CAST: a props row without "k" gives '' which ::INT would
             -- ERROR on in DuckDB, while Spark's cast nulls it
-            SELECT event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
                    round(avg(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)), 4) AS avg_k,
                    max(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # data pipeline
         "doc_dedup_corpus": """
@@ -1641,17 +1670,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, min(dst) AS cluster_id
             FROM reach GROUP BY src
         """,
-        "doc_hash_split": """
-            WITH b AS (
+        "doc_pack_assignments": """
+            -- replays pack_sequences' greedy next-fit walk exactly: the
+            -- stream assignment is the engine-portable md5 bucket (mod 8),
+            -- streams sort by (group_id, doc_id, n_tokens), and the
+            -- recursive CTE advances one row per group per level carrying
+            -- (open-pack local index, tokens used, position) — the same
+            -- recurrence the vectorized mapInPandas implements (a doc
+            -- overflowing a NON-empty pack closes it; an oversized doc
+            -- entering an EMPTY pack takes it alone)
+            WITH RECURSIVE b AS (
                 SELECT doc_id,
                        CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT
-                            AS INT) AS bucket_256
-                FROM documents)
-            SELECT doc_id, bucket_256,
-                   CASE WHEN bucket_256 < 230 THEN 'train'
-                        WHEN bucket_256 < 243 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b
+                            AS INT) AS bucket_256,
+                       regexp_replace(coalesce(text, ''),
+                                      '^\\s+|\\s+$', '', 'g') AS ft
+                FROM documents),
+            sized AS (
+                SELECT doc_id, bucket_256,
+                       CASE WHEN bucket_256 < 230 THEN 'train'
+                            WHEN bucket_256 < 243 THEN 'val'
+                            ELSE 'test' END AS split,
+                       (bucket_256 % 8)::INT AS group_id,
+                       (CASE WHEN ft = '' THEN 0
+                             ELSE len(regexp_split_to_array(ft, '\\s+'))
+                        END)::BIGINT AS n_tokens
+                FROM b),
+            ordered AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY group_id ORDER BY doc_id, n_tokens) AS rn
+                FROM sized),
+            walk AS (
+                SELECT doc_id, n_tokens, group_id, bucket_256, split, rn,
+                       0::BIGINT AS local, n_tokens AS used, 0 AS pack_pos
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.doc_id, o.n_tokens, o.group_id, o.bucket_256,
+                       o.split, o.rn,
+                       CASE WHEN w.used > 0 AND w.used + o.n_tokens > 100
+                            THEN w.local + 1 ELSE w.local END,
+                       CASE WHEN w.used > 0 AND w.used + o.n_tokens > 100
+                            THEN o.n_tokens ELSE w.used + o.n_tokens END,
+                       CASE WHEN w.used > 0 AND w.used + o.n_tokens > 100
+                            THEN 0 ELSE w.pack_pos + 1 END
+                FROM walk w JOIN ordered o
+                  ON o.group_id = w.group_id AND o.rn = w.rn + 1)
+            SELECT doc_id, n_tokens, group_id,
+                   group_id::BIGINT * 1099511627776 + local AS pack_id,
+                   pack_pos::INT AS pack_pos, bucket_256, split
+            FROM walk
+        """,
+        "doc_contamination": """
+            -- shared normalization (lowercase, non-alnum runs -> one
+            -- space) and 13-gram windows on both sides; the benchmark is
+            -- the doc_id %% 50 == 3 corpus slice. Counts n-gram
+            -- OCCURRENCES per doc (not distinct grams), matching
+            -- contamination_flags' magnitude semantics. generate_series
+            -- with stop < start is empty in DuckDB, so short docs yield
+            -- no windows (Spark guards its descending-sequence trap the
+            -- same way).
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                                        '[^a-z0-9]+', ' ', 'g')),
+                                    ' ') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t) - 12, 0))) AS i
+                FROM toks),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i + 12], ' ') AS g
+                FROM pos),
+            bench AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 3)
+            SELECT doc_id, count(*) AS n_hits
+            FROM grams WHERE g IN (SELECT g FROM bench)
+            GROUP BY doc_id
         """,
         "doc_jaccard_pairs": shingle_cte + """
             , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
