@@ -382,6 +382,7 @@ def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over candidate pairs → ``(id, cluster_id)``
     with ``cluster_id`` = the smallest doc id reachable through the pair
@@ -425,7 +426,16 @@ def dup_clusters(
     endpoint identifies no document; SQL joins would drop it anyway).
     Raises after ``max_iter`` non-converged rounds instead of returning
     silently wrong labels — at the default 25 that needs a component
-    diameter over ~2^24."""
+    diameter over ~2^24.
+
+    ``stats``: optional dict the run fills in place — ``n_edges`` (after
+    symmetrization/dedup), ``rounds`` (propagation rounds executed; 0 for
+    an edgeless graph), and ``n_changed_last`` (labels changed in the
+    final round; 0 on convergence). A pipeline owner watching a nightly
+    job reads rounds-used from here instead of spelunking executor logs,
+    and a rounds-used spike is the early warning that a hot shingle is
+    chaining unrelated docs together. Filled even on the max_iter
+    ValueError path (inspect after catching)."""
     id_cols = pairs.columns[:2]
     e1 = pairs.select(F.col(id_cols[0]).alias("u"), F.col(id_cols[1]).alias("v"))
     edges = (
@@ -450,10 +460,13 @@ def dup_clusters(
     edges = edges.cache()
     try:
         singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
-        if edges.count() == 0:
+        n_edges = edges.count()
+        if stats is not None:
+            stats.update(n_edges=n_edges, rounds=0, n_changed_last=0)
+        if n_edges == 0:
             return singletons.select("id", F.col("lbl").alias("cluster_id"))
         labels = singletons.localCheckpoint(eager=True)
-        for _ in range(max_iter):
+        for rnd in range(1, max_iter + 1):
             msgs = edges.join(labels, edges["u"] == labels["id"]).select(
                 edges["v"].alias("id"), F.col("lbl"), F.lit(None).cast(labels.schema["lbl"].dataType).alias("old")
             )
@@ -483,7 +496,10 @@ def dup_clusters(
                 .localCheckpoint(eager=True)
             )
             prev, labels = labels, nxt.select("id", "lbl")
-            if obs.get["n_changed"] == 0:
+            n_changed = obs.get["n_changed"]
+            if stats is not None:
+                stats.update(rounds=rnd, n_changed_last=n_changed)
+            if n_changed == 0:
                 return labels.select("id", F.col("lbl").alias("cluster_id"))
             del prev  # superseded generation: ContextCleaner frees its blocks
         raise ValueError(

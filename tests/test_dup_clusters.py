@@ -58,6 +58,36 @@ def test_chain_converges_logarithmically(spark):
     assert got == {i: 0 for i in ids}
 
 
+def test_rounds_are_observable(spark):
+    """The stats out-param surfaces rounds-used without log spelunking:
+    a clique closes in a couple of rounds, a chain needs more (the
+    rounds-spike signal), an edgeless graph runs zero, and the max_iter
+    ValueError path still fills the dict before raising."""
+    clique_stats: dict = {}
+    ids = list(range(10))
+    _run(spark, ids, [(a, b) for a in ids for b in ids if a < b],
+         stats=clique_stats)
+    assert clique_stats["n_edges"] == 90  # symmetrized
+    assert 1 <= clique_stats["rounds"] <= 3
+    assert clique_stats["n_changed_last"] == 0  # converged
+
+    chain_stats: dict = {}
+    _run(spark, list(range(64)), [(i, i + 1) for i in range(63)],
+         stats=chain_stats)
+    assert chain_stats["rounds"] > clique_stats["rounds"]
+    assert chain_stats["n_changed_last"] == 0
+
+    empty_stats: dict = {}
+    _run(spark, ids, [], stats=empty_stats)
+    assert empty_stats == {"n_edges": 0, "rounds": 0, "n_changed_last": 0}
+
+    exhausted: dict = {}
+    with pytest.raises(ValueError, match="not converged"):
+        _run(spark, list(range(64)), [(i, i + 1) for i in range(63)],
+             max_iter=2, stats=exhausted)
+    assert exhausted["rounds"] == 2 and exhausted["n_changed_last"] > 0
+
+
 def test_transitivity_without_direct_pair(spark):
     # A~B, B~C but never (A, C): all three must share one cluster
     got = _run(spark, [1, 2, 3, 9], [(2, 1), (2, 3)])
