@@ -68,6 +68,7 @@ def build_corpus(
     near_threshold: float = 0.8,
     blocklist_path: str | None = None,
     redact: bool = False,
+    size_col: str | None = None,
 ) -> dict:
     from sparkocr.assemble import assemble_docs_cli
     from sparkocr.extract.dispatch import extract_turns
@@ -169,13 +170,39 @@ def build_corpus(
             counts["pii_redactions"] = audit_totals(final)["total"]
 
         final = caching.register(final.transform(hash_split, key="conv_id"))
+        # --size-col: pack by a PRECOMPUTED token-count column instead of
+        # the whitespace default — the seam a production pipeline routes
+        # real BPE counts through (pack_sequences sizes by whatever count
+        # lands in the column; it never re-tokenizes). The two stock
+        # counters materialize here by name; any other name must already
+        # be a column of the corpus frame (e.g. joined in upstream).
+        pack_cols = ["doc_id", "text"]
+        if size_col is not None:
+            if size_col not in final.columns:
+                from sparkocr.pipeline.textstats import word_token_count_col
+
+                stock = {
+                    "n_ws_tokens": ws_token_count_col,
+                    "n_word_tokens": word_token_count_col,
+                }
+                if size_col not in stock:
+                    raise ValueError(
+                        f"corpus_job: --size-col {size_col!r} is neither a "
+                        f"corpus column ({final.columns}) nor a stock "
+                        f"counter ({sorted(stock)})"
+                    )
+                final = caching.register(
+                    final.withColumn(size_col, stock[size_col]())
+                )
+            pack_cols.append(size_col)
         # pack PER SPLIT: one pack must never mix train with val/test
         # docs (eval leakage / pack_pos holes for split-filtered reads);
         # per-split pack ids are offset to stay globally unique
         packed_parts = [
             pack_sequences(
-                final.filter(F.col("split") == s).select("doc_id", "text"),
+                final.filter(F.col("split") == s).select(*pack_cols),
                 budget,
+                size_col=size_col,
                 id_offset=i << 60,  # validated against the group layout
                 # by pack_sequences itself — the namespace lives there
             )
@@ -209,6 +236,13 @@ def main(argv=None) -> dict:
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--size-col", default=None,
+        help="pack by this precomputed token-count column instead of the "
+        "whitespace default (n_ws_tokens / n_word_tokens materialize by "
+        "name; anything else must already be a corpus column — the hook "
+        "for real BPE counts)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -226,6 +260,7 @@ def main(argv=None) -> dict:
         near_threshold=args.near_threshold,
         blocklist_path=args.blocklist,
         redact=args.redact,
+        size_col=args.size_col,
     )
     summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
     print(json.dumps(summary))

@@ -61,6 +61,14 @@ def ws_token_count_col(text_col: str = "text"):
     )
 
 
+def word_token_count_col(text_col: str = "text"):
+    """THE regex-token count expression (WORD_RE, the BPE-ish tokenizer
+    stand-in) — shared by ``token_counts`` and ``corpus_job``'s
+    ``--size-col`` packing hook so the two can never disagree. Null text
+    propagates null (pack_sequences coalesces to 0)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(WORD_RE), F.lit(0)))
+
+
 def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     """Word + regex-token counts per document (JVM regexp, no UDF).
 
@@ -74,7 +82,7 @@ def token_counts(docs: DataFrame, fingerprint: bool = False) -> DataFrame:
     cols = [
         F.col("doc_id"),
         ws.alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))).alias("n_word_tokens"),
+        word_token_count_col().alias("n_word_tokens"),
         F.length("text").alias("n_chars"),
     ]
     if fingerprint:

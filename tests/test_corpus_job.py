@@ -88,6 +88,46 @@ def test_packs_never_cross_splits(spark, tiny_transcripts, tmp_path):
         assert sorted(m.pack_pos for m in members) == list(range(len(members)))
 
 
+def test_size_col_packs_by_regex_tokens(spark, tiny_transcripts, tmp_path):
+    """The BPE seam end-to-end: --size-col n_word_tokens swaps the
+    whitespace stand-in for the regex counter; every pack's n_tokens is
+    the regex count (provably different from the ws count somewhere in
+    the fixture) and per-pack budgets hold under the swapped sizes."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.jobs.corpus_job import build_corpus
+    from sparkocr.pipeline.textstats import (
+        word_token_count_col, ws_token_count_col,
+    )
+
+    out = str(tmp_path / "corpus_sc")
+    counts = build_corpus(
+        spark, tiny_transcripts, out, budget=256, min_words=3,
+        size_col="n_word_tokens",
+    )
+    assert counts["packs"] > 0
+    rows = spark.read.parquet(os.path.join(out, "corpus"))
+    chk = rows.select(
+        "pack_id", "n_tokens",
+        word_token_count_col().alias("want"),
+        ws_token_count_col().alias("ws"),
+    ).collect()
+    assert all(r.n_tokens == r.want for r in chk)
+    assert any(r.want != r.ws for r in chk)  # the swap is observable
+    per_pack = (
+        rows.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(p.tot <= 256 or p.n == 1 for p in per_pack)  # oversized solo
+
+    with pytest.raises(ValueError, match="size-col"):
+        build_corpus(
+            spark, tiny_transcripts, str(tmp_path / "corpus_bad"),
+            budget=256, min_words=3, size_col="bpe_count",
+        )
+
+
 def test_null_conv_id_survives_corpus_job(spark, tmp_path):
     """A null-conv document must flow through (distinct doc_id via the
     sentinel hash), not crash the injectivity guard with a spurious
