@@ -151,34 +151,52 @@ def _delete_dir(spark: SparkSession, path_str: str) -> None:
     fs.delete(jpath, True)  # recursive; absent → false, fine
 
 
-def vacuum_index(spark: SparkSession, path: str) -> dict:
+def vacuum_index(
+    spark: SparkSession, path: str, min_age_hours: float = 24.0
+) -> dict:
     """Reclaim markerless orphan delta datasets — appends that died
     mid-write and were retried under a DIFFERENT append_id (a same-id
     retry overwrites its own partial files; compaction only drops
     COMMITTED ids). Orphans are invisible to probes but are full-size
     parquet that nothing else ever deletes short of a rebuild.
 
-    Run only when no append is in flight: an in-progress append is
-    itself a markerless delta and would be destroyed. (This is why
-    compact_index does not vacuum implicitly — compaction is safe to run
-    beside a live append, vacuuming is not.)
+    An IN-FLIGHT append is itself a markerless delta, so deleting every
+    markerless dir would destroy a concurrent append's partial write.
+    Guard: only orphans whose newest modification time (the delta dir
+    and its direct partition children — a file landing in ``sig=x/``
+    bumps that child dir's mtime) is older than ``min_age_hours`` are
+    reclaimed; anything younger is reported under ``skipped_recent`` and
+    left for the next vacuum. No real append runs for 24 h, so the
+    default clears every true orphan while a live append stays safe.
+    Pass ``min_age_hours=0`` only when provably no append is in flight.
 
-    Returns ``{"reclaimed": [append_ids...]}``."""
+    Returns ``{"reclaimed": [...], "skipped_recent": [...]}``."""
+    import time
+
     from sparkocr.checkpoint import _fs
 
     _, fs, droot = _fs(spark, f"{path}/deltas")
     if not fs.exists(droot):
-        return {"reclaimed": []}
+        return {"reclaimed": [], "skipped_recent": []}
     committed = {mk["append_id"] for mk in _committed_appends(spark, path)}
-    reclaimed = []
+    cutoff_ms = (time.time() - min_age_hours * 3600.0) * 1000.0
+    reclaimed, skipped = [], []
     for st in fs.listStatus(droot):
         name = st.getPath().getName()
         if name == "_commits" or not st.isDirectory():
             continue
-        if name not in committed:
-            fs.delete(st.getPath(), True)
-            reclaimed.append(name)
-    return {"reclaimed": sorted(reclaimed)}
+        if name in committed:
+            continue
+        newest = max(
+            [st.getModificationTime()]
+            + [c.getModificationTime() for c in fs.listStatus(st.getPath())]
+        )
+        if newest > cutoff_ms:
+            skipped.append(name)
+            continue
+        fs.delete(st.getPath(), True)
+        reclaimed.append(name)
+    return {"reclaimed": sorted(reclaimed), "skipped_recent": sorted(skipped)}
 
 
 def _write_json_atomic(spark: SparkSession, path_str: str, payload: dict) -> None:

@@ -7,11 +7,25 @@ banded self-join. Correct, but at 10^12 documents a daily increment of
 small derived tables once and lets an increment query join against them
 with no corpus-sized shuffle:
 
-  {store}_sigs   (doc_id, mh_0..mh_{n_perm-1})   bucketed by doc_id
-  {store}_bands  (doc_id, bkey)                   bucketed by bkey
-  {store}_meta   single row: n_perm, band_rows, k, n_buckets
-                 (written LAST — a missing meta marks a half-built
-                 store, mirroring ann_index's completeness discipline)
+  {store}_sigs    (doc_id, mh_0..mh_{n_perm-1}, append_id)  bucketed by doc_id
+  {store}_bands   (doc_id, bkey, append_id)                 bucketed by bkey
+  {store}_commits one row per committed append: (append_id, attempt,
+                  rows) — the base build commits as append_id='base';
+                  ``attempt`` is the per-invocation token stamped onto
+                  that append's rows
+  {store}_meta    single row: n_perm, band_rows, k, n_buckets
+                  (written LAST — a missing meta marks a half-built
+                  store, mirroring ann_index's completeness discipline)
+
+Appends follow ann_index.append_to_index's exactly-once discipline:
+every appended row is stamped with its ``append_id``, the commit row
+lands LAST, and readers see only rows whose append_id is committed — a
+death between the sigs and bands appends (or mid-append) leaves
+invisible orphan rows, never a half-visible increment, and a blind
+retry of a committed id is a no-op instead of a silent duplication.
+``check_lsh_store`` still audits the committed view and additionally
+counts orphan rows so crashed attempts stay observable until a rebuild
+purges them.
 
 Both tables are Spark native bucketed tables (``storage.py`` pattern —
 the Parquet stand-in for Iceberg ``bucket(...)``): hash-partitioned on
@@ -61,6 +75,43 @@ def _bands_table(store: str) -> str:
 
 def _meta_table(store: str) -> str:
     return f"{store}_meta"
+
+
+def _commits_table(store: str) -> str:
+    return f"{store}_commits"
+
+
+def _committed_ids(spark: SparkSession, store: str) -> list[str] | None:
+    """Committed ATTEMPT tokens (the values stamped onto rows), or None
+    for a legacy store (built before the commit discipline: no commits
+    table, rows unstamped) — readers then take every row, exactly as the
+    old code did. Rows are stamped per-ATTEMPT rather than per-append_id
+    so a retry of a crashed append cannot accidentally commit the dead
+    attempt's rows along with its own."""
+    try:
+        return [r.attempt for r in spark.table(_commits_table(store)).collect()]
+    except Exception:
+        return None
+
+
+def _committed_rows(spark: SparkSession, store: str, table: str) -> DataFrame:
+    """The COMMITTED view of a store table: rows whose append_id has a
+    commit row, with the stamp column dropped so downstream plans are
+    unchanged. The isin filter sits on the scan (no Exchange added;
+    bucketing survives a Filter), and the committed-id list is one tiny
+    driver-side read — bounded by the number of appends ever run."""
+    df = spark.table(table)
+    if "append_id" not in df.columns:
+        return df  # legacy store: everything visible
+    ids = _committed_ids(spark, store)
+    if ids is None:
+        # stamped rows but no commits table: half-migrated store —
+        # refuse, a guess either way silently changes the pair set
+        raise ValueError(
+            f"LSH store {store!r} has stamped rows but no commits table — "
+            "rebuild with build_lsh_store"
+        )
+    return df.filter(F.col("append_id").isin(ids)).drop("append_id")
 
 
 def _band_keys(sig: DataFrame, n_perm: int, band_rows: int) -> DataFrame:
@@ -127,12 +178,16 @@ def build_lsh_store(
     from reading that table back (a 100x-smaller input than the text).
 
     Meta is dropped first and written last: a build that dies in between
-    leaves a store every reader refuses, never a probeable half-store."""
+    leaves a store every reader refuses, never a probeable half-store.
+    Base rows commit as append_id='base' (a rebuild also resets the
+    commits table, so markers from the previous store's appends never
+    resurrect orphan rows)."""
     check_band_divisibility(n_perm, band_rows)
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {_meta_table(store)}")
     (
         minhash_signatures(docs, n_perm, k)
+        .withColumn("append_id", F.lit("base"))
         .repartition(n_buckets, "doc_id")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "doc_id")
@@ -141,7 +196,12 @@ def build_lsh_store(
         .saveAsTable(_sigs_table(store))
     )
     (
-        _band_keys(spark.table(_sigs_table(store)), n_perm, band_rows)
+        _band_keys(
+            spark.table(_sigs_table(store)).drop("append_id"),
+            n_perm,
+            band_rows,
+        )
+        .withColumn("append_id", F.lit("base"))
         .repartition(n_buckets, "bkey")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "bkey")
@@ -149,23 +209,56 @@ def build_lsh_store(
         .format("parquet")
         .saveAsTable(_bands_table(store))
     )
+    n_base = spark.table(_sigs_table(store)).count()
+    spark.createDataFrame(
+        [("base", "base", n_base)], ["append_id", "attempt", "rows"]
+    ).coalesce(1).write.mode("overwrite").saveAsTable(_commits_table(store))
     spark.createDataFrame(
         [(n_perm, band_rows, k, n_buckets)],
         ["n_perm", "band_rows", "k", "n_buckets"],
     ).coalesce(1).write.mode("overwrite").saveAsTable(_meta_table(store))
 
 
-def append_lsh_store(new_docs: DataFrame, store: str) -> dict:
+def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
     """Append an increment's signatures and band keys to the store, with
-    the STORED parameters (never re-derived). NOT crash-atomic across
-    the two appends: a death between them leaves docs with signatures
-    but no bands (they stop surfacing as candidates), and a blind retry
-    duplicates sigs rows (duplicate pairs downstream). After any crashed
-    or uncertain append, run ``check_lsh_store`` — it detects both
-    states — and rebuild, or re-append exactly the missing docs.
+    the STORED parameters (never re-derived). Exactly-once per
+    ``append_id`` (ann_index.append_to_index's discipline): appended rows
+    are stamped with the id, the commit row lands LAST, and readers see
+    only committed ids — so a death between the two appends (or
+    mid-append) leaves invisible orphan rows rather than docs with
+    signatures but no bands, a retry of the crashed id appends fresh
+    rows and commits them (the orphans stay invisible; ``check_lsh_store``
+    counts them, a rebuild purges them), and a blind retry of a
+    COMMITTED id is a skipped no-op instead of a silent duplication.
 
-    Returns ``{"rows": n_docs_appended}``."""
-    m = read_store_meta(new_docs.sparkSession, store)
+    Rows are stamped with a per-ATTEMPT token (``append_id-<nonce>``),
+    not the bare append_id, and the commit row records which attempt
+    completed — otherwise a retry's commit would resurrect the crashed
+    attempt's orphan rows (same stamp) and every increment doc would
+    surface twice.
+
+    Returns ``{"append_id", "rows", "skipped"}``."""
+    import uuid
+
+    from sparkocr.pipeline.ann_index import _APPEND_ID_RE
+
+    if not _APPEND_ID_RE.match(append_id or "") or append_id == "base":
+        raise ValueError(
+            f"append_id {append_id!r} must match {_APPEND_ID_RE.pattern} "
+            "and not be the reserved 'base'"
+        )
+    spark = new_docs.sparkSession
+    m = read_store_meta(spark, store)
+    if "append_id" not in spark.table(_sigs_table(store)).columns:
+        raise ValueError(
+            f"LSH store {store!r} predates the append-commit discipline "
+            "(rows are unstamped) — rebuild with build_lsh_store before "
+            "appending"
+        )
+    for r in spark.table(_commits_table(store)).collect():
+        if r.append_id == append_id:
+            return {"append_id": append_id, "rows": int(r.rows), "skipped": True}
+    attempt = f"{append_id}-{uuid.uuid4().hex[:12]}"
     # every consuming action happens inside this function, so the
     # signature cache is scoped here instead of leaking to the caller's
     # release (a daily driver looping appends would otherwise accumulate
@@ -175,7 +268,8 @@ def append_lsh_store(new_docs: DataFrame, store: str) -> dict:
             minhash_signatures(new_docs, m["n_perm"], m["k"])
         )
         (
-            sig.repartition(m["n_buckets"], "doc_id")
+            sig.withColumn("append_id", F.lit(attempt))
+            .repartition(m["n_buckets"], "doc_id")
             .write.mode("append")
             .bucketBy(m["n_buckets"], "doc_id")
             .sortBy("doc_id")
@@ -184,6 +278,7 @@ def append_lsh_store(new_docs: DataFrame, store: str) -> dict:
         )
         (
             _band_keys(sig, m["n_perm"], m["band_rows"])
+            .withColumn("append_id", F.lit(attempt))
             .repartition(m["n_buckets"], "bkey")
             .write.mode("append")
             .bucketBy(m["n_buckets"], "bkey")
@@ -191,42 +286,69 @@ def append_lsh_store(new_docs: DataFrame, store: str) -> dict:
             .format("parquet")
             .saveAsTable(_bands_table(store))
         )
-        return {"rows": sig.count()}
+        rows = sig.count()
+    # the COMMIT: one tiny row, written only after both appends landed
+    spark.createDataFrame(
+        [(append_id, attempt, rows)], ["append_id", "attempt", "rows"]
+    ).coalesce(1).write.mode("append").saveAsTable(_commits_table(store))
+    return {"append_id": append_id, "rows": rows, "skipped": False}
 
 
 def check_lsh_store(spark: SparkSession, store: str) -> dict:
-    """Consistency audit (one aggregate pass per table): every doc must
-    have exactly one sigs row and exactly n_bands band rows. Returns
-    ``{"docs", "dup_sig_docs", "band_mismatch_docs"}``; both counts are 0
-    for a healthy store. Diagnosis: a crashed append (sigs written,
-    bands not) is band_mismatch alone; a fully duplicated retry (both
-    appends re-ran) is dup_sig with band counts still proportional
-    (n_band == n_sig·n_bands, so NO band_mismatch); a retry where only
-    the sigs append re-ran shows BOTH."""
+    """Consistency audit of the COMMITTED view (one aggregate pass per
+    table): every doc must have exactly one sigs row and exactly n_bands
+    band rows. Returns ``{"docs", "dup_sig_docs", "missing_sig_docs",
+    "band_mismatch_docs", "orphan_rows"}``; all but ``docs`` are 0 for a
+    healthy store. Diagnosis:
+
+    - ``dup_sig_docs`` (n_sig > 1): the same doc committed in two
+      appends (a caller re-sent a doc under a NEW append_id — the
+      commit discipline can only dedupe retries of the SAME id);
+    - ``missing_sig_docs`` (n_sig == 0 but band rows exist): committed
+      bands without a signature — cannot arise from a crash under the
+      commit discipline (both appends commit together), so it points at
+      manual table surgery;
+    - ``band_mismatch_docs`` (n_band != n_sig·n_bands): ditto;
+    - ``orphan_rows``: UNcommitted rows across both tables — debris of
+      crashed append attempts. Invisible to every reader; a rebuild
+      purges them. Nonzero orphans with a clean committed view is the
+      expected aftermath of a crash + successful retry."""
     m = read_store_meta(spark, store)
     n_bands = m["n_perm"] // m["band_rows"]
-    sig_counts = (
-        spark.table(_sigs_table(store))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sig"))
-    )
-    band_counts = (
-        spark.table(_bands_table(store))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_band"))
-    )
+    sigs = _committed_rows(spark, store, _sigs_table(store))
+    bands = _committed_rows(spark, store, _bands_table(store))
+    sig_counts = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sig"))
+    band_counts = bands.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_band"))
     joined = sig_counts.join(band_counts, "doc_id", "full_outer").select(
         F.coalesce("n_sig", F.lit(0)).alias("n_sig"),
         F.coalesce("n_band", F.lit(0)).alias("n_band"),
     )
     row = joined.agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum(F.when(F.col("n_sig") != 1, 1).otherwise(0)).alias("dup_sig_docs"),
+        F.sum(F.when(F.col("n_sig") > 1, 1).otherwise(0)).alias("dup_sig_docs"),
+        F.sum(F.when(F.col("n_sig") == 0, 1).otherwise(0)).alias(
+            "missing_sig_docs"
+        ),
         F.sum(
             F.when(F.col("n_band") != F.col("n_sig") * n_bands, 1).otherwise(0)
         ).alias("band_mismatch_docs"),
     ).first()
-    return {k: int(v) for k, v in row.asDict().items()}
+    out = {k: int(v) for k, v in row.asDict().items()}
+    out["orphan_rows"] = _orphan_rows(spark, store)
+    return out
+
+
+def _orphan_rows(spark: SparkSession, store: str) -> int:
+    """Total UNcommitted rows across both store tables (0 for a legacy
+    unstamped store, where the concept does not exist)."""
+    total = 0
+    for tbl in (_sigs_table(store), _bands_table(store)):
+        df = spark.table(tbl)
+        if "append_id" not in df.columns:
+            return 0
+        ids = _committed_ids(spark, store) or []
+        total += df.filter(~F.col("append_id").isin(ids)).count()
+    return total
 
 
 def incremental_lsh_pairs(
@@ -278,7 +400,7 @@ def incremental_lsh_pairs(
     bands_new = _band_keys(sig_new, n_perm, m["band_rows"]).join(sig_new, "doc_id")
 
     new_ids = sig_new.select("doc_id")
-    store_bands = spark.table(_bands_table(store)).join(
+    store_bands = _committed_rows(spark, store, _bands_table(store)).join(
         F.broadcast(new_ids), "doc_id", "left_anti"
     )
     if bucket_max is not None:
@@ -328,7 +450,9 @@ def incremental_lsh_pairs(
         .select("id1", "id2", est)
     )
 
-    old_sigs = spark.table(_sigs_table(store)).select("doc_id", *ys)
+    old_sigs = _committed_rows(spark, store, _sigs_table(store)).select(
+        "doc_id", *ys
+    )
     new_old = (
         bands_new.select(F.col("doc_id").alias("new_id"), "bkey", *xs)
         .join(store_bands.select(F.col("doc_id").alias("old_id"), "bkey"), "bkey")

@@ -635,12 +635,17 @@ def test_vacuum_reclaims_markerless_orphans_only(spark, emb, query, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
         f.write("partial write")
+    # the age guard: a FRESH markerless delta is indistinguishable from
+    # an in-flight append, so the default vacuum must spare it
     r = vacuum_index(spark, path)
-    assert r["reclaimed"] == ["inc-dead"]
+    assert r["reclaimed"] == [] and r["skipped_recent"] == ["inc-dead"]
+    assert os.path.exists(orphan)
+    r = vacuum_index(spark, path, min_age_hours=0)
+    assert r["reclaimed"] == ["inc-dead"] and r["skipped_recent"] == []
     assert not os.path.exists(orphan)
     assert os.path.exists(os.path.join(path, "deltas", "inc-live"))
     assert _rows(lsh_topk_indexed(spark, path, query, k=10)) == want
-    assert vacuum_index(spark, path)["reclaimed"] == []
+    assert vacuum_index(spark, path, min_age_hours=0)["reclaimed"] == []
 
 
 def test_old_format_pending_marker_refused_with_named_error(

@@ -29,7 +29,8 @@ def store(spark, docs):
     build_lsh_store(old, name, n_buckets=8)
     caching.release_all()
     yield name, old, new
-    for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+    for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+              f"{name}_commits"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -77,20 +78,84 @@ def test_incremental_correct_after_append(spark, docs, store):
     name, old, new = store
     try:
         before = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
-        r = append_lsh_store(new, name)
-        assert r["rows"] == new.count()
+        r = append_lsh_store(new, name, "day1")
+        assert r["rows"] == new.count() and not r["skipped"]
         health = check_lsh_store(spark, name)
         assert health["dup_sig_docs"] == 0 and health["band_mismatch_docs"] == 0
+        assert health["missing_sig_docs"] == 0 and health["orphan_rows"] == 0
         assert health["docs"] == docs.count()
         after = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
         assert after == before
-        # a retried (duplicated) append is detected by the audit
-        append_lsh_store(new.limit(3), name)
+        # a blind retry of the SAME append_id is a no-op, not a dup
+        retry = append_lsh_store(new, name, "day1")
+        assert retry["skipped"] and retry["rows"] == r["rows"]
+        assert check_lsh_store(spark, name) == health
+        # re-sending docs under a NEW id is a caller bug the audit catches
+        append_lsh_store(new.limit(3), name, "day2")
         bad = check_lsh_store(spark, name)
-        assert bad["dup_sig_docs"] == 3
+        assert bad["dup_sig_docs"] == 3 and bad["missing_sig_docs"] == 0
     finally:
         caching.release_all()
         # rebuild the fixture store for any later test
+        from sparkocr.pipeline.lsh_store import build_lsh_store
+
+        build_lsh_store(old, name, n_buckets=8)
+        caching.release_all()
+
+
+def test_crashed_append_is_invisible_and_retry_safe(spark, docs, store):
+    """Simulate a death BETWEEN the sigs and bands appends (stamped sigs
+    rows, no commit row): the orphan rows are invisible to pairs and the
+    committed audit, the orphan counter reports them, and retrying the
+    same append_id lands the increment exactly once."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import minhash_signatures
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        check_lsh_store,
+        incremental_lsh_pairs,
+        read_store_meta,
+    )
+
+    name, old, new = store
+    try:
+        m = read_store_meta(spark, name)
+        before_pairs = _pairs(incremental_lsh_pairs(new, name, bucket_max=None))
+        before_health = check_lsh_store(spark, name)
+        # the crash: sigs append lands stamped, bands + commit never run
+        (
+            minhash_signatures(new, m["n_perm"], m["k"])
+            .withColumn("append_id", F.lit("crash1"))
+            .repartition(m["n_buckets"], "doc_id")
+            .write.mode("append")
+            .bucketBy(m["n_buckets"], "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .saveAsTable(f"{name}_sigs")
+        )
+        caching.release_all()
+        crashed = check_lsh_store(spark, name)
+        assert crashed["orphan_rows"] == new.count()
+        # the committed view is untouched: same docs, zero anomalies
+        assert {k: v for k, v in crashed.items() if k != "orphan_rows"} == {
+            k: v for k, v in before_health.items() if k != "orphan_rows"
+        }
+        assert _pairs(
+            incremental_lsh_pairs(new, name, bucket_max=None)
+        ) == before_pairs
+        # the retry: same append_id runs fresh and commits exactly once
+        r = append_lsh_store(new, name, "crash1")
+        assert not r["skipped"] and r["rows"] == new.count()
+        healed = check_lsh_store(spark, name)
+        assert healed["dup_sig_docs"] == 0 and healed["band_mismatch_docs"] == 0
+        assert healed["docs"] == docs.count()
+        assert healed["orphan_rows"] == new.count()  # debris, invisible
+        with pytest.raises(ValueError, match="reserved"):
+            append_lsh_store(new, name, "base")
+    finally:
+        caching.release_all()
         from sparkocr.pipeline.lsh_store import build_lsh_store
 
         build_lsh_store(old, name, n_buckets=8)
@@ -203,10 +268,11 @@ def test_half_built_store_refused(spark, docs):
         with pytest.raises(ValueError, match="rebuild"):
             incremental_lsh_pairs(docs.limit(5), name)
         with pytest.raises(ValueError, match="rebuild"):
-            append_lsh_store(docs.limit(5), name)
+            append_lsh_store(docs.limit(5), name, "x1")
     finally:
         caching.release_all()
-        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -289,7 +355,8 @@ def test_empty_meta_table_refused(spark, docs):
             read_store_meta(spark, name)
     finally:
         caching.release_all()
-        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -335,5 +402,6 @@ def test_build_over_empty_input(spark, docs):
         assert [(p.id1, p.id2) for p in pairs] == [(1, 2)]
     finally:
         caching.release_all()
-        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta"):
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
