@@ -9,21 +9,31 @@ unambiguous cores):
 
 - email addresses → ``<EMAIL>``
 - IPv4 addresses → ``<IP>`` (dotted quads with 0-255 octets)
-- international-ish phone numbers → ``<PHONE>`` (+CC or 10+ digit runs
-  with common separators; bounded so it cannot eat arbitrary numbers)
+- international-ish phone numbers → ``<PHONE>``: +CC-prefixed or
+  separator-formatted numbers, plus BARE runs of exactly 10-11 digits
+  (NANP-length). Bare 12+ digit runs are deliberately NOT phones:
+  millisecond epochs (13 digits) and long order/invoice ids in OCR'd
+  text were the measured false-positive class. A bare 10-digit run is
+  kept redactable on purpose — it is shape-identical to a US number and
+  losing real numbers is the worse error for a PII pass.
 - US SSN (ddd-dd-dddd with separators) → ``<SSN>``
-- 13-19 digit card-shaped runs → ``<CARD>`` (digit shape only — Luhn is
-  a python-side policy the caller can layer on sampled matches)
+- 13-19 digit runs that PASS the Luhn checksum → ``<CARD>``: real card
+  numbers always validate; random digit runs (epochs, ids) pass only
+  ~10% of the time, so the check removes ~90% of the card-shaped false
+  positives while never missing a genuine card. The checksum runs
+  JVM-side (``aggregate`` over the digit string — no UDF).
 
 Replacement order is fixed (email → ip → ssn → card → phone) so narrower
 patterns never see text a broader one already consumed; counts are
-computed BEFORE replacement from the same pattern, so the audit numbers
-always describe the applied redaction.
+computed BEFORE replacement from the same pattern AND gate, so the audit
+numbers always describe the applied redaction. ``audit_totals`` is the
+monitoring hook: n_card/n_phone rates per corpus are the early warning
+for a pattern-pack false-positive spike.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # one definition per pattern: the redactor and its counter must agree
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -33,13 +43,51 @@ IPV4_RE = (
 )
 SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 CARD_RE = r"\b[0-9]{13,19}\b"
-# the country-code separator is OPTIONAL: +14155552671 (E.164, the form
-# machines write) and bare 11-digit runs must redact, not just the
-# separator-formatted variants
+# alternation, tried in order: +CC form (separators optional — E.164's
+# +14155552671 must redact), parenthesized area code, separator-formatted
+# 3-3-4, then BARE 10-11 digit runs only (see module docstring)
 PHONE_RE = (
-    r"(?<![0-9])(?:\+?[0-9]{1,3}[ .-]?)?"
-    r"\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}(?![0-9])"
+    r"(?<![0-9])(?:"
+    r"\+[0-9]{1,3}[ .-]?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+    r"|\(?[0-9]{3}\)[ .-]?[0-9]{3}[ .-]?[0-9]{4}"
+    r"|[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}"
+    r"|[0-9]{10,11}"
+    r")(?![0-9])"
 )
+
+
+def luhn_valid(digits: str) -> bool:
+    """Pure-Python Luhn reference — the oracle the Spark expression is
+    differential-tested against (and a sampling hook for callers)."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d = d * 2 - 9 if d >= 5 else d * 2
+        total += d
+    return total % 10 == 0
+
+
+def _luhn_valid_col(m: Column) -> Column:
+    """JVM-side Luhn over a pure-digit string column: fold the reversed
+    digit positions, doubling every second digit (−9 past 9), sum mod 10.
+    Stays inside codegen — no UDF on the hot path."""
+    rev = F.reverse(m)
+    digit = lambda i: F.ascii(F.substring(rev, i, 1)) - F.lit(48)  # noqa: E731
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(m)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 0,
+                F.when(digit(i) >= 5, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+            ).otherwise(digit(i)),
+        )
+        % 10
+        == 0
+    )
+
 
 _ORDERED = [
     ("email", EMAIL_RE, "<EMAIL>"),
@@ -48,6 +96,11 @@ _ORDERED = [
     ("card", CARD_RE, "<CARD>"),
     ("phone", PHONE_RE, "<PHONE>"),
 ]
+
+# per-kind match gates beyond the regex: a match redacts only if the
+# gate accepts it. Exported so the pure-re test oracle applies the SAME
+# gate (the Spark side uses the _col twin, differential-tested).
+_GATES = {"card": luhn_valid}
 
 # case-insensitive scheme (RFC 3986: scheme case is insignificant; OCR'd
 # text shouts), and the final character must not be sentence punctuation
@@ -79,13 +132,34 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # each count is taken from the exact text state its replacement
         # sees (the chain so far), so the audit numbers always describe
         # the applied redaction
-        count_exprs.append(
-            F.coalesce(
-                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))),
-                F.lit(0),
-            ).alias(f"n_{kind}")
-        )
-        cur = F.regexp_replace(cur, pat, repl)
+        if kind in _GATES:
+            # gated kind (card/Luhn): extract matches, keep only those
+            # the gate accepts, count THOSE, and replace each kept run
+            # word-bounded (runs are pure digits — no regex metachars; a
+            # repeated identical run replaces once and later folds no-op)
+            matches = F.filter(
+                F.coalesce(
+                    F.regexp_extract_all(cur, F.lit(pat), F.lit(0)),
+                    F.array().cast("array<string>"),
+                ),
+                _luhn_valid_col,
+            )
+            count_exprs.append(F.size(matches).alias(f"n_{kind}"))
+            cur = F.aggregate(
+                matches,
+                cur,
+                lambda acc, m: F.regexp_replace(
+                    acc, F.concat(F.lit(r"\b"), m, F.lit(r"\b")), F.lit(repl)
+                ),
+            )
+        else:
+            count_exprs.append(
+                F.coalesce(
+                    F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))),
+                    F.lit(0),
+                ).alias(f"n_{kind}")
+            )
+            cur = F.regexp_replace(cur, pat, repl)
     others = [c for c in docs.columns if c != text_col]
     return docs.select(*others, cur.alias(text_col), *count_exprs)
 

@@ -17,14 +17,18 @@ def docs(spark):
 
 
 def _py_redact(text):
-    from sparkocr.pipeline.redact import _ORDERED
+    """Pure-re oracle: the SAME patterns, order, and per-kind gates as
+    redact_pii (a gated match that the gate rejects neither counts nor
+    redacts)."""
+    from sparkocr.pipeline.redact import _GATES, _ORDERED
 
     if text is None:
         return None, {k: 0 for k, _, _ in _ORDERED}
     counts = {}
     for kind, pat, repl in _ORDERED:
-        counts[kind] = len(re.findall(pat, text))
-        text = re.sub(pat, repl, text)
+        gate = _GATES.get(kind, lambda m: True)
+        counts[kind] = sum(1 for m in re.findall(pat, text) if gate(m))
+        text = re.sub(pat, lambda mo: repl if gate(mo.group(0)) else mo.group(0), text)
     return text, counts
 
 
@@ -36,6 +40,8 @@ PII_SOUP = [
     (5, None),
     (6, "no pii here at all"),
     (7, "v1.2.3.4 release notes; order #12345678901234567890 too long"),
+    (8, "epoch 1755590000123 ms and luhn-valid 4111111111111111 twice: "
+        "4111111111111111; invoice 9999999999999 stays"),
 ]
 
 
@@ -56,11 +62,17 @@ def test_redaction_matches_python_oracle(spark):
     # sits between "4" and "."), while "999.1.1.1" never matches
     assert got[2].n_ip == 3 and "999.1.1.1" in got[2].text
     assert got[3].n_ssn == 1 and got[3].n_card == 1 and got[3].n_phone == 1
-    # 3: both formatted numbers AND the bare 12-digit run — 11-13 digit
-    # runs are E.164-plausible (cc + 10 national digits), redacted on
-    # purpose
-    assert got[4].n_phone == 3
+    # 4: the bare 10-digit run and the formatted number redact; the bare
+    # 12-digit run SURVIVES (order/invoice ids were the false-positive
+    # class — only 10-11 digit bare runs are NANP-plausible phones)
+    assert got[4].n_phone == 2 and "123456789012" in got[4].text
     assert got[6].text == "no pii here at all"
+    # 8: Luhn gates the card pattern — the millisecond epoch and the
+    # invalid 13-digit invoice survive verbatim, the valid card redacts
+    # at BOTH occurrences
+    assert got[8].n_card == 2 and got[8].n_phone == 0
+    assert "1755590000123" in got[8].text and "9999999999999" in got[8].text
+    assert "4111111111111111" not in got[8].text
 
 
 def test_redaction_on_corpus_fixture(spark, docs):
@@ -167,9 +179,12 @@ def test_unicode_soup_differential(spark):
     from sparkocr.pipeline.decontam import _norm_tokens
     from sparkocr.pipeline.redact import _ORDERED, redact_pii
 
+    from sparkocr.pipeline.redact import _GATES
+
     rng = random.Random(777)
     atoms = ["a@b.co", " ", " ", " ", "ex@d.org", "1.2.3.4", "123-45-6789",
-             "+1 415 555 2671", "4111111111111111", "ħëłlo", "日本語", "\t",
+             "+1 415 555 2671", "4111111111111111", "1755590000123",
+             "ħëłlo", "日本語", "\t",
              "\n", "𝕏", "https://e.com/x", "HTTP://E.COM", ".", ",",
              "é@ü.de", "x" * 30, "​", "ß", "İ",
              "ｅｍａｉｌ＠ｄｏｍ．ｃｏｍ", "123", "()", "-"]
@@ -182,10 +197,12 @@ def test_unicode_soup_differential(spark):
     for doc_id, text in docs:
         t = text
         for kind, pat, repl in _ORDERED:
-            assert len(re.findall(pat, t)) == getattr(got[doc_id], f"n_{kind}"), (
-                doc_id, kind, t,
+            gate = _GATES.get(kind, lambda m: True)
+            n = sum(1 for m in re.findall(pat, t) if gate(m))
+            assert n == getattr(got[doc_id], f"n_{kind}"), (doc_id, kind, t)
+            t = re.sub(
+                pat, lambda mo: repl if gate(mo.group(0)) else mo.group(0), t
             )
-            t = re.sub(pat, repl, t)
         assert t == got[doc_id].text, doc_id
     norm = {r.doc_id: list(r.toks) for r in
             df.select("doc_id", _norm_tokens().alias("toks")).collect()}
