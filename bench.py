@@ -116,6 +116,18 @@ def main() -> dict:
 
         caching.release_all()
 
+    # the composed product: the full corpus job (extract → assemble →
+    # exact + near dedup → quality → split → pack → parquet) over the
+    # same bench transcripts — the end-to-end number a pipeline owner
+    # actually ships on, not just per-operator times
+    from sparkocr.jobs.corpus_job import build_corpus
+
+    corpus_out = os.path.join(os.path.dirname(bench_parquet), "bench_corpus_out")
+    corpus_counts = timed(
+        "corpus_job",
+        lambda: build_corpus(spark, bench_parquet, corpus_out, budget=2048),
+    )
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline_suite_sec",
@@ -127,6 +139,8 @@ def main() -> dict:
         "bench_turns": n_turns,
         "turns_per_sec": round(n_turns / times["extract_turns"], 1),
         "extract_turns_reps": extract_reps,
+        "corpus_docs": corpus_counts.get("packed_docs"),
+        "corpus_packs": corpus_counts.get("packs"),
     }
     print(json.dumps(result))
     spark.stop()
