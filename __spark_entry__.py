@@ -1288,6 +1288,25 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # affine-minhash mirror (dedup.minhash_signatures): one md5 per
+    # shingle → 60-bit int mod 2^31-1 → per-perm affine minima with the
+    # exact mh_affine_params(4) constants the Spark side uses. The Spark
+    # side signatures the first 2^20 chars (MH_MAX_CHARS); like the
+    # shingle CTE's own range(1, 4096) bound, that cap cannot bind on the
+    # <4096-char oracle documents, so the shared `sh` CTE mirrors exactly.
+    from sparkocr.pipeline.dedup import MH_PRIME, mh_affine_params
+
+    mh_hm_cte = f"""
+        , shx AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(sh), 1, 15))::BIGINT % {MH_PRIME}) AS hm
+            FROM sh
+        )"""
+    mh_cols = ", ".join(
+        f"min(({a} * hm + {b}) % {MH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(mh_affine_params(4))
+    )
+
     return {
         "extract_clean": f"""
             WITH t AS ({_DOC_TRANSCRIPT_SQL})
@@ -1769,18 +1788,14 @@ def oracle_sql() -> dict[str, str]:
             -- the rounding boundary
             WHERE round(n_common * 1.0 / (s1.n_sh + s2.n_sh - n_common), 6) >= 0.3
         """,
-        "doc_minhash": shingle_cte + """
-            SELECT doc_id,
-                   min(md5('p0:' || sh)) AS mh_0, min(md5('p1:' || sh)) AS mh_1,
-                   min(md5('p2:' || sh)) AS mh_2, min(md5('p3:' || sh)) AS mh_3
-            FROM sh GROUP BY doc_id
+        "doc_minhash": shingle_cte + mh_hm_cte + f"""
+            SELECT doc_id, {mh_cols}
+            FROM shx GROUP BY doc_id
         """,
-        "doc_lsh_pairs": shingle_cte + """
+        "doc_lsh_pairs": shingle_cte + mh_hm_cte + f"""
             , sig AS (
-                SELECT doc_id,
-                       min(md5('p0:' || sh)) AS mh_0, min(md5('p1:' || sh)) AS mh_1,
-                       min(md5('p2:' || sh)) AS mh_2, min(md5('p3:' || sh)) AS mh_3
-                FROM sh GROUP BY doc_id),
+                SELECT doc_id, {mh_cols}
+                FROM shx GROUP BY doc_id),""" + """
             bands AS (
                 SELECT doc_id, 0 AS band_id, md5(mh_0 || ',' || mh_1) AS bh FROM sig
                 UNION ALL

@@ -76,27 +76,50 @@ def hash_split(
     return docs.withColumn("bucket_256", b).withColumn("split", split)
 
 
-def _shingle_explode(k: int):
-    """Exploded character k-shingle column (multiset — no dedup).
+def _shingle_rows(docs: DataFrame, k: int, max_chars: int | None = None) -> DataFrame:
+    """(doc_id, sh) rows: exploded character k-shingles (multiset — no
+    dedup), LINEAR in document length.
+
+    The obvious formulation — ``transform(sequence(1, n-k+1),
+    i -> substr(text, i, k))`` — is O(n²): Spark's UTF8String is
+    variable-width, so ``substr(text, i, k)`` SCANS i chars to find the
+    byte offset, and a pathological 24 MB document (one task — generate
+    never splits a row) runs for hours (observed: the bench skew
+    conversation pinned one core in ``UTF8String.substring``). Instead
+    ``split(text, '')`` decodes the char array ONCE per row (a separate
+    projection, so it cannot be inlined into the lambda and re-evaluated
+    per element) and each window is ``slice`` (O(k) random access) +
+    ``array_join`` — O(n·k) total, same output byte-for-byte (multibyte
+    verified).
+
+    ``max_chars`` bounds the shingled prefix (docs longer than the cap
+    are signatured/compared on their first ``max_chars`` chars) — the
+    per-doc work AND memory bound that makes one pathological document
+    unable to stall its task at corpus scale.
 
     Docs shorter than k chars yield NO shingles: guard with an explicit
     empty array, because ``sequence(1, 0)`` in Spark is the DESCENDING
     sequence [1, 0], not empty — unguarded it fabricates a whole-text
     shingle for every short/empty doc and the empty-text ones would all
     pair with each other at jaccard 1."""
-    return F.explode(
-        F.expr(
-            f"CASE WHEN length(text) < {k} THEN array()"
-            f" ELSE transform(sequence(1, length(text) - {k - 1}),"
-            f" i -> substr(text, i, {k})) END"
-        )
-    ).alias("sh")
+    txt = F.col("text") if max_chars is None else F.substring("text", 1, max_chars)
+    pre = docs.select("doc_id", F.split(txt, "").alias("cs"), F.length(txt).alias("nc"))
+    return pre.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN nc < {k} THEN array()"
+                f" ELSE transform(sequence(1, nc - {k - 1}),"
+                f" i -> array_join(slice(cs, i, {k}), '')) END"
+            )
+        ).alias("sh"),
+    )
 
 
 def shingles(docs: DataFrame, k: int = SHINGLE) -> DataFrame:
     """Distinct character k-shingles per doc — JVM-only explode + distinct
     (set semantics; Jaccard's |A∩B| / |A∪B| needs each shingle once)."""
-    return docs.select("doc_id", _shingle_explode(k)).distinct()
+    return _shingle_rows(docs, k).distinct()
 
 
 DF_MAX = 1000  # default document-frequency cap on candidate-join shingles
@@ -288,9 +311,58 @@ def est_jaccard_col(n_perm: int):
     return F.round(agree / F.lit(float(n_perm)), 6).alias("est_jaccard")
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) -> DataFrame:
-    """MinHash via lexicographic min of md5(perm_id || shingle) — portable
-    across engines. One shuffle (groupBy doc_id), n_perm aggregate exprs.
+MH_PRIME = 2147483647  # 2^31-1 Mersenne prime: the affine minhash modulus
+MH_SIG_V = 2  # bump whenever signature VALUES change for unchanged input
+MH_MAX_CHARS = 1_048_576  # default signatured prefix (see minhash_signatures)
+
+
+def mh_affine_params(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) constants for the affine minhash family
+    h_i(x) = (a_i·x + b_i) mod MH_PRIME — fixed formulas, no RNG, so any
+    engine (or a SQL oracle) regenerates the identical family from
+    ``n_perm`` alone. a_i is never 0 for any reachable i (2654435761·odd
+    is never ≡ 0 mod the prime for odd < MH_PRIME)."""
+    return [
+        (
+            (2654435761 * (2 * i + 1)) % MH_PRIME,
+            (40503 * (i + 1)) % MH_PRIME,
+        )
+        for i in range(n_perm)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    k: int = SHINGLE,
+    max_chars: int | None = MH_MAX_CHARS,
+) -> DataFrame:
+    """MinHash: ONE md5 per shingle, projected to a 60-bit integer, then
+    ``n_perm`` affine transforms mod 2^31-1 (``mh_affine_params``) whose
+    per-doc minima are the signature. One shuffle (groupBy doc_id),
+    n_perm aggregate exprs, all JVM-side.
+
+    ``max_chars`` (default 2^20) bounds the signatured prefix: a document
+    longer than the cap is near-dup-compared on its first ``max_chars``
+    characters. This is the per-doc work/memory bound — a single
+    pathological multi-MB document otherwise owns its task for
+    minutes (its shingles never split across tasks), the exact straggler
+    that serializes a 1000-executor stage. Two docs differing only past
+    1M chars DO collapse to est_jaccard 1 — the conservative direction
+    for dedup. ``max_chars=None`` disables the cap (exact semantics);
+    stores record the cap in meta so increments always replay it.
+
+    Engine-portable like the previous md5-per-(perm, shingle)
+    construction — DuckDB replays it as
+    ``(('0x' || substr(md5(sh),1,15))::BIGINT % 2147483647)`` plus the
+    same affine literals — but the crypto-hash work no longer scales
+    with n_perm: measured on the sf0.1 documents table (local[8]) the
+    signature computation went 5.5→3.8 s at n_perm=4 and 12.5→4.3 s at
+    the default n_perm=12, and the agg state is longs instead of 32-char
+    strings. Arithmetic stays inside signed 64-bit under ANSI mode:
+    a·hm < 2^31·2^31 = 2^62. Per-perm collision odds are 2^-31 per
+    shingle pair — noise relative to the estimator's own n_perm-width
+    variance.
 
     Deliberately does NOT reuse ``shingles()``: its ``.distinct()`` (set
     semantics, which Jaccard needs) is a second full shuffle of the
@@ -299,10 +371,13 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM, k: int = SHINGLE) 
     set. Skipping it halves the operator's shuffled volume; the map-side
     partial min-aggregation collapses each doc's shingles to n_perm
     values before anything crosses the wire."""
-    sh = docs.select("doc_id", _shingle_explode(k))
+    h60 = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    sh = _shingle_rows(docs, k, max_chars).select(
+        "doc_id", (h60 % F.lit(MH_PRIME)).alias("hm")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(n_perm)
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(mh_affine_params(n_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -311,6 +386,7 @@ def lsh_candidate_pairs(
     docs: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS, k: int = SHINGLE,
     bucket_max: int = 10_000,
     cap_metrics: Observation | None = None,
+    max_chars: int | None = MH_MAX_CHARS,
 ) -> DataFrame:
     """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
     with estimated similarity = fraction of agreeing minhashes.
@@ -333,7 +409,7 @@ def lsh_candidate_pairs(
     accumulates."""
     _require_cap(bucket_max, cap_metrics)
     check_band_divisibility(n_perm, band_rows)
-    sig = caching.register(minhash_signatures(docs, n_perm, k))
+    sig = caching.register(minhash_signatures(docs, n_perm, k, max_chars))
     n_bands = n_perm // band_rows
     bands = sig.select(
         "doc_id",

@@ -43,9 +43,12 @@ exactly on shared pairs (differential-tested). Run it BEFORE or AFTER
 appending the increment: store rows whose doc_id appears in ``new_docs``
 are excluded from the "old" side either way.
 
-Signatures use the same engine-portable md5 construction as
-``dedup.minhash_signatures`` (this module calls it), so a store built by
-any engine release replays identically.
+Signatures use ``dedup.minhash_signatures``' engine-portable
+construction (this module calls it); the meta row records the signature
+algorithm version (``sig_v`` = ``dedup.MH_SIG_V``), and the recompute
+paths (append, incremental pairs) refuse a store whose stored version
+differs from the running engine's — mixed-algorithm signatures would
+silently never collide, eating every cross-increment candidate pair.
 """
 
 from __future__ import annotations
@@ -55,6 +58,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from sparkocr.pipeline import caching
 from sparkocr.pipeline.dedup import (
     BAND_ROWS,
+    MH_MAX_CHARS,
+    MH_SIG_V,
     N_PERM,
     SHINGLE,
     _require_cap,
@@ -63,6 +68,29 @@ from sparkocr.pipeline.dedup import (
     est_jaccard_col,
     minhash_signatures,
 )
+
+
+def _meta_max_chars(m: dict) -> int | None:
+    """The stored signatured-prefix cap: 0 encodes None (uncapped) in the
+    all-int meta row. Increments MUST replay the build's cap — a mixed-cap
+    store would give long docs different signatures per append."""
+    return m.get("max_chars", 0) or None
+
+
+def _require_sig_v(m: dict, store: str) -> None:
+    """Refuse to recompute signatures against a store built with a
+    different signature algorithm (meta ``sig_v`` vs the running
+    engine's ``dedup.MH_SIG_V``): mixed-algorithm signatures never
+    collide, so the join would silently drop every cross-increment
+    candidate pair instead of failing. Stores from before the version
+    column default to 1."""
+    stored = m.get("sig_v", 1)
+    if stored != MH_SIG_V:
+        raise ValueError(
+            f"LSH store {store!r} was built with signature algorithm "
+            f"v{stored}, but this engine computes v{MH_SIG_V} — rebuild "
+            "with build_lsh_store before appending or mining increments"
+        )
 
 
 def _sigs_table(store: str) -> str:
@@ -171,6 +199,7 @@ def build_lsh_store(
     band_rows: int = BAND_ROWS,
     k: int = SHINGLE,
     n_buckets: int = 64,
+    max_chars: int | None = MH_MAX_CHARS,
 ) -> None:
     """Build (or rebuild) the store from scratch. The expensive part —
     shingle explode + min aggregation — runs ONCE: signatures are
@@ -186,7 +215,7 @@ def build_lsh_store(
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {_meta_table(store)}")
     (
-        minhash_signatures(docs, n_perm, k)
+        minhash_signatures(docs, n_perm, k, max_chars)
         .withColumn("append_id", F.lit("base"))
         .repartition(n_buckets, "doc_id")
         .write.mode("overwrite")
@@ -214,8 +243,10 @@ def build_lsh_store(
         [("base", "base", n_base)], ["append_id", "attempt", "rows"]
     ).coalesce(1).write.mode("overwrite").saveAsTable(_commits_table(store))
     spark.createDataFrame(
-        [(n_perm, band_rows, k, n_buckets)],
-        ["n_perm", "band_rows", "k", "n_buckets"],
+        # meta is an all-int row (read_store_meta int-casts every field):
+        # max_chars=None (uncapped) encodes as 0
+        [(n_perm, band_rows, k, n_buckets, MH_SIG_V, max_chars or 0)],
+        ["n_perm", "band_rows", "k", "n_buckets", "sig_v", "max_chars"],
     ).coalesce(1).write.mode("overwrite").saveAsTable(_meta_table(store))
 
 
@@ -249,6 +280,7 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
         )
     spark = new_docs.sparkSession
     m = read_store_meta(spark, store)
+    _require_sig_v(m, store)
     if "append_id" not in spark.table(_sigs_table(store)).columns:
         raise ValueError(
             f"LSH store {store!r} predates the append-commit discipline "
@@ -265,7 +297,7 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
     # one materialized cache per day)
     with caching.scope():
         sig = caching.register(
-            minhash_signatures(new_docs, m["n_perm"], m["k"])
+            minhash_signatures(new_docs, m["n_perm"], m["k"], _meta_max_chars(m))
         )
         (
             sig.withColumn("append_id", F.lit(attempt))
@@ -391,12 +423,15 @@ def incremental_lsh_pairs(
     increment into broadcastable slices or rebuild the store."""
     spark = new_docs.sparkSession
     m = read_store_meta(spark, store)
+    _require_sig_v(m, store)
     _require_cap(bucket_max, cap_metrics)
     n_perm = m["n_perm"]
     # signature columns ride along with the band keys (the increment is
     # small): new-new pairs then carry BOTH signatures out of the join,
     # and new-old pairs need only one store-sigs join for the old side
-    sig_new = caching.register(minhash_signatures(new_docs, n_perm, m["k"]))
+    sig_new = caching.register(
+        minhash_signatures(new_docs, n_perm, m["k"], _meta_max_chars(m))
+    )
     bands_new = _band_keys(sig_new, n_perm, m["band_rows"]).join(sig_new, "doc_id")
 
     new_ids = sig_new.select("doc_id")

@@ -16,6 +16,19 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Drop operator-internal caches after EVERY test. Tests that consume
+    a cache-registering operator (lsh_candidate_pairs, jaccard_pairs, ...)
+    without releasing would otherwise leak registry entries into whichever
+    test happens to run next — assertions like test_corpus_job's
+    ``live_count() == 0`` then depend on file ordering, not behavior."""
+    yield
+    from sparkocr.pipeline import caching
+
+    caching.release_all()
+
+
 @pytest.fixture(scope="session")
 def tiny_transcripts(tmp_path_factory):
     """Deterministic tiny-profile transcripts parquet (FIXTURES.md §1)."""

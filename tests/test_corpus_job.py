@@ -145,8 +145,12 @@ def test_null_conv_id_survives_corpus_job(spark, tmp_path):
         "conv_id": [None, "a", "b"],
         "turn_idx": [0, 0, 0],
         "role": ["user"] * 3,
-        "text": ["null conv words here ok", "conv a words here ok",
-                 "conv b words here ok"],
+        # genuinely DISSIMILAR bodies: single-turn docs share assembly's
+        # page-split suffix, so near-identical bodies sit near the 0.8
+        # near-dup threshold and the test would then ride minhash
+        # estimator variance instead of testing null-conv survival
+        "text": ["null conv keeps walruses warm", "alpha pineapple basket router",
+                 "quartz telescope muffin ledger"],
         "tool": ["plain"] * 3,
         "ts": [t0] * 3,
     }

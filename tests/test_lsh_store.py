@@ -360,6 +360,38 @@ def test_empty_meta_table_refused(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_sig_algo_version_mismatch_refused(spark, docs):
+    """A store whose meta records a different signature-algorithm version
+    than the running engine must refuse the recompute paths (append,
+    incremental mining): mixed-algorithm signatures never collide, so the
+    join would silently drop every cross-increment pair."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        build_lsh_store,
+        incremental_lsh_pairs,
+    )
+
+    name = "lsh_store_sigv"
+    try:
+        build_lsh_store(docs.limit(30), name, n_buckets=4)
+        caching.release_all()
+        meta = spark.table(f"{name}_meta").collect()[0].asDict()
+        meta["sig_v"] = 1  # pretend the store predates the affine family
+        spark.createDataFrame([tuple(meta.values())], list(meta.keys())) \
+            .write.mode("overwrite").saveAsTable(f"{name}_meta")
+        inc = docs.limit(5)
+        with pytest.raises(ValueError, match="signature algorithm"):
+            append_lsh_store(inc, name, "a1")
+        with pytest.raises(ValueError, match="signature algorithm"):
+            incremental_lsh_pairs(inc, name).count()
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_incremental_edge_cases(spark, docs, store):
     """Empty increment → empty result; an increment whose doc_ids are
     ALREADY in the store (a re-delivery) excludes its own store copies
