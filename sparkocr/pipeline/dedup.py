@@ -457,7 +457,7 @@ def lsh_candidate_pairs(
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
-    max_iter: int = 25,
+    max_iter: int = 50,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over candidate pairs → ``(id, cluster_id)``
@@ -475,11 +475,16 @@ def dup_clusters(
     (label(v) ← min over neighbours' labels, then label(v) ←
     label(label(v))), the standard distributed-CC shape (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"). Pointer jumping
-    makes rounds O(log diameter) — measured: a 10^6-node CHAIN (the
-    worst-case topology; real near-dup graphs are near-cliques that
-    converge in 2-3 rounds) converges correctly inside the default
-    max_iter=25 in ~6.5 min on local[32] — and every round is three key
-    shuffles over the
+    makes rounds ~O(log diameter) — measured: a 10^6-node CHAIN of
+    sequential ids (the worst-case topology; real near-dup graphs are
+    near-cliques that converge in 2-3 rounds) converges in 21 rounds /
+    ~66 s on local[8]. Random 64-bit ids (the xxhash64 doc keys the
+    corpus pipeline feeds in) pay roughly a 2x round constant over
+    sequential ids — label waves first drain to each LOCAL minimum,
+    then the segment minima merge — e.g. a 20k-doc template-chained
+    near-dup graph took 25 rounds, which is why the default max_iter
+    is 50, not the ~log2 a sequential-id chain suggests. Every round
+    is three key shuffles over the
     (id, label) table (16 bytes/node — tiny next to the corpus), never a
     join on the raw docs. Hot-component skew is survivable by
     construction: the message aggregation is a groupBy min (map-side
@@ -495,14 +500,29 @@ def dup_clusters(
     the final checkpointed generation — consume or copy it before
     stopping the session.
 
+    Each generation is also ``persist()``-ed for the one job that
+    checkpoints it, then unpersisted. This is NOT about reuse — it
+    resets the checkpoint's *statistics*. ``localCheckpoint`` seeds the
+    new LogicalRDD with the origin plan's estimated stats, and a
+    round's estimate multiplies the previous generation's sizeInBytes
+    in TWICE (message join × pointer-jump join), so the estimate
+    SQUARES every round: by round ~20 the driver spends minutes per
+    round in BigInteger multiplication inside Catalyst's stats visitor
+    (observed as a pinned driver core with idle executors). With the
+    generation cached, the eager checkpoint's job materializes the
+    cache first, so the stats rewrite reads the InMemoryRelation's
+    ACTUAL byte size — honest, small, and constant-time — instead of
+    the snowballed product.
+
     ``nodes``: optional single-column DataFrame of ALL ids (e.g.
     ``docs.select("doc_id")``) so isolated docs appear as singleton
     clusters (cluster_id = own id); without it only ids present in
     ``pairs`` are labelled. Null ids in ``pairs`` are dropped (a null
     endpoint identifies no document; SQL joins would drop it anyway).
     Raises after ``max_iter`` non-converged rounds instead of returning
-    silently wrong labels — at the default 25 that needs a component
-    diameter over ~2^24.
+    silently wrong labels — at the default 50 that needs a component
+    diameter far beyond any real near-dup graph (the worst measured
+    input, a 20k-doc random-id template chain, used 25).
 
     ``stats``: optional dict the run fills in place — ``n_edges`` (after
     symmetrization/dedup), ``rounds`` (propagation rounds executed; 0 for
@@ -561,7 +581,7 @@ def dup_clusters(
             # observed plan is never AQE-pruned-empty here: labels has >= 1
             # row whenever edges do, so obs.get always has a real row)
             obs = Observation()
-            nxt = (
+            gen = (
                 m.join(parent, m["lbl1"] == parent["pid"], "left")
                 .select(
                     "id",
@@ -569,8 +589,14 @@ def dup_clusters(
                     (F.coalesce("plbl", "lbl1") != F.col("old")).alias("_chg"),
                 )
                 .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n_changed"))
-                .localCheckpoint(eager=True)
+                # persist BEFORE the eager checkpoint: the checkpoint job
+                # then materializes the cache, and the LogicalRDD's stats
+                # rewrite reads the cache's actual size instead of the
+                # per-round-SQUARING join-size product (see docstring)
+                .persist()
             )
+            nxt = gen.localCheckpoint(eager=True)
+            gen.unpersist()
             prev, labels = labels, nxt.select("id", "lbl")
             n_changed = obs.get["n_changed"]
             if stats is not None:
@@ -580,7 +606,8 @@ def dup_clusters(
             del prev  # superseded generation: ContextCleaner frees its blocks
         raise ValueError(
             f"dup_clusters: not converged after {max_iter} rounds — "
-            f"component diameter exceeds ~2^{max_iter - 1}; raise max_iter"
+            "component diameter is far beyond any real near-dup graph "
+            "(or label waves are stalling); raise max_iter"
         )
     finally:
         edges.unpersist()

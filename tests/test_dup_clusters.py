@@ -156,3 +156,33 @@ def test_neardup_corpus_keeps_cluster_minimum(spark):
     pairs = spark.createDataFrame([(2, 1), (2, 3)], "id1 long, id2 long")
     kept = sorted(r["doc_id"] for r in neardup_corpus(docs, pairs).collect())
     assert kept == [1, 9]
+
+
+def test_generation_stats_do_not_snowball(spark):
+    # Each round's localCheckpoint seeds the new LogicalRDD with the
+    # origin plan's ESTIMATED stats, and a round's estimate multiplies
+    # the previous generation's sizeInBytes in twice (message join x
+    # pointer-jump join) — so without the per-generation persist() the
+    # estimate SQUARES every round. By round ~20 the driver burned
+    # minutes per round multiplying million-digit BigIntegers inside
+    # Catalyst's stats visitor (observed: pinned driver core, idle
+    # executors, 464 s CPU in one checkpoint call). The persist makes
+    # the checkpoint job materialize the cache first, so the stats
+    # rewrite reads the ACTUAL cached byte size. Pin that: after a
+    # 14-round chain, the returned generation's sizeInBytes must be a
+    # plausible byte count for 1k (id, label) rows, not a 2^14-factor
+    # product (pre-fix this exceeded 10^80 even at this toy size).
+    n = 1024
+    ids = list(range(n))
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id1 long, id2 long"
+    )
+    nodes = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    stats = {}
+    labels = dup_clusters(pairs, nodes=nodes, stats=stats)
+    assert stats["rounds"] >= 8  # enough rounds for the squaring to show
+    size = int(
+        labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert 0 < size < 100 * 1024 * 1024
