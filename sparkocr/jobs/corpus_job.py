@@ -116,6 +116,7 @@ def build_corpus(
             counts.update(
                 after_exact_dedup=0, after_near_dedup=0,
                 after_quality_filter=0, packed_docs=0, packs=0,
+                cluster_edges=0, cluster_mode="driver",
             )
             # optional stage keys must exist whenever their flag is on —
             # a monitoring consumer reading the summary on an empty-input
@@ -144,8 +145,16 @@ def build_corpus(
         pairs = lsh_candidate_pairs(exact).filter(
             F.col("est_jaccard") >= near_threshold
         )
-        neardup = caching.register(neardup_corpus(exact, pairs))
+        cluster_stats: dict = {}
+        neardup = caching.register(
+            neardup_corpus(exact, pairs, stats=cluster_stats)
+        )
         counts["after_near_dedup"] = neardup.count()
+        # clustering telemetry rides the summary: mode says whether the
+        # driver finisher or the distributed loop ran; a max_component /
+        # rounds spike is the hot-shingle-chaining early warning
+        counts["cluster_edges"] = cluster_stats.get("n_edges", 0)
+        counts["cluster_mode"] = cluster_stats.get("mode", "driver")
 
         quality = caching.register(
             neardup.filter(ws_token_count_col() >= min_words)

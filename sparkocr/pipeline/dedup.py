@@ -454,11 +454,90 @@ def lsh_candidate_pairs(
     )
 
 
+def _finish_on_driver(
+    edges: DataFrame, nodes_ids: DataFrame | None, stats: dict | None
+) -> DataFrame:
+    """Small-graph ending for ``dup_clusters``: union-find over the
+    collected undirected edge list, broadcast the labels back.
+
+    Only EDGES are collected (one direction of the already-symmetrized,
+    cached frame — at most ``driver_max_edges/2`` rows); the node
+    population stays distributed and picks up a self-label via a
+    broadcast ANTI join against the edge-touched set, so the output
+    contract (every id labelled, untouched ids label themselves) is
+    identical to the distributed loop's. The returned plan references
+    the local label frame and ``nodes_ids`` ONLY — never ``edges`` —
+    so consuming it after the operator's edge cache is released cannot
+    re-run the expensive pair-mining plan. Root convention: the
+    component root is the member with the MINIMUM original id — for
+    strings both engines compare the same way (Spark's UTF8String
+    binary order == Python's code-point order on valid UTF-8), so
+    labels match the distributed path exactly."""
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    epdf = edges.filter(F.col("u") < F.col("v")).toPandas()
+    codes, uniques = pd.factorize(
+        pd.concat([epdf["u"], epdf["v"]], ignore_index=True), sort=False
+    )
+    orig = np.asarray(uniques)
+    n = len(orig)
+    uc = codes[: len(epdf)]
+    vc = codes[len(epdf):]
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(uc.tolist(), vc.tolist()):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if orig[ra] <= orig[rb]:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    if stats is not None and n:
+        sizes = np.bincount(roots)
+        sizes = sizes[sizes > 0]
+        stats.update(n_components=int(len(sizes)), max_component=int(sizes.max()))
+
+    id_type = edges.schema["u"].dataType
+    lbl = edges.sparkSession.createDataFrame(
+        pd.DataFrame({"id": orig, "cluster_id": orig[roots]}),
+        StructType(
+            [StructField("id", id_type), StructField("cluster_id", id_type)]
+        ),
+    )
+    if nodes_ids is None:
+        return lbl
+    untouched = (
+        nodes_ids.distinct()
+        .join(F.broadcast(lbl.select("id")), "id", "left_anti")
+        .select("id", F.col("id").alias("cluster_id"))
+    )
+    return lbl.unionByName(untouched)
+
+
+#: Symmetrized-edge count at or below which ``dup_clusters`` finishes the
+#: transitive closure on the driver (union-find over a collected edge list)
+#: instead of running the distributed propagation loop. 2^21 edges is two
+#: ~16 MB int64 arrays — trivially driver-sized, yet far above any healthy
+#: near-dup pair graph (the 20k-doc bench corpus mines 64k).
+DRIVER_MAX_EDGES = 1 << 21
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     stats: dict | None = None,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over candidate pairs → ``(id, cluster_id)``
     with ``cluster_id`` = the smallest doc id reachable through the pair
@@ -471,7 +550,30 @@ def dup_clusters(
     group" requires the transitive closure — A~B and B~C must land A, B,
     C in ONE cluster even though (A, C) was never a candidate pair.
 
-    Algorithm: iterative min-label propagation with pointer jumping
+    Two execution modes, dispatched on the MEASURED symmetrized edge
+    count (the same measure-then-plan shape as ``extract_turns``' skew
+    dispatch):
+
+    * **driver finisher** (``n_edges <= driver_max_edges``, default
+      2^21): collect the undirected edge list (two int64/str arrays, at
+      most ~32 MB at the cap), run union-find with the min-id root
+      convention on the driver, and broadcast the resulting
+      (edge-touched-id → cluster) map back over the distributed node
+      set. The full node population NEVER leaves the cluster — only
+      edges do — so a 10^12-doc corpus whose pair graph mined small
+      still works. This exists because the iterative loop's cost is
+      per-round FIXED (driver scheduling + 3 shuffles), so on a small
+      graph it anti-scales: the 20k-doc / 64k-edge bench graph took 25
+      rounds ≈ 30 s regardless of core count; the finisher does it in
+      well under a second and scales as the singleton labelling does.
+      This driver hand-off below a measured threshold is also the
+      standard production ending for distributed CC (iterate until the
+      contracted graph fits, then finish locally).
+    * **distributed loop** (above the cap, or ``driver_max_edges=0`` to
+      force): iterative min-label propagation with pointer jumping, as
+      below.
+
+    Distributed algorithm: iterative min-label propagation with pointer jumping
     (label(v) ← min over neighbours' labels, then label(v) ←
     label(label(v))), the standard distributed-CC shape (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"). Pointer jumping
@@ -525,13 +627,16 @@ def dup_clusters(
     input, a 20k-doc random-id template chain, used 25).
 
     ``stats``: optional dict the run fills in place — ``n_edges`` (after
-    symmetrization/dedup), ``rounds`` (propagation rounds executed; 0 for
-    an edgeless graph), and ``n_changed_last`` (labels changed in the
-    final round; 0 on convergence). A pipeline owner watching a nightly
-    job reads rounds-used from here instead of spelunking executor logs,
-    and a rounds-used spike is the early warning that a hot shingle is
-    chaining unrelated docs together. Filled even on the max_iter
-    ValueError path (inspect after catching)."""
+    symmetrization/dedup), ``mode`` (``"driver"`` or ``"distributed"``),
+    ``rounds`` (distributed propagation rounds executed; 0 for an
+    edgeless graph or the driver finisher), and ``n_changed_last``
+    (labels changed in the final round; 0 on convergence). The driver
+    finisher additionally fills ``n_components`` and ``max_component``
+    (component count / largest component over edge-touched nodes) —
+    free off the union-find result, and ``max_component`` is the same
+    hot-shingle-chaining early warning a rounds-used spike gives the
+    distributed loop. Filled even on the max_iter ValueError path
+    (inspect after catching)."""
     id_cols = pairs.columns[:2]
     e1 = pairs.select(F.col(id_cols[0]).alias("u"), F.col(id_cols[1]).alias("v"))
     edges = (
@@ -540,12 +645,12 @@ def dup_clusters(
         .distinct()
     )
     ids = edges.select(F.col("u").alias("id"))
+    nodes_ids = None
     if nodes is not None:
-        ids = ids.unionByName(
-            nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
-                F.col("id").isNotNull()
-            )
+        nodes_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
+            F.col("id").isNotNull()
         )
+        ids = ids.unionByName(nodes_ids)
     # edges feed every round (and ids seeds labels): cache them, scoped to
     # the operator run — released in the finally, not by the caller, since
     # unlike the lazy operators the loop's actions happen right here. The
@@ -558,9 +663,32 @@ def dup_clusters(
         singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
         n_edges = edges.count()
         if stats is not None:
-            stats.update(n_edges=n_edges, rounds=0, n_changed_last=0)
+            stats.update(
+                n_edges=n_edges, rounds=0, n_changed_last=0,
+                mode="driver" if n_edges <= driver_max_edges else "distributed",
+            )
         if n_edges == 0:
-            return singletons.select("id", F.col("lbl").alias("cluster_id"))
+            # answer = the singleton labelling, built WITHOUT referencing
+            # the edge plan (it is empty, and the cache is released on
+            # return — a plan over it would re-run pair mining on consume)
+            if nodes_ids is None:
+                from pyspark.sql.types import StructField, StructType
+
+                id_type = edges.schema["u"].dataType
+                return edges.sparkSession.createDataFrame(
+                    [],
+                    StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("cluster_id", id_type),
+                        ]
+                    ),
+                )
+            return nodes_ids.distinct().select(
+                "id", F.col("id").alias("cluster_id")
+            )
+        if n_edges <= driver_max_edges:
+            return _finish_on_driver(edges, nodes_ids, stats)
         labels = singletons.localCheckpoint(eager=True)
         for rnd in range(1, max_iter + 1):
             msgs = edges.join(labels, edges["u"] == labels["id"]).select(
@@ -614,15 +742,19 @@ def dup_clusters(
 
 
 def neardup_corpus(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Materialize the near-dup-filtered corpus: one canonical row (the
     cluster's min id) per connected component of ``pairs``, all other
     cluster members dropped, docs untouched by any pair kept as their own
     singleton clusters. The companion of ``dedup_corpus`` for NEAR dups —
     run that (exact) first so exact clusters collapse before the
-    quadratic-risk pair generation."""
-    clusters = dup_clusters(pairs, nodes=docs.select(id_col))
+    quadratic-risk pair generation. ``stats`` passes through to
+    ``dup_clusters`` (mode / rounds / component telemetry)."""
+    clusters = dup_clusters(pairs, nodes=docs.select(id_col), stats=stats)
     keep = clusters.filter(F.col("id") == F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
