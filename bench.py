@@ -141,6 +141,7 @@ def main() -> dict:
         "extract_turns_reps": extract_reps,
         "corpus_docs": corpus_counts.get("packed_docs"),
         "corpus_packs": corpus_counts.get("packs"),
+        "corpus_stage_sec": corpus_counts.get("stage_sec"),
     }
     print(json.dumps(result))
     spark.stop()

@@ -18,7 +18,10 @@ job:
         the corpus columns and the summary)
       → train/val/test hash split
       → sequence packing (fixed-token-budget packs)
-      → parquet corpus + one JSON summary line with per-stage counts.
+      → parquet corpus + one JSON summary line with per-stage counts
+        and per-stage wall seconds (``stage_sec`` — each stage count
+        already forces the stage's plan, so lap times around the counts
+        attribute the job's wall clock with no extra jobs).
 
 Usage (deployment shape mirrors ``extract_job``):
 
@@ -84,6 +87,20 @@ def build_corpus(
     from sparkocr.pipeline.textstats import ws_token_count_col
 
     counts: dict[str, int] = {}
+    # per-stage wall seconds, measured around each count-forcing action —
+    # every stage count already forces the stage's plan, so the lap times
+    # attribute the job's wall clock honestly without extra jobs. This is
+    # the first thing an owner reads when a nightly run slows down.
+    timings: dict[str, float] = {}
+    t_lap = time.monotonic()
+
+    def lap(stage: str) -> None:
+        nonlocal t_lap
+        now = time.monotonic()
+        timings[stage] = round(now - t_lap, 3)
+        t_lap = now
+
+    counts["stage_sec"] = timings
     with caching.scope():
         transcripts = spark.read.parquet(transcripts_path)
         # markdown=False: this pipeline reads only clean_text (assembly +
@@ -109,6 +126,7 @@ def build_corpus(
             ).alias("n_convs"),
         ).first()
         counts["assembled_docs"] = int(ids["rows"])
+        lap("extract_assemble")
         if counts["assembled_docs"] == 0:
             # empty input (or every turn truncated away): there is no
             # corpus to write — and the injectivity guard's max() over
@@ -138,6 +156,7 @@ def build_corpus(
 
         exact = caching.register(dedup_corpus(docs))
         counts["after_exact_dedup"] = exact.count()
+        lap("exact_dedup")
 
         # LSH emits CANDIDATES; only pairs whose estimated similarity
         # clears the threshold are duplicate edges — clustering raw
@@ -155,11 +174,13 @@ def build_corpus(
         # rounds spike is the hot-shingle-chaining early warning
         counts["cluster_edges"] = cluster_stats.get("n_edges", 0)
         counts["cluster_mode"] = cluster_stats.get("mode", "driver")
+        lap("near_dedup")
 
         quality = caching.register(
             neardup.filter(ws_token_count_col() >= min_words)
         )
         counts["after_quality_filter"] = quality.count()
+        lap("quality_filter")
 
         final = quality
         if blocklist_path is not None:
@@ -168,15 +189,18 @@ def build_corpus(
             blocklist = spark.read.parquet(blocklist_path)
             final = caching.register(domain_filter(final, blocklist))
             counts["after_domain_filter"] = final.count()
+            lap("domain_filter")
         if bench_path is not None:
             bench = spark.read.parquet(bench_path)
             final = caching.register(decontaminate(final, bench))
             counts["after_decontamination"] = final.count()
+            lap("decontamination")
         if redact:
             from sparkocr.pipeline.redact import audit_totals, redact_pii
 
             final = caching.register(redact_pii(final))
             counts["pii_redactions"] = audit_totals(final)["total"]
+            lap("redaction")
 
         final = caching.register(final.transform(hash_split, key="conv_id"))
         # --size-col: pack by a PRECOMPUTED token-count column instead of
@@ -232,6 +256,7 @@ def build_corpus(
         ).first()
         counts["packed_docs"] = int(written["rows"])
         counts["packs"] = int(written["packs"])
+        lap("split_pack_write")
     return counts
 
 

@@ -51,6 +51,13 @@ def test_corpus_job_end_to_end(spark, tiny_transcripts, bench_file, tmp_path):
         >= counts["packs"]
         > 0
     ), counts
+    # stage wall-times ride the summary: one lap per count-forcing stage
+    laps = counts["stage_sec"]
+    assert set(laps) == {
+        "extract_assemble", "exact_dedup", "near_dedup", "quality_filter",
+        "decontamination", "split_pack_write",
+    }
+    assert all(v >= 0 for v in laps.values())
     rows = spark.read.parquet(os.path.join(out, "corpus")).collect()
     convs = {r.conv_id for r in rows}
     assert victim_conv not in convs  # the contaminated doc is gone
