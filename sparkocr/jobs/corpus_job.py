@@ -72,6 +72,7 @@ def build_corpus(
     blocklist_path: str | None = None,
     redact: bool = False,
     size_col: str | None = None,
+    minhash_kind: str = "rolling",
 ) -> dict:
     from sparkocr.assemble import assemble_docs_cli
     from sparkocr.extract.dispatch import extract_turns
@@ -160,8 +161,13 @@ def build_corpus(
 
         # LSH emits CANDIDATES; only pairs whose estimated similarity
         # clears the threshold are duplicate edges — clustering raw
-        # candidates would over-merge anything sharing one band
-        pairs = lsh_candidate_pairs(exact).filter(
+        # candidates would over-merge anything sharing one band.
+        # hash_kind="rolling" by default: the Arrow rolling-hash minhash
+        # (minhash_fast) — the signature stage was 80% of this job's
+        # near_dedup wall time under the md5 kind (40 s vs 1.8 s on the
+        # sf0.1 corpus); a one-off job has no stored sigs to stay
+        # compatible with, so it takes the fast construction
+        pairs = lsh_candidate_pairs(exact, hash_kind=minhash_kind).filter(
             F.col("est_jaccard") >= near_threshold
         )
         cluster_stats: dict = {}
@@ -277,6 +283,12 @@ def main(argv=None) -> dict:
         "name; anything else must already be a corpus column — the hook "
         "for real BPE counts)",
     )
+    ap.add_argument(
+        "--minhash-kind", default="rolling", choices=["rolling", "md5"],
+        help="near-dup signature construction: 'rolling' (Arrow fast "
+        "path, default) or 'md5' (engine-portable, replayable in any "
+        "SQL engine)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -295,6 +307,7 @@ def main(argv=None) -> dict:
         blocklist_path=args.blocklist,
         redact=args.redact,
         size_col=args.size_col,
+        minhash_kind=args.minhash_kind,
     )
     summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
     print(json.dumps(summary))

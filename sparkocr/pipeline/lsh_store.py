@@ -43,12 +43,15 @@ exactly on shared pairs (differential-tested). Run it BEFORE or AFTER
 appending the increment: store rows whose doc_id appears in ``new_docs``
 are excluded from the "old" side either way.
 
-Signatures use ``dedup.minhash_signatures``' engine-portable
-construction (this module calls it); the meta row records the signature
-algorithm version (``sig_v`` = ``dedup.MH_SIG_V``), and the recompute
-paths (append, incremental pairs) refuse a store whose stored version
-differs from the running engine's — mixed-algorithm signatures would
-silently never collide, eating every cross-increment candidate pair.
+Signatures use ``dedup.minhash_signatures`` (this module calls it) with
+the build's ``hash_kind`` — ``"md5"`` (engine-portable default) or
+``"rolling"`` (the Arrow fast path, ``minhash_fast``) — recorded in
+meta and replayed by every recompute path; the meta row also records
+the signature algorithm version (``sig_v`` = ``dedup.MH_SIG_V``), and
+the recompute paths (append, incremental pairs) refuse a store whose
+stored version differs from the running engine's — mixed-algorithm
+signatures would silently never collide, eating every cross-increment
+candidate pair.
 """
 
 from __future__ import annotations
@@ -75,6 +78,19 @@ def _meta_max_chars(m: dict) -> int | None:
     all-int meta row. Increments MUST replay the build's cap — a mixed-cap
     store would give long docs different signatures per append."""
     return m.get("max_chars", 0) or None
+
+
+def _meta_hash_kind(m: dict) -> str:
+    """The stored shingle→integer construction, int-encoded in the
+    all-int meta row (0 = "md5", 1 = "rolling"; stores from before the
+    column default to md5, which is what they were built with).
+    Increments MUST replay the build's kind — the two constructions'
+    signatures never collide, so a mixed store would silently drop every
+    cross-append candidate pair."""
+    return "rolling" if m.get("hash_kind", 0) == 1 else "md5"
+
+
+_HASH_KIND_CODE = {"md5": 0, "rolling": 1}
 
 
 def _require_sig_v(m: dict, store: str) -> None:
@@ -200,6 +216,7 @@ def build_lsh_store(
     k: int = SHINGLE,
     n_buckets: int = 64,
     max_chars: int | None = MH_MAX_CHARS,
+    hash_kind: str = "md5",
 ) -> None:
     """Build (or rebuild) the store from scratch. The expensive part —
     shingle explode + min aggregation — runs ONCE: signatures are
@@ -212,10 +229,12 @@ def build_lsh_store(
     commits table, so markers from the previous store's appends never
     resurrect orphan rows)."""
     check_band_divisibility(n_perm, band_rows)
+    if hash_kind not in _HASH_KIND_CODE:
+        raise ValueError(f"unknown minhash hash_kind {hash_kind!r}")
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {_meta_table(store)}")
     (
-        minhash_signatures(docs, n_perm, k, max_chars)
+        minhash_signatures(docs, n_perm, k, max_chars, hash_kind)
         .withColumn("append_id", F.lit("base"))
         .repartition(n_buckets, "doc_id")
         .write.mode("overwrite")
@@ -244,9 +263,11 @@ def build_lsh_store(
     ).coalesce(1).write.mode("overwrite").saveAsTable(_commits_table(store))
     spark.createDataFrame(
         # meta is an all-int row (read_store_meta int-casts every field):
-        # max_chars=None (uncapped) encodes as 0
-        [(n_perm, band_rows, k, n_buckets, MH_SIG_V, max_chars or 0)],
-        ["n_perm", "band_rows", "k", "n_buckets", "sig_v", "max_chars"],
+        # max_chars=None (uncapped) encodes as 0, hash_kind as its code
+        [(n_perm, band_rows, k, n_buckets, MH_SIG_V, max_chars or 0,
+          _HASH_KIND_CODE[hash_kind])],
+        ["n_perm", "band_rows", "k", "n_buckets", "sig_v", "max_chars",
+         "hash_kind"],
     ).coalesce(1).write.mode("overwrite").saveAsTable(_meta_table(store))
 
 
@@ -297,7 +318,10 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
     # one materialized cache per day)
     with caching.scope():
         sig = caching.register(
-            minhash_signatures(new_docs, m["n_perm"], m["k"], _meta_max_chars(m))
+            minhash_signatures(
+                new_docs, m["n_perm"], m["k"], _meta_max_chars(m),
+                _meta_hash_kind(m),
+            )
         )
         (
             sig.withColumn("append_id", F.lit(attempt))
@@ -430,7 +454,9 @@ def incremental_lsh_pairs(
     # small): new-new pairs then carry BOTH signatures out of the join,
     # and new-old pairs need only one store-sigs join for the old side
     sig_new = caching.register(
-        minhash_signatures(new_docs, n_perm, m["k"], _meta_max_chars(m))
+        minhash_signatures(
+            new_docs, n_perm, m["k"], _meta_max_chars(m), _meta_hash_kind(m)
+        )
     )
     bands_new = _band_keys(sig_new, n_perm, m["band_rows"]).join(sig_new, "doc_id")
 

@@ -1,0 +1,152 @@
+"""Arrow-batched rolling-hash MinHash — the corpus-scale fast path.
+
+``dedup.minhash_signatures`` (hash_kind="md5") is deliberately
+engine-portable: every shingle is materialized as a string, md5-hashed,
+and min-aggregated, so DuckDB can replay it verbatim for the driver's
+oracle gate. That portability has a price the profiler measured on the
+bench corpus (20k docs / 157 MB extracted conversation text, local[32]):
+the shingle explode materializes 143.5M string rows and the stage floors
+at ~40 s — per-window string allocation, not hashing, is the cost
+(explode-only ≈ explode+md5 within noise).
+
+This module is the same estimator without the materialization: a
+`mapInPandas` pass computes each document's full signature inside one
+Arrow batch with numpy — no exploded rows, no groupBy shuffle (a doc's
+signature is a scalar function of its own text), nothing but the
+(doc_id, mh_*) rows ever leaves the map task. Measured on the same
+corpus: **1.75 s vs 39.7 s (23x)**. The north rule allows exactly this
+shape: vectorized Arrow-batched transforms, never per-row Python in a
+hot loop — the only Python-level iteration is per *document* within a
+batch; all per-character work is numpy.
+
+Construction (hash_kind="rolling", versioned by ``dedup.MH_SIG_V``
+alongside the md5 kind — bump it if either kind's VALUES change):
+
+- shingles are **byte** windows of width ``k`` over the UTF-8 encoding
+  of the first ``max_chars`` characters (the md5 kind windows over
+  *characters*; byte windows skip the decode entirely and are the
+  standard choice at corpus scale — for ASCII the two domains coincide).
+  Fewer than ``k`` bytes → no signature row, like the md5 kind's
+  fewer-than-k-chars guard; null text → no row.
+- each window is hashed with a degree-``k`` polynomial over the bytes
+  (+1, so NUL bytes aren't absorbing) mod 2^64 — numpy uint64
+  arithmetic wraps, which IS mod-2^64 arithmetic. The per-window
+  values come from the prefix trick: with ``B`` odd (hence invertible
+  mod 2^64), ``P[i] = B^i · Σ_{j≤i} c[j]·B^{-j}``, so every window
+  hash is two cumulative scans plus vectorized elementwise ops —
+  O(n) per document, no O(n·k) inner loop. Verified equal to the
+  brute-force per-window polynomial on multibyte fixtures.
+- the 64-bit window hash folds to ``hm = H mod MH_PRIME`` and the
+  signature is the per-perm minimum of the SAME affine family the md5
+  kind uses (``dedup.mh_affine_params``) — the estimator semantics
+  (est_jaccard = fraction of agreeing minima) are identical in
+  structure; only the underlying shingle→integer map differs. The two
+  kinds' signatures never collide with each other, which is why the
+  LSH store records its kind in meta and increments always replay it.
+
+Output schema matches ``minhash_signatures`` exactly — (doc_id
+passthrough, mh_0..mh_{n_perm-1} long) — so bands, candidate joins,
+stores, and ``neardup_corpus`` compose with either kind unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# no cycle: dedup never imports this module at its top level (the
+# hash_kind dispatch imports it lazily inside minhash_signatures)
+from sparkocr.pipeline.dedup import (
+    MH_MAX_CHARS,
+    MH_PRIME,
+    N_PERM,
+    SHINGLE,
+    mh_affine_params,
+)
+
+# FNV-1a 64-bit prime: odd, hence invertible mod 2^64 (required by the
+# prefix trick), and well-mixed low bits under repeated multiplication
+ROLL_B = 0x100000001B3
+
+
+def _window_hashes(data: bytes, k: int) -> "np.ndarray | None":
+    """uint64 polynomial hashes of every k-byte window, O(n) via the
+    invertible-base prefix trick; None when fewer than k bytes."""
+    bs = np.frombuffer(data, dtype=np.uint8)
+    n = bs.size
+    if n < k:
+        return None
+    c = bs.astype(np.uint64) + np.uint64(1)
+    b = np.uint64(ROLL_B)
+    binv = np.uint64(pow(ROLL_B, -1, 2**64))
+    # numpy integer overflow wraps = arithmetic mod 2^64 (intended);
+    # errstate silences the overflow RuntimeWarning some builds emit
+    with np.errstate(over="ignore"):
+        powsinv = np.empty(n, dtype=np.uint64)
+        powsinv[0] = 1
+        np.cumprod(np.full(n - 1, binv, dtype=np.uint64), out=powsinv[1:])
+        s = np.cumsum(c * powsinv, dtype=np.uint64)
+        pows = np.empty(n, dtype=np.uint64)
+        pows[0] = 1
+        np.cumprod(np.full(n - 1, b, dtype=np.uint64), out=pows[1:])
+        # window [i, i+k): H_i = B^{i+k-1} · (s[i+k-1] - s[i-1]), s[-1]=0
+        hi = s[k - 1 :].copy()
+        hi[1:] -= s[: n - k]
+        return pows[k - 1 :] * hi
+
+
+def rolling_minhash_signatures(
+    docs: DataFrame,
+    n_perm: int = N_PERM,
+    k: int = SHINGLE,
+    max_chars: int | None = MH_MAX_CHARS,
+) -> DataFrame:
+    """MinHash signatures via the Arrow rolling-hash construction — drop-in
+    for ``dedup.minhash_signatures`` (same defaults, same output schema,
+    different shingle→integer map; see module docstring). ``max_chars``
+    caps the signatured prefix in CHARACTERS (applied before encoding),
+    matching the md5 kind's cap semantics so store meta replays either."""
+    params = mh_affine_params(n_perm)
+    a_arr = np.array([a for a, _ in params], dtype=np.uint64)
+    b_arr = np.array([b for _, b in params], dtype=np.uint64)
+    prime = np.uint64(MH_PRIME)
+    k_ = k
+    cap = max_chars
+
+    id_field = docs.schema["doc_id"]
+    schema = T.StructType(
+        [id_field] + [T.StructField(f"mh_{j}", T.LongType()) for j in range(n_perm)]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids: list = []
+            sigs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                h = _window_hashes(
+                    (text if cap is None else text[:cap]).encode("utf-8"), k_
+                )
+                if h is None:
+                    continue
+                hm = h % prime
+                out = np.empty(n_perm, dtype=np.int64)
+                # a·hm + b < 2^31·2^31 + 2^31 < 2^63: exact in uint64,
+                # no wraparound — the affine family stays faithful
+                for j in range(n_perm):
+                    out[j] = int(((a_arr[j] * hm + b_arr[j]) % prime).min())
+                ids.append(doc_id)
+                sigs.append(out)
+            if not ids:
+                continue
+            res = pd.DataFrame({"doc_id": pd.Series(ids, dtype=pdf["doc_id"].dtype)})
+            arr = np.vstack(sigs)
+            for j in range(n_perm):
+                res[f"mh_{j}"] = arr[:, j]
+            yield res
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema)
