@@ -166,9 +166,12 @@ def build_corpus(
         # (minhash_fast) — the signature stage was 80% of this job's
         # near_dedup wall time under the md5 kind (40 s vs 1.8 s on the
         # sf0.1 corpus); a one-off job has no stored sigs to stay
-        # compatible with, so it takes the fast construction
-        pairs = lsh_candidate_pairs(exact, hash_kind=minhash_kind).filter(
-            F.col("est_jaccard") >= near_threshold
+        # compatible with, so it takes the fast construction.
+        # min_est pushes the threshold INTO the operator: the band-match
+        # pigeonhole prune keeps a big near-dup family's O(d^2)
+        # single-band collisions out of the signature verify join
+        pairs = lsh_candidate_pairs(
+            exact, hash_kind=minhash_kind, min_est=near_threshold
         )
         cluster_stats: dict = {}
         neardup = caching.register(

@@ -112,6 +112,77 @@ def test_prefix_cap_collapses_only_past_cap_divergence(spark):
         caching.release_all()
 
 
+def test_min_band_matches_bound_is_safe_and_tight():
+    """Brute-force the pigeonhole bound: with m matching bands the max
+    agreement is m*r + (B-m)*(r-1); the bound must (a) never exclude an
+    m that can pass the rounded estimate filter (safety — the operator
+    relies on this for result-identity) and (b) be achievable when
+    <= n_bands (tightness — otherwise the prune is weaker than
+    documented)."""
+    from sparkocr.pipeline.dedup import min_band_matches
+
+    for n_perm, r in [(12, 3), (4, 2), (8, 2), (16, 4), (6, 1)]:
+        n_bands = n_perm // r
+        for t in [0.25, 0.5, 0.75, 0.8, 0.9, 1.0,
+                  # exact k/n_perm boundaries incl. rounding edges
+                  *[k / n_perm for k in range(1, n_perm + 1)]]:
+            bound = min_band_matches(n_perm, r, t)
+            passing = [
+                m for m in range(n_bands + 1)
+                if round((m * r + (n_bands - m) * (r - 1)) / n_perm, 6) >= t
+            ]
+            # safety: every m that CAN pass is >= bound (no m < bound
+            # passes), except m=0 which the clamp maps under bound=1 —
+            # a candidate pair has >= 1 matching band by construction
+            for m in passing:
+                if m >= 1:
+                    assert m >= bound, (n_perm, r, t, m, bound)
+            # near-tightness: the 5e-7 rounding slack may admit at most
+            # ONE extra m below the true minimum (thresholds that are
+            # not 6-dp representable, e.g. 10/12); never more
+            real = [m for m in passing if m >= 1]
+            if real:
+                assert 0 <= min(real) - bound <= 1, (n_perm, r, t, bound, real)
+
+
+def test_min_est_output_equals_filtered_default(spark):
+    """min_est must be result-identical to thresholding the default
+    output — the prune may only remove pairs the estimate filter would
+    drop anyway. Fixture: a template family with seeded small mutations
+    so pairs span the est range (single-band collisions included)."""
+    import random
+
+    rng = random.Random(42)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = []
+    for i in range(30):
+        words = base.split()
+        for _ in range(rng.randrange(0, 6)):
+            words[rng.randrange(len(words))] = rng.choice(
+                ["cat", "mat", "hat", "bat", "rat"]
+            )
+        rows.append((f"d{i:02d}", " ".join(words)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    try:
+        default = {
+            (r.id1, r.id2): r.est_jaccard
+            for r in lsh_candidate_pairs(docs, n_perm=4, band_rows=2).collect()
+        }
+        assert default, "fixture produced no candidate pairs"
+        for t in [0.5, 0.75, 1.0]:
+            pruned = {
+                (r.id1, r.id2): r.est_jaccard
+                for r in lsh_candidate_pairs(
+                    docs, n_perm=4, band_rows=2, min_est=t
+                ).collect()
+            }
+            expect = {p: e for p, e in default.items() if e >= t}
+            assert pruned == expect, t
+    finally:
+        caching.release_all()
+
+
 def test_lsh_store_append_replays_build_cap(spark):
     """A store built with max_chars=400 must signature its increments at
     400 too — otherwise the same long doc gets different signatures per
