@@ -169,10 +169,18 @@ def build_corpus(
         # compatible with, so it takes the fast construction.
         # min_est pushes the threshold INTO the operator: the band-match
         # pigeonhole prune keeps a big near-dup family's O(d^2)
-        # single-band collisions out of the signature verify join
-        pairs = lsh_candidate_pairs(
-            exact, hash_kind=minhash_kind, min_est=near_threshold
-        )
+        # single-band collisions out of the signature verify join.
+        # A non-positive threshold means "every candidate is an edge" —
+        # min_est rejects it (its contract is (0, 1]), so that degenerate
+        #-but-valid configuration keeps the unpruned full-candidate path
+        if near_threshold > 0:
+            pairs = lsh_candidate_pairs(
+                exact, hash_kind=minhash_kind, min_est=near_threshold
+            )
+        else:
+            pairs = lsh_candidate_pairs(exact, hash_kind=minhash_kind).filter(
+                F.col("est_jaccard") >= near_threshold
+            )
         cluster_stats: dict = {}
         neardup = caching.register(
             neardup_corpus(exact, pairs, stats=cluster_stats)

@@ -458,6 +458,14 @@ def lsh_candidate_pairs(
     that can actually clear the threshold. ``None`` keeps the full
     candidate set (the catalog/oracle contract).
 
+    Interaction with ``bucket_max``: a capped bucket hides its members'
+    collisions from the band-match count, so the prune bound is applied
+    to ``_m + min(n_capped(id1), n_capped(id2))`` — each doc's count of
+    band rows that fell in capped buckets bounds how many matches the
+    caps could have hidden from this pair. Result-identity with the
+    default-path-then-filter composition therefore holds under capping
+    too (pinned by test_min_est_exact_when_cap_hides_collisions).
+
     ``bucket_max`` caps band-bucket membership before the self-join: a
     cluster of d exact/near-identical docs shares every band hash and
     would emit n_bands·d²/2 join rows (the same hot-key quadratic
@@ -499,15 +507,50 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
-    if bucket_max is not None:
+    carry_capped = min_est is not None and bucket_max is not None
+    if carry_capped:
+        # the prune counts OBSERVED collisions, but a capped bucket hides
+        # its members' collisions: a pair matching in a capped band and a
+        # kept band shows _m=1 and would be wrongly pruned (the default
+        # path keeps it via the surviving bucket). Correction: count each
+        # doc's band rows that fell in capped buckets (n_capped); the
+        # pair's TRUE match count is at most _m + min(nc1, nc2), and
+        # pruning on that upper bound is exact again. The hot-key frame
+        # is #capped-buckets rows (tiny — caps exist for pathological
+        # buckets), so its semi-join broadcasts; the n_capped attach is
+        # one doc-keyed join of the 4-rows/doc band table, and on a
+        # corpus where no cap fires every n_capped is 0 and the prune
+        # keeps its full power.
+        counts = stacked.groupBy("band_id", "bh").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        hot = counts.filter(F.col("bn") > bucket_max).select("band_id", "bh")
+        capped_docs = (
+            stacked.join(F.broadcast(hot), ["band_id", "bh"], "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_capped"))
+        )
+        stacked = cap_hot_buckets(
+            stacked, ["band_id", "bh"], bucket_max, cap_metrics, counts=counts
+        )
+        stacked = stacked.join(capped_docs, "doc_id", "left").select(
+            "doc_id", "band_id", "bh",
+            F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
+        )
+    elif bucket_max is not None:
         stacked = cap_hot_buckets(stacked, ["band_id", "bh"], bucket_max, cap_metrics)
     a, b = stacked.alias("a"), stacked.alias("b")
+    pair_cols = [F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")]
+    if carry_capped:
+        pair_cols += [
+            F.col("a.n_capped").alias("_nc1"), F.col("b.n_capped").alias("_nc2")
+        ]
     raw = a.join(
         b,
         (F.col("a.band_id") == F.col("b.band_id"))
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    ).select(*pair_cols)
     if min_est is None:
         cand = raw.distinct()
     else:
@@ -515,12 +558,21 @@ def lsh_candidate_pairs(
         # one extra long per group), but the group count = the pair's
         # band-match count — the pigeonhole prune falls out for free
         m_min = min_band_matches(n_perm, band_rows, min_est)
-        cand = (
-            raw.groupBy("id1", "id2")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .filter(F.col("_m") >= m_min)
-            .select("id1", "id2")
-        )
+        grouped = raw.groupBy("id1", "id2")
+        if carry_capped:
+            # nc is constant per doc, so first() is exact; the bound uses
+            # min(nc1, nc2): a hidden match needs BOTH docs in the bucket
+            cand = grouped.agg(
+                F.count(F.lit(1)).alias("_m"),
+                F.first("_nc1").alias("_nc1"),
+                F.first("_nc2").alias("_nc2"),
+            ).filter(
+                F.col("_m") + F.least("_nc1", "_nc2") >= m_min
+            ).select("id1", "id2")
+        else:
+            cand = grouped.agg(F.count(F.lit(1)).alias("_m")).filter(
+                F.col("_m") >= m_min
+            ).select("id1", "id2")
     s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)])
     s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)])
     out = (

@@ -131,11 +131,17 @@ def _committed_ids(spark: SparkSession, store: str) -> list[str] | None:
     table, rows unstamped) — readers then take every row, exactly as the
     old code did. Rows are stamped per-ATTEMPT rather than per-append_id
     so a retry of a crashed append cannot accidentally commit the dead
-    attempt's rows along with its own."""
-    try:
-        return [r.attempt for r in spark.table(_commits_table(store)).collect()]
-    except Exception:
+    attempt's rows along with its own.
+
+    Only a MISSING commits table means "legacy": the existence check is
+    explicit, so a transient read failure (metastore hiccup, permission,
+    concurrent DDL) propagates instead of being misdiagnosed as a
+    half-migrated store — the old blanket ``except`` turned a retryable
+    error into a 'rebuild the store' instruction (and made
+    ``_orphan_rows`` count every committed row as an orphan)."""
+    if not spark.catalog.tableExists(_commits_table(store)):
         return None
+    return [r.attempt for r in spark.table(_commits_table(store)).collect()]
 
 
 def _committed_rows(spark: SparkSession, store: str, table: str) -> DataFrame:
@@ -396,15 +402,19 @@ def check_lsh_store(spark: SparkSession, store: str) -> dict:
 
 def _orphan_rows(spark: SparkSession, store: str) -> int:
     """Total UNcommitted rows across both store tables (0 for a legacy
-    unstamped store, where the concept does not exist)."""
-    total = 0
-    for tbl in (_sigs_table(store), _bands_table(store)):
-        df = spark.table(tbl)
-        if "append_id" not in df.columns:
-            return 0
-        ids = _committed_ids(spark, store) or []
-        total += df.filter(~F.col("append_id").isin(ids)).count()
-    return total
+    unstamped store, where the concept does not exist). A store with
+    only ONE stamped table (manual surgery / half migration) still has
+    its stamped side audited — the old mid-loop early return threw away
+    the sigs count whenever just the bands table was unstamped. The
+    committed-id list is collected once for both tables."""
+    dfs = [spark.table(t) for t in (_sigs_table(store), _bands_table(store))]
+    stamped = [df for df in dfs if "append_id" in df.columns]
+    if not stamped:
+        return 0
+    ids = _committed_ids(spark, store) or []
+    return sum(
+        df.filter(~F.col("append_id").isin(ids)).count() for df in stamped
+    )
 
 
 def incremental_lsh_pairs(

@@ -44,6 +44,20 @@ from pyspark.sql import DataFrame, functions as F
 _PACK_STRIDE = 1 << 40  # group_id * stride + local index: globally unique
 
 
+def _next_local(local: int) -> int:
+    """Advance a stream's local pack index, refusing id-wrap: a stream
+    needing 2^40 packs would break intra-group uniqueness regardless of
+    offsets, so it raises loudly instead of wrapping. ONE definition —
+    both close-pack sites in the batch sweep call it."""
+    local += 1
+    if local >= _PACK_STRIDE:
+        raise ValueError(
+            "pack_sequences: a single stream exceeded "
+            f"{_PACK_STRIDE} packs — pack ids would wrap; raise n_groups"
+        )
+    return local
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,
@@ -175,13 +189,7 @@ def pack_sequences(
                     j = int(np.searchsorted(cs, base + budget, side="right"))
                     if j == i:  # first item alone exceeds the budget
                         if used > 0:  # close the open pack first
-                            local += 1
-                            if local >= _PACK_STRIDE:
-                                raise ValueError(
-                                    "pack_sequences: a single stream "
-                                    f"exceeded {_PACK_STRIDE} packs — pack "
-                                    "ids would wrap; raise n_groups"
-                                )
+                            local = _next_local(local)
                             used, pos = 0, 0
                             base = cs[i - 1] if i else 0
                             continue
@@ -199,14 +207,8 @@ def pack_sequences(
                         # the row-at-a-time greedy rule)
                         base = cs[j - 1]
                         if used > 0:
-                            local += 1
+                            local = _next_local(local)
                             used, pos = 0, 0
-                            if local >= _PACK_STRIDE:
-                                raise ValueError(
-                                    "pack_sequences: a single stream "
-                                    f"exceeded {_PACK_STRIDE} packs — pack "
-                                    "ids would wrap; raise n_groups"
-                                )
                     i = j
             counts = np.asarray(slab_counts, dtype=np.int64)
             pack_ids = np.repeat(np.asarray(slab_pids, dtype=np.int64), counts)

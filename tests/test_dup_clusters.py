@@ -172,6 +172,26 @@ def test_null_endpoints_dropped(spark, mode_kw):
     assert got == {1: 1, 2: 2, 3: 3, 4: 3}
 
 
+def test_degenerate_edges_identical_across_modes_without_nodes(spark):
+    """Self-loops and null-partner pairs are filtered from the edge set
+    BEFORE mode dispatch (dedup.py symmetrize/filter), so with
+    nodes=None their ids appear in NEITHER mode's output — the label
+    set must not flip when the measured edge count crosses the driver
+    threshold."""
+    pairs = spark.createDataFrame(
+        [("x", "x"), ("y", None), (None, "z"), ("a", "b")],
+        "id1 string, id2 string",
+    )
+    driver = {
+        (r.id, r.cluster_id) for r in dup_clusters(pairs).collect()
+    }
+    dist = {
+        (r.id, r.cluster_id)
+        for r in dup_clusters(pairs, driver_max_edges=0).collect()
+    }
+    assert driver == dist == {("a", "a"), ("b", "a")}
+
+
 @BOTH_MODES
 def test_partition_layout_invariance(spark, mode_kw):
     rng = random.Random(7)

@@ -183,6 +183,39 @@ def test_min_est_output_equals_filtered_default(spark):
         caching.release_all()
 
 
+def test_min_est_exact_when_cap_hides_collisions(spark, monkeypatch):
+    """A pair matching in a CAPPED band and a kept band shows only one
+    observed collision; the prune must not drop it (the default path
+    keeps it via the surviving bucket and its est clears the
+    threshold). Signatures are monkeypatched so the band layout is
+    engineered: A,B identical (both bands match, est 1.0); ten fillers
+    share A's band-0 bucket only, pushing it past bucket_max."""
+    import sparkocr.pipeline.dedup as dedup_mod
+
+    rows = [("A", 1, 1, 2, 2), ("B", 1, 1, 2, 2)]
+    rows += [(f"F{i:02d}", 1, 1, 100 + i, 200 + i) for i in range(10)]
+    sig = spark.createDataFrame(rows, ["doc_id", "mh_0", "mh_1", "mh_2", "mh_3"])
+    monkeypatch.setattr(dedup_mod, "minhash_signatures", lambda *a, **k: sig)
+    docs = sig.select("doc_id")
+    try:
+        kw = dict(n_perm=4, band_rows=2, bucket_max=10)
+        default = {
+            (r.id1, r.id2): r.est_jaccard
+            for r in lsh_candidate_pairs(docs, **kw).collect()
+            if r.est_jaccard >= 1.0
+        }
+        # fixture sanity: band 0 (12 members) capped, (A, B) survives
+        # via band 1 alone on the default path
+        assert default == {("A", "B"): 1.0}
+        pruned = {
+            (r.id1, r.id2): r.est_jaccard
+            for r in lsh_candidate_pairs(docs, **kw, min_est=1.0).collect()
+        }
+        assert pruned == default
+    finally:
+        caching.release_all()
+
+
 def test_lsh_store_append_replays_build_cap(spark):
     """A store built with max_chars=400 must signature its increments at
     400 too — otherwise the same long doc gets different signatures per
