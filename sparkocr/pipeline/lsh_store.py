@@ -69,6 +69,7 @@ from sparkocr.pipeline.dedup import (
     cap_hot_buckets,
     check_band_divisibility,
     est_jaccard_col,
+    min_band_matches,
     minhash_signatures,
 )
 
@@ -422,6 +423,7 @@ def incremental_lsh_pairs(
     store: str,
     bucket_max: int | None = 10_000,
     cap_metrics: Observation | None = None,
+    min_est: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs touching at least one NEW document:
     new-new (self-join of the increment's band keys — increment-sized)
@@ -454,7 +456,21 @@ def incremental_lsh_pairs(
     increment-sized or pair-sized data. The increment is assumed
     broadcastable (its id set and band keys ride broadcast hints —
     roughly ≤10^8 docs); for a corpus-scale backfill, chunk the
-    increment into broadcastable slices or rebuild the store."""
+    increment into broadcastable slices or rebuild the store.
+
+    ``min_est``: the same thresholded-prune contract as
+    ``lsh_candidate_pairs(min_est=...)`` — only pairs with
+    ``est_jaccard >= min_est`` return, and the band-match pigeonhole
+    prune runs inside the pair-dedup aggregates so a near-dup FAMILY's
+    single-band collisions never reach the signature verify. Capped
+    buckets hide collisions here too; the bound adds the NEW doc's
+    capped-bucket count (a hidden match always needs the new side's
+    dropped row — for new-new pairs the min of the two new docs').
+    Computing the capped-bucket set reuses the combined-totals branch
+    (one more thin Exchange-free store-counts scan, only when
+    ``min_est`` AND ``bucket_max`` are both set). Differential-tested
+    ≡ the full operator's min_est output restricted to new-touching
+    pairs."""
     spark = new_docs.sparkSession
     m = read_store_meta(spark, store)
     _require_sig_v(m, store)
@@ -474,6 +490,7 @@ def incremental_lsh_pairs(
     store_bands = _committed_rows(spark, store, _bands_table(store)).join(
         F.broadcast(new_ids), "doc_id", "left_anti"
     )
+    carry_capped = min_est is not None and bucket_max is not None
     if bucket_max is not None:
         # combined bucket heat: store members (Exchange-free agg over the
         # bucketed table) + increment members, summed per touched bucket.
@@ -490,6 +507,17 @@ def incremental_lsh_pairs(
             "bkey",
             (F.col("bn_new") + F.coalesce("bn_store", F.lit(0))).alias("bn"),
         )
+        if carry_capped:
+            # the prune's cap correction (see docstring): per new doc,
+            # how many of its band rows sit in capped buckets — hidden
+            # matches need the new side's dropped row, so this bounds
+            # them (same construction as lsh_candidate_pairs')
+            hot = totals.filter(F.col("bn") > bucket_max).select("bkey")
+            capped_docs = (
+                bands_new.join(F.broadcast(hot), "bkey", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_capped"))
+            )
         # capping the INCREMENT side alone caps both joins: every pair
         # needs a new-side band row in the kept set, so no store-side
         # filter (a second consumer would also duplicate the observe
@@ -498,36 +526,74 @@ def incremental_lsh_pairs(
             bands_new, ["bkey"], bucket_max, cap_metrics,
             counts=totals, broadcast_small=True,
         )
+        if carry_capped:
+            bands_new = bands_new.join(
+                F.broadcast(capped_docs), "doc_id", "left"
+            ).withColumn("n_capped", F.coalesce("n_capped", F.lit(0)))
+    elif min_est is not None:
+        bands_new = bands_new.withColumn("n_capped", F.lit(0))
 
     xs = [F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)]
     ys = [F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)]
     est = est_jaccard_col(n_perm)
-
-    a = bands_new.select("doc_id", "bkey", *xs).alias("a")
-    b = bands_new.select("doc_id", "bkey", *ys).alias("b")
-    new_new = (
-        a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            *[F.col(f"a.x_{i}") for i in range(n_perm)],
-            *[F.col(f"b.y_{i}") for i in range(n_perm)],
-        )
-        .dropDuplicates(["id1", "id2"])
-        .select("id1", "id2", est)
+    m_min = (
+        min_band_matches(n_perm, m["band_rows"], min_est)
+        if min_est is not None
+        else None
     )
+    nc = [F.col("n_capped")] if min_est is not None else []
+
+    a = bands_new.select("doc_id", "bkey", *xs, *nc).alias("a")
+    b = bands_new.select("doc_id", "bkey", *ys, *nc).alias("b")
+    nn_cols = [
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        *[F.col(f"a.x_{i}") for i in range(n_perm)],
+        *[F.col(f"b.y_{i}") for i in range(n_perm)],
+    ]
+    if min_est is not None:
+        nn_cols += [
+            F.col("a.n_capped").alias("_nc1"), F.col("b.n_capped").alias("_nc2")
+        ]
+    new_new = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(*nn_cols)
+    if min_est is None:
+        new_new = new_new.dropDuplicates(["id1", "id2"]).select("id1", "id2", est)
+    else:
+        sig_cols = [f"x_{i}" for i in range(n_perm)] + [f"y_{i}" for i in range(n_perm)]
+        new_new = (
+            new_new.groupBy("id1", "id2")
+            .agg(
+                F.count(F.lit(1)).alias("_m"),
+                *[F.first(c).alias(c) for c in sig_cols + ["_nc1", "_nc2"]],
+            )
+            .filter(F.col("_m") + F.least("_nc1", "_nc2") >= m_min)
+            .select("id1", "id2", est)
+        )
 
     old_sigs = _committed_rows(spark, store, _sigs_table(store)).select(
         "doc_id", *ys
     )
+    no_pre = bands_new.select(F.col("doc_id").alias("new_id"), "bkey", *xs, *nc).join(
+        store_bands.select(F.col("doc_id").alias("old_id"), "bkey"), "bkey"
+    )
+    if min_est is None:
+        no_dedup = no_pre.dropDuplicates(["new_id", "old_id"])
+    else:
+        x_cols = [f"x_{i}" for i in range(n_perm)]
+        no_dedup = (
+            no_pre.groupBy("new_id", "old_id")
+            .agg(
+                F.count(F.lit(1)).alias("_m"),
+                *[F.first(c).alias(c) for c in x_cols + ["n_capped"]],
+            )
+            .filter(F.col("_m") + F.col("n_capped") >= m_min)
+        )
     new_old = (
-        bands_new.select(F.col("doc_id").alias("new_id"), "bkey", *xs)
-        .join(store_bands.select(F.col("doc_id").alias("old_id"), "bkey"), "bkey")
-        .dropDuplicates(["new_id", "old_id"])
+        no_dedup
         # one store join for the old signature, on the sigs table's own
         # bucket key — Exchange-free on the store side
         .join(old_sigs.withColumnRenamed("doc_id", "old_id"), "old_id")
@@ -537,4 +603,7 @@ def incremental_lsh_pairs(
             est,
         )
     )
-    return new_new.unionByName(new_old)
+    out = new_new.unionByName(new_old)
+    if min_est is not None:
+        out = out.filter(F.col("est_jaccard") >= min_est)
+    return out

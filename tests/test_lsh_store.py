@@ -309,6 +309,48 @@ def test_incremental_agrees_with_full_under_equal_caps(spark, docs, store):
         caching.release_all()
 
 
+def test_incremental_min_est_matches_full_and_filtered(spark, docs, store):
+    """min_est on the incremental path must equal BOTH (a) its own
+    default output thresholded downstream and (b) the full operator's
+    min_est output restricted to new-touching pairs — uncapped and with
+    a biting cap (cap=3 bites on this fixture, see the equal-caps
+    test). t=0.5 keeps the prune inert (m_min clamps to 1) and pins the
+    plumbing on a nonempty result; t=0.8 activates the pigeonhole
+    (m_min=2 under the default S-curve)."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.dedup import lsh_candidate_pairs
+    from sparkocr.pipeline.lsh_store import incremental_lsh_pairs
+
+    name, old, new = store
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    try:
+        for cap in (None, 3):
+            for t in (0.5, 0.8):
+                got = _pairs(
+                    incremental_lsh_pairs(new, name, bucket_max=cap, min_est=t)
+                )
+                filt = [
+                    p
+                    for p in _pairs(
+                        incremental_lsh_pairs(new, name, bucket_max=cap)
+                    )
+                    if p[2] >= t
+                ]
+                assert got == filt, (cap, t)
+                want = [
+                    p
+                    for p in _pairs(
+                        lsh_candidate_pairs(docs, bucket_max=cap, min_est=t)
+                    )
+                    if p[0] in new_ids or p[1] in new_ids
+                ]
+                assert got == want, (cap, t)
+                if cap is None and t == 0.5:
+                    assert got  # fixture sanity: the identity is non-vacuous
+    finally:
+        caching.release_all()
+
+
 def test_new_new_hot_bucket_is_capped(spark, docs, store):
     """A duplicate cluster arriving INSIDE one increment (same doc text
     repeated) must be capped by the same bucket_max — the new-new
