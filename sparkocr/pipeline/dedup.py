@@ -464,7 +464,12 @@ def lsh_candidate_pairs(
     band rows that fell in capped buckets bounds how many matches the
     caps could have hidden from this pair. Result-identity with the
     default-path-then-filter composition therefore holds under capping
-    too (pinned by test_min_est_exact_when_cap_hides_collisions).
+    too (pinned by test_min_est_exact_when_cap_hides_collisions). With
+    BOTH ``min_est`` and ``bucket_max`` set the operator goes EAGER: a
+    driver-paced probe checks whether any bucket is actually hot and
+    builds the correction plan only then — the zero-hot common case
+    keeps the zero-overhead prune (see the in-body comment for the
+    measured reason).
 
     ``bucket_max`` caps band-bucket membership before the self-join: a
     cluster of d exact/near-identical docs shares every band hash and
@@ -507,50 +512,48 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.band_id").alias("band_id"), F.col("e.bh").alias("bh"))
-    carry_capped = min_est is not None and bucket_max is not None
-    if carry_capped:
+    capped_docs = None
+    if min_est is not None and bucket_max is not None:
         # the prune counts OBSERVED collisions, but a capped bucket hides
         # its members' collisions: a pair matching in a capped band and a
         # kept band shows _m=1 and would be wrongly pruned (the default
         # path keeps it via the surviving bucket). Correction: count each
         # doc's band rows that fell in capped buckets (n_capped); the
         # pair's TRUE match count is at most _m + min(nc1, nc2), and
-        # pruning on that upper bound is exact again. The hot-key frame
-        # is #capped-buckets rows (tiny — caps exist for pathological
-        # buckets), so its semi-join broadcasts; the n_capped attach is
-        # one doc-keyed join of the 4-rows/doc band table, and on a
-        # corpus where no cap fires every n_capped is 0 and the prune
-        # keeps its full power.
+        # pruning on that upper bound is exact again. Measure-then-plan
+        # (the asof_join/extract_turns discipline, and the reason this
+        # operator goes eager here): one cheap probe asks whether ANY
+        # bucket is hot — on the common no-hot-bucket corpus the answer
+        # costs a sub-second aggregate off the cached signatures and the
+        # prune keeps its zero-overhead plan (an unconditional carry was
+        # measured SLOWER than not pruning at all: the per-band-row nc
+        # attach re-shuffled the band table); only when a cap will
+        # actually fire does the correction join onto the PAIR aggregate
+        # (two nc lookups on the deduped pairs, AQE-sized — capped-doc
+        # membership starts at bucket_max rows, so pathological floods
+        # fall back to shuffle joins on the rare path).
         counts = stacked.groupBy("band_id", "bh").agg(
             F.count(F.lit(1)).alias("bn")
         )
         hot = counts.filter(F.col("bn") > bucket_max).select("band_id", "bh")
-        capped_docs = (
-            stacked.join(F.broadcast(hot), ["band_id", "bh"], "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_capped"))
-        )
+        if hot.limit(1).count() > 0:
+            capped_docs = (
+                stacked.join(F.broadcast(hot), ["band_id", "bh"], "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_capped"))
+            )
         stacked = cap_hot_buckets(
             stacked, ["band_id", "bh"], bucket_max, cap_metrics, counts=counts
-        )
-        stacked = stacked.join(capped_docs, "doc_id", "left").select(
-            "doc_id", "band_id", "bh",
-            F.coalesce("n_capped", F.lit(0)).alias("n_capped"),
         )
     elif bucket_max is not None:
         stacked = cap_hot_buckets(stacked, ["band_id", "bh"], bucket_max, cap_metrics)
     a, b = stacked.alias("a"), stacked.alias("b")
-    pair_cols = [F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")]
-    if carry_capped:
-        pair_cols += [
-            F.col("a.n_capped").alias("_nc1"), F.col("b.n_capped").alias("_nc2")
-        ]
     raw = a.join(
         b,
         (F.col("a.band_id") == F.col("b.band_id"))
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(*pair_cols)
+    ).select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
     if min_est is None:
         cand = raw.distinct()
     else:
@@ -558,21 +561,29 @@ def lsh_candidate_pairs(
         # one extra long per group), but the group count = the pair's
         # band-match count — the pigeonhole prune falls out for free
         m_min = min_band_matches(n_perm, band_rows, min_est)
-        grouped = raw.groupBy("id1", "id2")
-        if carry_capped:
-            # nc is constant per doc, so first() is exact; the bound uses
-            # min(nc1, nc2): a hidden match needs BOTH docs in the bucket
-            cand = grouped.agg(
-                F.count(F.lit(1)).alias("_m"),
-                F.first("_nc1").alias("_nc1"),
-                F.first("_nc2").alias("_nc2"),
-            ).filter(
-                F.col("_m") + F.least("_nc1", "_nc2") >= m_min
-            ).select("id1", "id2")
+        grouped = raw.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("_m"))
+        if capped_docs is not None:
+            nc1 = capped_docs.select(
+                F.col("doc_id").alias("id1"), F.col("n_capped").alias("_nc1")
+            )
+            nc2 = capped_docs.select(
+                F.col("doc_id").alias("id2"), F.col("n_capped").alias("_nc2")
+            )
+            cand = (
+                grouped.join(nc1, "id1", "left")
+                .join(nc2, "id2", "left")
+                .filter(
+                    F.col("_m")
+                    + F.least(
+                        F.coalesce("_nc1", F.lit(0)),
+                        F.coalesce("_nc2", F.lit(0)),
+                    )
+                    >= m_min
+                )
+                .select("id1", "id2")
+            )
         else:
-            cand = grouped.agg(F.count(F.lit(1)).alias("_m")).filter(
-                F.col("_m") >= m_min
-            ).select("id1", "id2")
+            cand = grouped.filter(F.col("_m") >= m_min).select("id1", "id2")
     s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh_{i}").alias(f"x_{i}") for i in range(n_perm)])
     s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh_{i}").alias(f"y_{i}") for i in range(n_perm)])
     out = (
