@@ -24,7 +24,11 @@ take ``chunk_seconds``: when set, phase 1 runs the window per
 tasks — and phase 2 carries boundary state between chunks over ONE summary
 row per (key, chunk), the same two-phase trick `assemble.py` uses for
 concat skew. Semantics are identical (property-tested against the
-single-window path); chunked is the default on the catalog queries.
+single-window path). Engagement on the catalog queries: as-of dispatches
+ADAPTIVELY (``chunk_min_key_rows`` — a measured-skew probe picks the
+plan, so balanced inputs skip the two-phase constant), sessionization
+stays unconditionally chunked so the chunked branch remains
+oracle-checked every round.
 """
 
 from __future__ import annotations
