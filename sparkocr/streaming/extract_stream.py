@@ -120,11 +120,19 @@ def streaming_deduped_turns(
     ``dropDuplicates`` treats null keys as EQUAL, so two distinct
     null-keyed pages — different conversations with conv_id omitted, or
     one conversation's unindexed pages — would collapse to one. All
-    BYPASS the dedup — passed through to extraction
-    unchanged, duplicates included — and the feed quality is surfaced
-    per micro-batch through the same ``observe()`` pattern as
-    ``windowed_turn_counts`` (observation ``dedup_feed_quality``:
-    n_rows / n_null_ts / n_null_key / n_deduped_out), so the operator
+    BYPASS the dedup — passed through to extraction unchanged,
+    duplicates included — and the feed quality is surfaced per
+    micro-batch through PER-BRANCH ``observe()`` metrics (each branch's
+    CollectMetrics sits ABOVE its own filter, so the filters stay
+    directly on the scan — see the cost note below):
+
+    - ``dedup_in``: ``n_valid`` — full-key rows entering the dedup;
+    - ``dedup_out``: ``n_deduped_out`` — rows surviving it;
+    - ``dedup_feed_quality`` (the bypass branch): ``n_bypass`` /
+      ``n_null_ts`` / ``n_null_key`` (null event time vs null dedup
+      key, disjoint: n_bypass = n_null_ts + n_null_key).
+
+    Total feed rows per batch = ``n_valid + n_bypass``; the operator
     degrades observably, never wedges the checkpoint.
 
     Two honest costs of this shape, for the operator running it:
@@ -133,16 +141,20 @@ def streaming_deduped_turns(
       ts minus ``watermark``) is dropped by the engine as LATE even if
       it is the FIRST delivery of its page — that page never reaches the
       sink. The metrics expose the total drop per batch
-      (``n_rows - n_null_ts - n_null_key - n_deduped_out`` = duplicates
-      plus late firsts; the engine cannot distinguish the two), so a
-      persistent nonzero residual on a feed known to be duplicate-free
-      means ``watermark`` is smaller than the feed's real disorder —
-      size it above the worst expected delivery skew.
+      (``n_valid - n_deduped_out`` = duplicates plus late firsts; the
+      engine cannot distinguish the two), so a persistent nonzero
+      residual on a feed known to be duplicate-free means ``watermark``
+      is smaller than the feed's real disorder — size it above the
+      worst expected delivery skew.
     - The null bypass union embeds the source twice in the plan: one
-      scan feeds the dedup, one the bypass. The bypass branch's
-      ``IS NULL`` filters push to the parquet scan and prune row groups
-      via null-count statistics, so on a healthy feed (few nulls) the
-      second scan is mostly footer reads, not a second decode."""
+      scan feeds the dedup, one the bypass. Each branch's null
+      predicates sit DIRECTLY on its scan — a single shared observe()
+      below both filters would pin them above the CollectMetrics node
+      and block pushdown entirely (measured: ``PushedFilters: []``),
+      which is why the metrics are per-branch — so the bypass scan
+      prunes row groups via parquet null-count statistics and on a
+      healthy feed (few nulls) is mostly footer reads, not a second
+      decode."""
     from pyspark.sql import functions as F
 
     null_key = (
@@ -150,9 +162,17 @@ def streaming_deduped_turns(
         | F.col("turn_idx").isNull()
         | F.col("conv_id").isNull()
     )
-    src = _transcript_stream(spark, input_dir, max_files).observe(
+    src = _transcript_stream(spark, input_dir, max_files)
+    deduped = (
+        src.filter(~null_key)
+        .observe("dedup_in", F.count(F.lit(1)).alias("n_valid"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .observe("dedup_out", F.count(F.lit(1)).alias("n_deduped_out"))
+    )
+    bypass = src.filter(null_key).observe(
         "dedup_feed_quality",
-        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_bypass"),
         F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
         F.sum(
             (
@@ -161,13 +181,7 @@ def streaming_deduped_turns(
             ).cast("long")
         ).alias("n_null_key"),
     )
-    deduped = (
-        src.filter(~null_key)
-        .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-        .observe("dedup_out", F.count(F.lit(1)).alias("n_deduped_out"))
-    )
-    merged = deduped.unionByName(src.filter(null_key))
+    merged = deduped.unionByName(bypass)
     return extract_turns(merged, min_parallelism=0)
 
 

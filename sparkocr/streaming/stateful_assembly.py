@@ -26,12 +26,14 @@ correctness record for it is rows-only; the pytest suite instead proves
 the state invariants directly: accumulation across micro-batches, replay
 idempotence, and out-of-order first delivery.
 
-STATE SCHEMA CHANGE: the interval-set layout replaces the round-1
-max-turn watermark. Spark's state-store schema check fails loudly on a
-checkpoint written by the old operator — intended: a watermark state
-cannot be losslessly migrated to interval sets inside
-``applyInPandasWithState``, so restart such a stream from a fresh
-checkpoint directory (counts rebuild from the replayed files).
+STATE SCHEMA CHANGES: the interval-set layout replaced the round-1
+max-turn watermark, and round 4 added the cumulative ``n_null_idx``
+counter (null-turn_idx rows were skipped silently — the one undercount
+path without a metric). Spark's state-store schema check fails loudly
+on a checkpoint written by an older operator — intended: neither
+layout migrates losslessly inside ``applyInPandasWithState``, so
+restart such a stream from a fresh checkpoint directory (counts
+rebuild from the replayed files).
 """
 
 from __future__ import annotations
@@ -44,11 +46,11 @@ import pandas as pd
 
 STATE_SCHEMA = (
     "n_turns long, n_chars long, starts array<int>, ends array<int>, "
-    "n_gap_absorbed long"
+    "n_gap_absorbed long, n_null_idx long"
 )
 OUTPUT_SCHEMA = (
     "conv_id string, n_turns long, n_chars long, max_turn int, "
-    "batch_rows int, n_ranges int, n_gap_absorbed long"
+    "batch_rows int, n_ranges int, n_gap_absorbed long, n_null_idx long"
 )
 
 # Hard bound on interval-set size: 128 ranges x 2 ints is a few KB per
@@ -86,10 +88,11 @@ def track_conversations(
     """Grouped-map-with-state fn for ``applyInPandasWithState``."""
     (conv_id,) = key
     if state.exists:
-        n_turns, n_chars, starts, ends, n_gap_absorbed = state.get
+        n_turns, n_chars, starts, ends, n_gap_absorbed, n_null_idx = state.get
         starts, ends = list(starts), list(ends)
     else:
-        n_turns, n_chars, starts, ends, n_gap_absorbed = 0, 0, [], [], 0
+        n_turns, n_chars, starts, ends = 0, 0, [], []
+        n_gap_absorbed = n_null_idx = 0
 
     batch_rows = 0
     for pdf in pdfs:
@@ -98,8 +101,12 @@ def track_conversations(
             # file sources force-nullable the declared schema: a null
             # turn_idx arrives as NaN and int(NaN) would crash the
             # micro-batch, which the checkpoint then replays forever —
-            # skip the malformed row instead of crash-looping the stream
+            # skip the malformed row instead of crash-looping the stream.
+            # The skip is COUNTED (cumulative, like n_gap_absorbed): an
+            # unindexable turn is an undercount, and the module family's
+            # invariant is that every undercount path is observable
             if turn_idx is None or turn_idx != turn_idx:
+                n_null_idx += 1
                 continue
             t = int(turn_idx)
             if _seen(starts, ends, t):
@@ -119,34 +126,51 @@ def track_conversations(
         del starts[j + 1], ends[j + 1]
 
     max_turn = ends[-1] if ends else -1
-    state.update((n_turns, n_chars, starts, ends, n_gap_absorbed))
+    state.update((n_turns, n_chars, starts, ends, n_gap_absorbed, n_null_idx))
     yield pd.DataFrame(
         [
             (
                 conv_id, n_turns, n_chars, max_turn, batch_rows,
-                len(starts), n_gap_absorbed,
+                len(starts), n_gap_absorbed, n_null_idx,
             )
         ],
         columns=[
             "conv_id", "n_turns", "n_chars", "max_turn", "batch_rows",
-            "n_ranges", "n_gap_absorbed",
+            "n_ranges", "n_gap_absorbed", "n_null_idx",
         ],
     )
 
 
 def streaming_conversation_progress(spark, input_dir: str, max_files_per_trigger: int = 1):
-    """readStream → stateful per-conversation progress stream."""
+    """readStream → stateful per-conversation progress stream.
+
+    Rows with a NULL conv_id are dropped OBSERVABLY before the state
+    groupBy (observation ``progress_feed_quality``: n_rows /
+    n_null_conv per micro-batch): ``groupBy`` treats NULL as one
+    grouping key, so distinct conversations whose producers omitted
+    conv_id would merge into a single bogus state — every later
+    conversation's turns misread as replays of the first's (the same
+    null-key collapse ``streaming_deduped_turns`` bypasses; a progress
+    row is meaningless without an identity to track, so here the rows
+    are dropped, not passed through). The observe counts BOTH totals
+    pre-filter — this pins the IsNotNull above the CollectMetrics node
+    (unpushable), a bounded cost accepted deliberately: the scan here
+    is consumed once (no bypass union), so the loss is decoding the
+    null-conv rows themselves, exactly the rows being counted."""
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from sparkocr import schema
+    from sparkocr.streaming.extract_stream import _transcript_stream
 
-    src = (
-        spark.readStream.schema(schema.TRANSCRIPTS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    src = _transcript_stream(spark, input_dir, max_files_per_trigger)
     return (
         src.select("conv_id", "turn_idx", "text")
+        .observe(
+            "progress_feed_quality",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("conv_id").isNull().cast("long")).alias("n_null_conv"),
+        )
+        .filter(F.col("conv_id").isNotNull())
         .groupBy("conv_id")
         .applyInPandasWithState(
             track_conversations,

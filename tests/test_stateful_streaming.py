@@ -69,6 +69,46 @@ def test_state_accumulates_and_replay_is_idempotent(spark, tmp_path):
     assert b[1].n_chars == 4 * 4
 
 
+def test_null_conv_dropped_observably_and_null_idx_counted(spark, tmp_path):
+    """Two producers omitting conv_id must NOT merge into one null-keyed
+    state (groupBy treats NULL as a single key — the second conversation
+    would read as a replay of the first); the rows are dropped with a
+    per-batch metric. Null turn_idx rows in a tracked conversation are
+    skipped but COUNTED in cumulative state (n_null_idx), closing the
+    one undercount path that used to be silent."""
+    from sparkocr.streaming.stateful_assembly import (
+        streaming_conversation_progress,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write(
+        os.path.join(d, "f0.parquet"),
+        [(None, t, "nnn") for t in range(10)]
+        + [(None, t, "mmm") for t in range(10)]
+        + [("A", 0, "xx"), ("A", 1, "xx"), ("A", None, "xx"), ("A", None, "xx")],
+    )
+    q = (
+        streaming_conversation_progress(spark, d)
+        .writeStream.format("memory")
+        .queryName("conv_progress_nulls")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM conv_progress_nulls").collect()
+    assert all(r.conv_id is not None for r in rows), rows
+    (a,) = [r for r in rows if r.conv_id == "A"]
+    assert a.n_turns == 2 and a.n_null_idx == 2 and a.batch_rows == 4
+    obs = [
+        p.observedMetrics["progress_feed_quality"]
+        for p in q.recentProgress
+        if "progress_feed_quality" in p.observedMetrics
+    ]
+    assert any(m["n_rows"] == 24 and m["n_null_conv"] == 20 for m in obs), obs
+
+
 def test_out_of_order_first_delivery_counts_every_turn(spark, tmp_path):
     """The datagen layout scatters a conversation's turns across files by
     t mod n_files, so a later file legitimately delivers LOWER turn_idx

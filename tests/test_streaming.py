@@ -202,17 +202,26 @@ def test_streaming_dedup_drops_replayed_pages(spark, tmp_path):
     texts = sorted(r["clean_text"] for r in got)
     assert texts == ["dup a", "null-conv f", "null-conv g", "null-idx d",
                      "null-idx e", "null-ts c", "null-ts c", "uniq b"]
+    # per-branch metrics (observes sit above the branch filters so the
+    # null predicates stay pushable to the scan): bypass branch counts
+    # its 6 rows split 2 null-ts / 4 null-key; dedup branch reports 3
+    # valid rows in, 2 out (total feed = n_valid + n_bypass = 9, and the
+    # engine-side drop = n_valid - n_deduped_out = 1, the "dup a" replay)
     obs = [
         p.observedMetrics["dedup_feed_quality"]
         for p in q.recentProgress
         if "dedup_feed_quality" in p.observedMetrics
     ]
     assert any(
-        m["n_rows"] == 9 and m["n_null_ts"] == 2 and m["n_null_key"] == 4
+        m["n_bypass"] == 6 and m["n_null_ts"] == 2 and m["n_null_key"] == 4
         for m in obs
     ), obs
-    # the post-dedup count is observable too: total engine-side drop per
-    # batch = n_rows - n_null_ts - n_null_key - n_deduped_out
+    in_obs = [
+        p.observedMetrics["dedup_in"]
+        for p in q.recentProgress
+        if "dedup_in" in p.observedMetrics
+    ]
+    assert any(m["n_valid"] == 3 for m in in_obs), in_obs
     out_obs = [
         p.observedMetrics["dedup_out"]
         for p in q.recentProgress
