@@ -170,10 +170,12 @@ def build_corpus(
         # min_est pushes the threshold INTO the operator: the band-match
         # pigeonhole prune keeps a big near-dup family's O(d^2)
         # single-band collisions out of the signature verify join.
-        # A non-positive threshold means "every candidate is an edge" —
-        # min_est rejects it (its contract is (0, 1]), so that degenerate
-        #-but-valid configuration keeps the unpruned full-candidate path
-        if near_threshold > 0:
+        # min_est's contract is (0, 1]; thresholds outside it are
+        # degenerate-but-valid configurations that keep the unpruned
+        # full-candidate path: non-positive means "every candidate is an
+        # edge", above 1 means "no estimate qualifies" (near-dedup
+        # effectively off — the filter below is simply empty)
+        if 0 < near_threshold <= 1:
             pairs = lsh_candidate_pairs(
                 exact, hash_kind=minhash_kind, min_est=near_threshold
             )

@@ -59,7 +59,7 @@ def _norm_tokens(text_col: str = "text"):
 def _gram_positions(tokens_col, n: int):
     """array<int> of 1-based window start positions. Docs shorter than
     n tokens yield an EMPTY array — ``sequence(1, 0)`` is the DESCENDING
-    [1, 0] in Spark, not empty (the same trap ``dedup._shingle_explode``
+    [1, 0] in Spark, not empty (the same trap ``dedup._shingle_rows``
     guards), so the short case is explicit."""
     return F.when(
         F.size(tokens_col) < n, F.array().cast("array<int>")

@@ -670,8 +670,16 @@ def _finish_on_driver(
 #: transitive closure on the driver (union-find over a collected edge list)
 #: instead of running the distributed propagation loop. 2^21 edges is two
 #: ~16 MB int64 arrays — trivially driver-sized, yet far above any healthy
-#: near-dup pair graph (the 20k-doc bench corpus mines 64k).
+#: near-dup pair graph (the 20k-doc bench corpus mines 64k). String-id
+#: graphs are additionally byte-budgeted (see DRIVER_MAX_BYTES): the
+#: count cap assumes int64-sized rows.
 DRIVER_MAX_EDGES = 1 << 21
+
+#: Estimated collected-edge footprint above which the driver finisher is
+#: refused even under the edge-count cap — bounds both the driver pandas
+#: frame and each executor's broadcast copy of the label frame when ids
+#: are wide strings (uuid/path-shaped doc_ids).
+DRIVER_MAX_BYTES = 128 << 20
 
 
 def dup_clusters(
@@ -803,11 +811,34 @@ def dup_clusters(
     edges = edges.cache()
     try:
         singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
-        n_edges = edges.count()
+        from pyspark.sql.types import StringType
+
+        # the edge-count cap alone under-sizes string ids: 2^21 edges of
+        # 64-char doc_ids is hundreds of MB on the driver (and again in
+        # every executor's broadcast cache), not the two ~16 MB int64
+        # arrays the cap was budgeted for — so string graphs also
+        # measure average id width (same single pass as the count) and
+        # the driver path additionally requires the estimated collected
+        # footprint under DRIVER_MAX_BYTES
+        if isinstance(edges.schema["u"].dataType, StringType):
+            row = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.length("u") + F.length("v")).alias("pair_chars"),
+            ).collect()[0]
+            n_edges = int(row["n"])
+            # ~60 bytes per pandas string object on top of the payload
+            pair_bytes = float(row["pair_chars"] or 0.0) + 2 * 60.0
+        else:
+            n_edges = edges.count()
+            pair_bytes = 16.0
+        driver_ok = (
+            n_edges <= driver_max_edges
+            and n_edges * pair_bytes <= DRIVER_MAX_BYTES
+        )
         if stats is not None:
             stats.update(
                 n_edges=n_edges, rounds=0, n_changed_last=0,
-                mode="driver" if n_edges <= driver_max_edges else "distributed",
+                mode="driver" if driver_ok else "distributed",
             )
         if n_edges == 0:
             # answer = the singleton labelling, built WITHOUT referencing
@@ -829,7 +860,7 @@ def dup_clusters(
             return nodes_ids.distinct().select(
                 "id", F.col("id").alias("cluster_id")
             )
-        if n_edges <= driver_max_edges:
+        if driver_ok:
             return _finish_on_driver(edges, nodes_ids, stats)
         labels = singletons.localCheckpoint(eager=True)
         for rnd in range(1, max_iter + 1):

@@ -315,6 +315,15 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
             "(rows are unstamped) — rebuild with build_lsh_store before "
             "appending"
         )
+    if not spark.catalog.tableExists(_commits_table(store)):
+        # same half-migrated state every reader path refuses: stamped
+        # rows (checked above) but the commits table is gone — a raw
+        # TABLE_OR_VIEW_NOT_FOUND here would name neither the store nor
+        # the remedy
+        raise ValueError(
+            f"LSH store {store!r} has stamped rows but no commits table "
+            "— rebuild with build_lsh_store before appending"
+        )
     for r in spark.table(_commits_table(store)).collect():
         if r.append_id == append_id:
             return {"append_id": append_id, "rows": int(r.rows), "skipped": True}

@@ -124,12 +124,16 @@ def pack_sequences(
         group_expr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_groups))
     else:
         group_expr = F.coalesce(F.col(group_col).cast("long"), F.lit(0))
+    # group_id stays LONG until the range check inside the map: an int
+    # cast here would wrap out-of-contract values mod 2^32 under
+    # non-ANSI sessions (2^32+5 -> 5), silently aliasing a bad stream id
+    # into [0, n_groups) past the rejection below
     sized = docs.select(
         "doc_id",
         F.greatest(F.lit(0), F.coalesce(size_expr, F.lit(0)))
         .cast("long")
         .alias("n_tokens"),
-        group_expr.cast("int").alias("group_id"),
+        group_expr.cast("long").alias("group_id"),
     )
     grouped = sized.repartition(n_groups, "group_id").sortWithinPartitions(
         "group_id", "doc_id", "n_tokens"
@@ -220,6 +224,9 @@ def pack_sequences(
                 np.repeat(np.asarray(slab_pos0, dtype=np.int64), counts) + offs
             ).astype(np.int32)
             out = pdf[["doc_id", "n_tokens", "group_id"]].copy()
+            # validated < n_groups < 2^20 above, so the declared int32
+            # output column is exact
+            out["group_id"] = out["group_id"].astype("int32")
             out["pack_id"] = pd.Series(pack_ids, dtype="int64")
             out["pack_pos"] = pd.Series(positions, dtype="int32")
             yield out

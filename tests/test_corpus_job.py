@@ -77,6 +77,22 @@ def test_corpus_job_without_bench(spark, tiny_transcripts, tmp_path):
     assert counts["packed_docs"] == counts["after_quality_filter"] > 0
 
 
+def test_near_threshold_above_one_disables_near_dedup(
+    spark, tiny_transcripts, tmp_path
+):
+    """A threshold above 1 is degenerate-but-valid: no estimate can
+    qualify, so the job runs with near-dedup effectively off instead of
+    crashing on min_est's (0, 1] contract."""
+    from sparkocr.jobs.corpus_job import build_corpus
+
+    out = str(tmp_path / "corpus_thr12")
+    counts = build_corpus(
+        spark, tiny_transcripts, out, budget=512, min_words=3,
+        near_threshold=1.2,
+    )
+    assert counts["after_near_dedup"] == counts["after_exact_dedup"]
+
+
 def test_packs_never_cross_splits(spark, tiny_transcripts, tmp_path):
     """A pack mixing train and val/test docs is eval leakage; every pack
     must be homogeneous in split and dense in pack_pos."""

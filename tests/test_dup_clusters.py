@@ -83,6 +83,30 @@ def test_modes_agree_on_string_ids(spark):
                            "a0": "a0", "lone": "lone"}
 
 
+def test_wide_string_ids_refuse_driver_mode(spark, monkeypatch):
+    """The driver cutoff is byte-budgeted, not just edge-counted: a
+    small graph of WIDE string ids (uuid/path-shaped doc_ids) must fall
+    back to the distributed loop when its estimated collected footprint
+    exceeds the byte budget — same labels either way."""
+    from sparkocr.pipeline import dedup
+
+    wide = [f"doc/{'x' * 60}/{i:04d}" for i in range(40)]
+    prs = [(wide[i], wide[i + 1]) for i in range(0, 38, 2)]
+    pairs = spark.createDataFrame(prs, "id1 string, id2 string")
+
+    stats: dict = {}
+    want = {r["id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs, stats=stats).collect()}
+    assert stats["mode"] == "driver"  # comfortably inside 128 MB
+
+    monkeypatch.setattr(dedup, "DRIVER_MAX_BYTES", 1024)
+    tight: dict = {}
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(pairs, stats=tight).collect()}
+    assert tight["mode"] == "distributed"
+    assert got == want
+
+
 def test_chain_converges_logarithmically(spark):
     # a 128-node path is the diameter worst case: plain min-propagation
     # needs 127 rounds; pointer jumping must close it in O(log n)

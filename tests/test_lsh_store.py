@@ -276,6 +276,27 @@ def test_half_built_store_refused(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_append_to_store_without_commits_table_refused(spark, docs):
+    """A stamped store whose commits table is gone (the half-migrated
+    state _committed_rows refuses on read) must refuse APPENDS with the
+    same guided rebuild error, not a raw TABLE_OR_VIEW_NOT_FOUND."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import append_lsh_store, build_lsh_store
+
+    name = "lsh_store_nocommit"
+    try:
+        build_lsh_store(docs.limit(50), name, n_buckets=4)
+        caching.release_all()
+        spark.sql(f"DROP TABLE IF EXISTS {name}_commits")
+        with pytest.raises(ValueError, match="rebuild"):
+            append_lsh_store(docs.limit(5), name, "a1")
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bad_band_divisibility_rejected(spark, docs):
     from sparkocr.pipeline.lsh_store import build_lsh_store
 

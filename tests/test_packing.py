@@ -202,6 +202,12 @@ def test_packing_group_col(spark, docs):
     bad = src.withColumn("grp", (F.col("grp") + 100).cast("int"))
     with _pytest.raises(Exception, match="outside"):
         pack_sequences(bad, BUDGET, n_groups=8, group_col="grp").collect()
+    # values that alias into range mod 2^32 must ALSO be rejected: an
+    # int32 cast before the range check would silently wrap 2^32+g to g
+    # under non-ANSI sessions and pack the doc into the wrong stream
+    aliased = src.withColumn("grp", F.col("grp").cast("long") + F.lit(2**32))
+    with _pytest.raises(Exception, match="outside"):
+        pack_sequences(aliased, BUDGET, n_groups=8, group_col="grp").collect()
 
 
 def test_id_offset_namespacing(spark, docs):
