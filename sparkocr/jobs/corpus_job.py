@@ -29,6 +29,50 @@ Usage (deployment shape mirrors ``extract_job``):
         --input transcripts.parquet --out /corpus
         [--bench bench.parquet] [--blocklist domains.parquet] [--redact]
         [--budget 2048] [--min-words 5] [--near-threshold 0.8]
+        [--store corpus_state]
+
+INCREMENTAL MODE (``--append-id``): at 10^12-turn scale a daily batch of
+new transcripts must never pay corpus-proportional work. A full build
+run with ``--store NAME`` persists dedup state — the incremental LSH
+store (``pipeline.lsh_store``) plus exact-content tables
+(``pipeline.corpus_state``), both bucketed so state-side joins are
+Exchange-free — and subsequent runs with ``--append-id DAY`` process
+only the increment:
+
+    spark-submit ... corpus_job.py --input day17.parquet \
+        --out /corpus/inc_day17 --store corpus_state --append-id day17
+
+    extract/assemble the increment
+      → exact dedup within the increment
+      → drop docs already in the state (exact re-fetches by content
+        hash; re-crawled conversations by doc_id — the corpus keeps the
+        originally admitted version)
+      → append the novel docs' signatures to the LSH store
+        (exactly-once per append-id)
+      → incremental near-dup pairs (new-new + new-old, store side
+        never shuffled) → any new doc connected to an old doc drops,
+        new-only clusters keep their min id
+      → the same hygiene stages (quality / blocklist / decontam /
+        redact) → split → pack (pack ids namespaced per increment —
+        disjoint from the base corpus and every other increment)
+      → parquet corpus for the increment + content-state append,
+        committed LAST so a crashed run leaves no committed state and
+        a retry of the same append-id lands exactly once (a completed
+        append-id is a skipped no-op).
+
+The corpus is then the base ``corpus/`` directory plus each increment's
+— the usual date-partitioned lake layout; consumers read the union.
+Increments are sequential (like ``append_lsh_store``); a crashed one is
+safely retried with the same append-id. The state tables must live in a
+catalog that OUTLIVES one job run: any production metastore (Hive
+catalog, Iceberg/Glue) qualifies; Spark's default in-memory catalog
+does not — for single-box runs pass
+``--conf spark.sql.catalogImplementation=hive`` (embedded Derby
+metastore in the job's working directory) so successive spark-submit
+invocations see the same state, or run all increments in one session. Near-dup tie-breaking
+deliberately differs from a full rebuild: the rebuild keeps each
+cluster's min doc_id (which may be a newcomer), increments never
+displace an admitted doc.
 
 Document identity: ``doc_id = xxhash64(conv_id)`` (a long — the type the
 whole pipeline keys on), with ``conv_id`` carried alongside for
@@ -44,7 +88,11 @@ Packing runs PER SPLIT: a pack mixing train and val/test documents is
 eval leakage for any consumer that materializes packs wholesale, and a
 split-filtered read would see holes in pack_pos — each split packs
 independently and pack ids are offset per split to stay globally
-unique.
+unique. The base build namespaces splits at ``i << 60``; increment
+``ordinal`` (1, 2, ... from the content-state commit log) namespaces at
+``(3·ordinal + i) << 47`` — every window fits under the base's val
+offset through ordinal 2729 (7+ years of daily increments), and the job
+refuses loudly past that.
 
 Stage counts in the summary each force an action; intermediate frames
 are cached through ``pipeline.caching`` and released before exit, so the
@@ -60,6 +108,168 @@ import time
 
 from pyspark.sql import functions as F
 
+#: Pack-id namespace stride for increments: comfortably above one
+#: split's own id range ((n_groups+1) * 2^40 at the default 64 groups)
+#: and dense enough that 2729 increments fit under the base build's
+#: val-split offset at 1 << 60.
+_INC_SPAN = 1 << 47
+
+
+def _make_lap(timings: dict):
+    t = time.monotonic()
+
+    def lap(stage: str) -> None:
+        nonlocal t
+        now = time.monotonic()
+        timings[stage] = round(now - t, 3)
+        t = now
+
+    return lap
+
+
+def _assemble_docs(spark, transcripts_path: str, caching):
+    """Extract + assemble into the job's document frame
+    ``(doc_id, conv_id, text)`` (cached), plus the injectivity
+    aggregate row."""
+    from sparkocr.assemble import assemble_docs_cli
+    from sparkocr.extract.dispatch import extract_turns
+
+    transcripts = spark.read.parquet(transcripts_path)
+    # markdown=False: this pipeline reads only clean_text (assembly +
+    # dedup feeds), so skip the second grounding-cleanup pass
+    turns = extract_turns(transcripts, markdown=False)
+    docs = caching.register(
+        assemble_docs_cli(turns).select(
+            F.xxhash64(
+                F.coalesce(F.col("conv_id"), F.lit("\x00corpus_job:null-conv"))
+            ).alias("doc_id"),
+            "conv_id",
+            F.col("doc_text").alias("text"),
+        )
+    )
+    ids = docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        # nulls are invisible to count_distinct; the (single) null
+        # conv is a real document and must count toward injectivity
+        (
+            F.count_distinct("conv_id")
+            + F.max(F.col("conv_id").isNull().cast("int"))
+        ).alias("n_convs"),
+    ).first()
+    if ids["rows"] and ids["n_ids"] != ids["n_convs"]:
+        raise ValueError(
+            "corpus_job: the doc_id hash collided "
+            f"({ids['n_convs']} conversation keys → {ids['n_ids']} "
+            "doc_ids) — two conversations would silently merge; key "
+            "the table upstream with a wider id"
+        )
+    return docs, int(ids["rows"])
+
+
+def _hygiene(
+    spark, caching, docs, counts, lap, *,
+    min_words, blocklist_path, bench_path, redact,
+):
+    """The shared post-dedup stages: quality filter → domain blocklist →
+    benchmark decontamination → PII redaction (each optional stage only
+    when its input/flag is given; counts and laps recorded per stage)."""
+    from sparkocr.pipeline.textstats import ws_token_count_col
+
+    quality = caching.register(docs.filter(ws_token_count_col() >= min_words))
+    counts["after_quality_filter"] = quality.count()
+    lap("quality_filter")
+
+    final = quality
+    if blocklist_path is not None:
+        from sparkocr.pipeline.redact import domain_filter
+
+        blocklist = spark.read.parquet(blocklist_path)
+        final = caching.register(domain_filter(final, blocklist))
+        counts["after_domain_filter"] = final.count()
+        lap("domain_filter")
+    if bench_path is not None:
+        from sparkocr.pipeline.decontam import decontaminate
+
+        bench = spark.read.parquet(bench_path)
+        final = caching.register(decontaminate(final, bench))
+        counts["after_decontamination"] = final.count()
+        lap("decontamination")
+    if redact:
+        from sparkocr.pipeline.redact import audit_totals, redact_pii
+
+        final = caching.register(redact_pii(final))
+        counts["pii_redactions"] = audit_totals(final)["total"]
+        lap("redaction")
+    return final
+
+
+def _split_pack_write(
+    spark, caching, final, out_dir, counts, lap, *,
+    budget, size_col, offsets,
+):
+    """Hash-split, pack per split (pack ids offset per ``offsets``, one
+    per train/val/test), join pack columns back, and write the corpus."""
+    from sparkocr.pipeline.dedup import hash_split
+    from sparkocr.pipeline.packing import pack_sequences
+    from sparkocr.pipeline.textstats import ws_token_count_col
+
+    final = caching.register(final.transform(hash_split, key="conv_id"))
+    # --size-col: pack by a PRECOMPUTED token-count column instead of
+    # the whitespace default — the seam a production pipeline routes
+    # real BPE counts through (pack_sequences sizes by whatever count
+    # lands in the column; it never re-tokenizes). The two stock
+    # counters materialize here by name; any other name must already
+    # be a column of the corpus frame (e.g. joined in upstream).
+    pack_cols = ["doc_id", "text"]
+    if size_col is not None:
+        if size_col not in final.columns:
+            from sparkocr.pipeline.textstats import word_token_count_col
+
+            stock = {
+                "n_ws_tokens": ws_token_count_col,
+                "n_word_tokens": word_token_count_col,
+            }
+            if size_col not in stock:
+                raise ValueError(
+                    f"corpus_job: --size-col {size_col!r} is neither a "
+                    f"corpus column ({final.columns}) nor a stock "
+                    f"counter ({sorted(stock)})"
+                )
+            final = caching.register(
+                final.withColumn(size_col, stock[size_col]())
+            )
+        pack_cols.append(size_col)
+    # pack PER SPLIT: one pack must never mix train with val/test
+    # docs (eval leakage / pack_pos holes for split-filtered reads);
+    # per-split pack ids are offset to stay globally unique
+    packed_parts = [
+        pack_sequences(
+            final.filter(F.col("split") == s).select(*pack_cols),
+            budget,
+            size_col=size_col,
+            id_offset=off,  # validated against the group layout by
+            # pack_sequences itself — the namespace lives there
+        )
+        for s, off in zip(["train", "val", "test"], offsets)
+    ]
+    packed = packed_parts[0]
+    for part in packed_parts[1:]:
+        packed = packed.unionByName(part)
+    corpus = final.join(
+        packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
+        "doc_id",
+    )
+    corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+
+    written = spark.read.parquet(os.path.join(out_dir, "corpus")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("pack_id").alias("packs"),
+    ).first()
+    counts["packed_docs"] = int(written["rows"])
+    counts["packs"] = int(written["packs"])
+    lap("split_pack_write")
+
 
 def build_corpus(
     spark,
@@ -73,19 +283,14 @@ def build_corpus(
     redact: bool = False,
     size_col: str | None = None,
     minhash_kind: str = "rolling",
+    store: str | None = None,
 ) -> dict:
-    from sparkocr.assemble import assemble_docs_cli
-    from sparkocr.extract.dispatch import extract_turns
     from sparkocr.pipeline import caching
     from sparkocr.pipeline.dedup import (
         dedup_corpus,
-        hash_split,
         lsh_candidate_pairs,
         neardup_corpus,
     )
-    from sparkocr.pipeline.decontam import decontaminate
-    from sparkocr.pipeline.packing import pack_sequences
-    from sparkocr.pipeline.textstats import ws_token_count_col
 
     counts: dict[str, int] = {}
     # per-stage wall seconds, measured around each count-forcing action —
@@ -93,45 +298,15 @@ def build_corpus(
     # attribute the job's wall clock honestly without extra jobs. This is
     # the first thing an owner reads when a nightly run slows down.
     timings: dict[str, float] = {}
-    t_lap = time.monotonic()
-
-    def lap(stage: str) -> None:
-        nonlocal t_lap
-        now = time.monotonic()
-        timings[stage] = round(now - t_lap, 3)
-        t_lap = now
-
+    lap = _make_lap(timings)
     counts["stage_sec"] = timings
     with caching.scope():
-        transcripts = spark.read.parquet(transcripts_path)
-        # markdown=False: this pipeline reads only clean_text (assembly +
-        # dedup feeds), so skip the second grounding-cleanup pass
-        turns = extract_turns(transcripts, markdown=False)
-        docs = caching.register(
-            assemble_docs_cli(turns).select(
-                F.xxhash64(
-                    F.coalesce(F.col("conv_id"), F.lit("\x00corpus_job:null-conv"))
-                ).alias("doc_id"),
-                "conv_id",
-                F.col("doc_text").alias("text"),
-            )
-        )
-        ids = docs.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.count_distinct("doc_id").alias("n_ids"),
-            # nulls are invisible to count_distinct; the (single) null
-            # conv is a real document and must count toward injectivity
-            (
-                F.count_distinct("conv_id")
-                + F.max(F.col("conv_id").isNull().cast("int"))
-            ).alias("n_convs"),
-        ).first()
-        counts["assembled_docs"] = int(ids["rows"])
+        docs, n_docs = _assemble_docs(spark, transcripts_path, caching)
+        counts["assembled_docs"] = n_docs
         lap("extract_assemble")
-        if counts["assembled_docs"] == 0:
+        if n_docs == 0:
             # empty input (or every turn truncated away): there is no
-            # corpus to write — and the injectivity guard's max() over
-            # zero rows would be null, firing a spurious collision error
+            # corpus to write
             counts.update(
                 after_exact_dedup=0, after_near_dedup=0,
                 after_quality_filter=0, packed_docs=0, packs=0,
@@ -147,13 +322,6 @@ def build_corpus(
             if redact:
                 counts["pii_redactions"] = 0
             return counts
-        if ids["n_ids"] != ids["n_convs"]:
-            raise ValueError(
-                "corpus_job: the doc_id hash collided "
-                f"({ids['n_convs']} conversation keys → {ids['n_ids']} "
-                "doc_ids) — two conversations would silently merge; key "
-                "the table upstream with a wider id"
-            )
 
         exact = caching.register(dedup_corpus(docs))
         counts["after_exact_dedup"] = exact.count()
@@ -195,87 +363,176 @@ def build_corpus(
         counts["cluster_mode"] = cluster_stats.get("mode", "driver")
         lap("near_dedup")
 
-        quality = caching.register(
-            neardup.filter(ws_token_count_col() >= min_words)
+        final = _hygiene(
+            spark, caching, neardup, counts, lap,
+            min_words=min_words, blocklist_path=blocklist_path,
+            bench_path=bench_path, redact=redact,
         )
-        counts["after_quality_filter"] = quality.count()
-        lap("quality_filter")
+        _split_pack_write(
+            spark, caching, final, out_dir, counts, lap,
+            budget=budget, size_col=size_col,
+            offsets=[i << 60 for i in range(3)],
+        )
 
-        final = quality
-        if blocklist_path is not None:
-            from sparkocr.pipeline.redact import domain_filter
+        if store is not None:
+            # bootstrap incremental state from this build. State = every
+            # exact-distinct doc SEEN (post exact dedup), not just
+            # survivors: a future increment near-dup to a doc this build
+            # DROPPED must still see the bridge — "connected to anything
+            # old → drop", the same transitive rule a rebuild applies.
+            from sparkocr.pipeline.corpus_state import build_content_state
+            from sparkocr.pipeline.lsh_store import build_lsh_store
 
-            blocklist = spark.read.parquet(blocklist_path)
-            final = caching.register(domain_filter(final, blocklist))
-            counts["after_domain_filter"] = final.count()
-            lap("domain_filter")
-        if bench_path is not None:
-            bench = spark.read.parquet(bench_path)
-            final = caching.register(decontaminate(final, bench))
-            counts["after_decontamination"] = final.count()
-            lap("decontamination")
-        if redact:
-            from sparkocr.pipeline.redact import audit_totals, redact_pii
-
-            final = caching.register(redact_pii(final))
-            counts["pii_redactions"] = audit_totals(final)["total"]
-            lap("redaction")
-
-        final = caching.register(final.transform(hash_split, key="conv_id"))
-        # --size-col: pack by a PRECOMPUTED token-count column instead of
-        # the whitespace default — the seam a production pipeline routes
-        # real BPE counts through (pack_sequences sizes by whatever count
-        # lands in the column; it never re-tokenizes). The two stock
-        # counters materialize here by name; any other name must already
-        # be a column of the corpus frame (e.g. joined in upstream).
-        pack_cols = ["doc_id", "text"]
-        if size_col is not None:
-            if size_col not in final.columns:
-                from sparkocr.pipeline.textstats import word_token_count_col
-
-                stock = {
-                    "n_ws_tokens": ws_token_count_col,
-                    "n_word_tokens": word_token_count_col,
-                }
-                if size_col not in stock:
-                    raise ValueError(
-                        f"corpus_job: --size-col {size_col!r} is neither a "
-                        f"corpus column ({final.columns}) nor a stock "
-                        f"counter ({sorted(stock)})"
-                    )
-                final = caching.register(
-                    final.withColumn(size_col, stock[size_col]())
-                )
-            pack_cols.append(size_col)
-        # pack PER SPLIT: one pack must never mix train with val/test
-        # docs (eval leakage / pack_pos holes for split-filtered reads);
-        # per-split pack ids are offset to stay globally unique
-        packed_parts = [
-            pack_sequences(
-                final.filter(F.col("split") == s).select(*pack_cols),
-                budget,
-                size_col=size_col,
-                id_offset=i << 60,  # validated against the group layout
-                # by pack_sequences itself — the namespace lives there
+            build_lsh_store(
+                exact.select("doc_id", "text"), store,
+                hash_kind=minhash_kind,
             )
-            for i, s in enumerate(["train", "val", "test"])
-        ]
-        packed = packed_parts[0]
-        for part in packed_parts[1:]:
-            packed = packed.unionByName(part)
-        corpus = final.join(
-            packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
-            "doc_id",
-        )
-        corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+            build_content_state(exact.select("doc_id", "text"), store)
+            counts["state_store"] = store
+            lap("state_build")
+    return counts
 
-        written = spark.read.parquet(os.path.join(out_dir, "corpus")).agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.count_distinct("pack_id").alias("packs"),
-        ).first()
-        counts["packed_docs"] = int(written["rows"])
-        counts["packs"] = int(written["packs"])
-        lap("split_pack_write")
+
+def increment_corpus(
+    spark,
+    transcripts_path: str,
+    out_dir: str,
+    store: str,
+    append_id: str,
+    *,
+    bench_path: str | None = None,
+    budget: int = 2048,
+    min_words: int = 5,
+    near_threshold: float = 0.8,
+    blocklist_path: str | None = None,
+    redact: bool = False,
+    size_col: str | None = None,
+) -> dict:
+    """Process one increment of new transcripts against the persisted
+    dedup state (see module docstring). Exactly-once per ``append_id``;
+    only increment-sized (and pair-sized) data ever shuffles — the
+    state tables are joined Exchange-free on their bucket keys.
+
+    The minhash construction is NOT a parameter here: the LSH store
+    records its kind and appends replay it, so an increment can never
+    drift from the signatures it is compared against."""
+    from sparkocr.pipeline import caching, corpus_state
+    from sparkocr.pipeline.dedup import dedup_corpus, dup_clusters
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        incremental_lsh_pairs,
+    )
+
+    counts: dict = {"append_id": append_id}
+    timings: dict[str, float] = {}
+    lap = _make_lap(timings)
+    counts["stage_sec"] = timings
+
+    done = corpus_state.committed_ordinal(spark, store, append_id)
+    if done is not None:
+        # the commit row is written after the corpus parquet: a
+        # committed id means the whole increment landed — skip
+        return {"append_id": append_id, "ordinal": done, "skipped": True}
+    ordinal = corpus_state.next_ordinal(spark, store)
+    if 3 * ordinal + 2 >= (1 << 13):
+        raise ValueError(
+            f"corpus_job: increment ordinal {ordinal} exhausts the "
+            "pack-id namespace (2729 increments fit under the base "
+            "corpus's split offsets) — run a full rebuild to compact"
+        )
+    counts["ordinal"] = ordinal
+
+    with caching.scope():
+        docs, n_docs = _assemble_docs(spark, transcripts_path, caching)
+        counts["assembled_docs"] = n_docs
+        lap("extract_assemble")
+
+        exact = caching.register(dedup_corpus(docs))
+        counts["after_exact_dedup"] = exact.count()
+        lap("exact_dedup")
+
+        # drop docs the corpus has already seen: exact re-fetches (by
+        # content hash, any conv key) and re-crawled conversations (by
+        # doc_id — the admitted version stays)
+        novel = caching.register(corpus_state.filter_novel(exact, store))
+        counts["novel_docs"] = novel.count()
+        counts["already_present"] = (
+            counts["after_exact_dedup"] - counts["novel_docs"]
+        )
+        lap("state_filter")
+
+        ap = append_lsh_store(
+            novel.select("doc_id", "text"), store, append_id
+        )
+        counts["lsh_rows_appended"] = ap["rows"]
+        lap("lsh_append")
+
+        # near-dup pairs touching the increment (new-new + new-old).
+        # Correct to run after the append: the store copies of the
+        # increment's own docs are excluded inside the operator.
+        if 0 < near_threshold <= 1:
+            pairs = incremental_lsh_pairs(
+                novel, store, min_est=near_threshold
+            )
+        else:
+            pairs = incremental_lsh_pairs(novel, store).filter(
+                F.col("est_jaccard") >= near_threshold
+            )
+        new_ids = novel.select("doc_id")
+        cluster_stats: dict = {}
+        labels = dup_clusters(pairs, nodes=new_ids, stats=cluster_stats)
+        # survivors: clusters containing NO old doc keep their min NEW
+        # id; any new doc connected (even transitively) to an old doc
+        # drops — the admitted corpus is immutable, newcomers never
+        # displace it. (A full rebuild tie-breaks by min doc_id and
+        # could keep the newcomer instead; see module docstring.)
+        lab = labels.join(
+            new_ids.select(
+                F.col("doc_id").alias("id"), F.lit(1).alias("is_new")
+            ),
+            "id",
+            "left",
+        )
+        keep = (
+            lab.groupBy("cluster_id")
+            .agg(
+                F.max(
+                    F.when(F.col("is_new").isNull(), 1).otherwise(0)
+                ).alias("has_old"),
+                F.min(F.when(F.col("is_new") == 1, F.col("id"))).alias(
+                    "keep_id"
+                ),
+            )
+            .filter("has_old = 0")
+            .select(F.col("keep_id").alias("doc_id"))
+        )
+        neardup = caching.register(novel.join(keep, "doc_id", "left_semi"))
+        counts["after_near_dedup"] = neardup.count()
+        counts["cluster_edges"] = cluster_stats.get("n_edges", 0)
+        counts["cluster_mode"] = cluster_stats.get("mode", "driver")
+        lap("near_dedup")
+
+        final = _hygiene(
+            spark, caching, neardup, counts, lap,
+            min_words=min_words, blocklist_path=blocklist_path,
+            bench_path=bench_path, redact=redact,
+        )
+        _split_pack_write(
+            spark, caching, final, out_dir, counts, lap,
+            budget=budget, size_col=size_col,
+            offsets=[(3 * ordinal + i) * _INC_SPAN for i in range(3)],
+        )
+
+        # the content-state append commits LAST — after the corpus
+        # parquet landed — so a death anywhere above leaves an
+        # uncommitted increment a retry redoes in full (the corpus dir
+        # is overwritten; the LSH append and this one skip themselves
+        # if already committed)
+        st = corpus_state.append_content_state(
+            novel.select("doc_id", "text"), store, append_id, ordinal
+        )
+        counts["state_rows_appended"] = st["rows"]
+        lap("state_append")
     return counts
 
 
@@ -300,28 +557,58 @@ def main(argv=None) -> dict:
         "--minhash-kind", default="rolling", choices=["rolling", "md5"],
         help="near-dup signature construction: 'rolling' (Arrow fast "
         "path, default) or 'md5' (engine-portable, replayable in any "
-        "SQL engine)",
+        "SQL engine); incremental runs always replay the store's kind",
+    )
+    ap.add_argument(
+        "--store", default=None,
+        help="persist incremental dedup state under this table prefix "
+        "(full build), or the state to process an increment against "
+        "(with --append-id)",
+    )
+    ap.add_argument(
+        "--append-id", default=None,
+        help="run in INCREMENTAL mode: process --input as one increment "
+        "against --store, exactly-once under this id",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.append_id is not None and args.store is None:
+        ap.error("--append-id requires --store")
 
     from sparkocr.session import build_session
 
     spark = build_session("sparkocr-corpus", master=args.master)
     t0 = time.monotonic()
-    counts = build_corpus(
-        spark,
-        args.input,
-        args.out,
-        bench_path=args.bench,
-        budget=args.budget,
-        min_words=args.min_words,
-        near_threshold=args.near_threshold,
-        blocklist_path=args.blocklist,
-        redact=args.redact,
-        size_col=args.size_col,
-        minhash_kind=args.minhash_kind,
-    )
+    if args.append_id is not None:
+        counts = increment_corpus(
+            spark,
+            args.input,
+            args.out,
+            args.store,
+            args.append_id,
+            bench_path=args.bench,
+            budget=args.budget,
+            min_words=args.min_words,
+            near_threshold=args.near_threshold,
+            blocklist_path=args.blocklist,
+            redact=args.redact,
+            size_col=args.size_col,
+        )
+    else:
+        counts = build_corpus(
+            spark,
+            args.input,
+            args.out,
+            bench_path=args.bench,
+            budget=args.budget,
+            min_words=args.min_words,
+            near_threshold=args.near_threshold,
+            blocklist_path=args.blocklist,
+            redact=args.redact,
+            size_col=args.size_col,
+            minhash_kind=args.minhash_kind,
+            store=args.store,
+        )
     summary = {"elapsed_sec": round(time.monotonic() - t0, 3), **counts}
     print(json.dumps(summary))
     spark.stop()
