@@ -421,6 +421,7 @@ def increment_corpus(
     from sparkocr.pipeline.lsh_store import (
         append_lsh_store,
         incremental_lsh_pairs,
+        store_signatures,
     )
 
     counts: dict = {"append_id": append_id}
@@ -461,8 +462,14 @@ def increment_corpus(
         )
         lap("state_filter")
 
+        # the increment's signatures are its dominant compute at scale:
+        # computed ONCE with the store's parameters and shared by the
+        # append and the pair mining (each would otherwise rebuild them)
+        sigs = caching.register(
+            store_signatures(novel.select("doc_id", "text"), store)
+        )
         ap = append_lsh_store(
-            novel.select("doc_id", "text"), store, append_id
+            novel.select("doc_id", "text"), store, append_id, sigs=sigs
         )
         counts["lsh_rows_appended"] = ap["rows"]
         lap("lsh_append")
@@ -472,10 +479,10 @@ def increment_corpus(
         # increment's own docs are excluded inside the operator.
         if 0 < near_threshold <= 1:
             pairs = incremental_lsh_pairs(
-                novel, store, min_est=near_threshold
+                novel, store, min_est=near_threshold, sigs=sigs
             )
         else:
-            pairs = incremental_lsh_pairs(novel, store).filter(
+            pairs = incremental_lsh_pairs(novel, store, sigs=sigs).filter(
                 F.col("est_jaccard") >= near_threshold
             )
         new_ids = novel.select("doc_id")

@@ -278,7 +278,28 @@ def build_lsh_store(
     ).coalesce(1).write.mode("overwrite").saveAsTable(_meta_table(store))
 
 
-def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
+def store_signatures(docs: DataFrame, store: str) -> DataFrame:
+    """The docs' minhash signatures computed with the STORE's parameters
+    (never re-derived) — exactly the frame ``append_lsh_store`` and
+    ``incremental_lsh_pairs`` each build internally. Compute it ONCE
+    (and cache it) when calling both for the same increment and pass it
+    via their ``sigs=`` parameter: the signature pass is the increment's
+    dominant compute at corpus scale, and the default paths pay it
+    twice."""
+    spark = docs.sparkSession
+    m = read_store_meta(spark, store)
+    _require_sig_v(m, store)
+    return minhash_signatures(
+        docs, m["n_perm"], m["k"], _meta_max_chars(m), _meta_hash_kind(m)
+    )
+
+
+def append_lsh_store(
+    new_docs: DataFrame,
+    store: str,
+    append_id: str,
+    sigs: DataFrame | None = None,
+) -> dict:
     """Append an increment's signatures and band keys to the store, with
     the STORED parameters (never re-derived). Exactly-once per
     ``append_id`` (ann_index.append_to_index's discipline): appended rows
@@ -295,6 +316,11 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
     completed — otherwise a retry's commit would resurrect the crashed
     attempt's orphan rows (same stamp) and every increment doc would
     surface twice.
+
+    ``sigs``: optionally the increment's ``store_signatures`` output,
+    computed once by a caller that also runs ``incremental_lsh_pairs``
+    (the caller owns its caching). Must be built against THIS store —
+    signatures under different parameters would poison the band join.
 
     Returns ``{"append_id", "rows", "skipped"}``."""
     import uuid
@@ -333,10 +359,14 @@ def append_lsh_store(new_docs: DataFrame, store: str, append_id: str) -> dict:
     # release (a daily driver looping appends would otherwise accumulate
     # one materialized cache per day)
     with caching.scope():
-        sig = caching.register(
-            minhash_signatures(
-                new_docs, m["n_perm"], m["k"], _meta_max_chars(m),
-                _meta_hash_kind(m),
+        sig = (
+            sigs
+            if sigs is not None
+            else caching.register(
+                minhash_signatures(
+                    new_docs, m["n_perm"], m["k"], _meta_max_chars(m),
+                    _meta_hash_kind(m),
+                )
             )
         )
         (
@@ -433,6 +463,7 @@ def incremental_lsh_pairs(
     bucket_max: int | None = 10_000,
     cap_metrics: Observation | None = None,
     min_est: float | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs touching at least one NEW document:
     new-new (self-join of the increment's band keys — increment-sized)
@@ -477,7 +508,13 @@ def incremental_lsh_pairs(
     dropped row — for new-new pairs the min of the two new docs').
     Computing the capped-bucket set reuses the combined-totals branch
     (one more thin Exchange-free store-counts scan, only when
-    ``min_est`` AND ``bucket_max`` are both set). Differential-tested
+    ``min_est`` AND ``bucket_max`` are both set).
+
+    ``sigs``: optionally the increment's ``store_signatures`` output —
+    compute once, cache, and share with ``append_lsh_store`` (the
+    caller owns its caching; it must be built against THIS store).
+
+    Differential-tested
     ≡ the full operator's min_est output restricted to new-touching
     pairs."""
     spark = new_docs.sparkSession
@@ -487,10 +524,17 @@ def incremental_lsh_pairs(
     n_perm = m["n_perm"]
     # signature columns ride along with the band keys (the increment is
     # small): new-new pairs then carry BOTH signatures out of the join,
-    # and new-old pairs need only one store-sigs join for the old side
-    sig_new = caching.register(
-        minhash_signatures(
-            new_docs, n_perm, m["k"], _meta_max_chars(m), _meta_hash_kind(m)
+    # and new-old pairs need only one store-sigs join for the old side.
+    # A caller that also appends this increment passes sigs= (its own
+    # cached store_signatures frame) so the signature pass runs once.
+    sig_new = (
+        sigs
+        if sigs is not None
+        else caching.register(
+            minhash_signatures(
+                new_docs, n_perm, m["k"], _meta_max_chars(m),
+                _meta_hash_kind(m),
+            )
         )
     )
     bands_new = _band_keys(sig_new, n_perm, m["band_rows"]).join(sig_new, "doc_id")

@@ -276,6 +276,58 @@ def test_half_built_store_refused(spark, docs):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_precomputed_sigs_path_matches_default(spark, docs, store):
+    """sigs= (one shared store_signatures frame for append + pairs, the
+    compute-once seam increment jobs use) must be result-identical to
+    the default compute-twice paths."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        build_lsh_store,
+        incremental_lsh_pairs,
+        store_signatures,
+    )
+
+    name, old, new = store
+    sigs = caching.register(store_signatures(new, name))
+    want = _pairs(incremental_lsh_pairs(new, name))
+    caching.release_all()
+    sigs = caching.register(store_signatures(new, name))
+    got = _pairs(incremental_lsh_pairs(new, name, sigs=sigs))
+    assert got == want
+    caching.release_all()
+
+    # append via precomputed sigs lands the same committed rows as the
+    # default path (two throwaway twins — the shared store fixture must
+    # not be mutated)
+    twins = ("lsh_store_sigtwin_a", "lsh_store_sigtwin_b")
+    try:
+        rows = {}
+        for twin, use_sigs in zip(twins, (True, False)):
+            build_lsh_store(old, twin, n_buckets=8)
+            caching.release_all()
+            s = (
+                caching.register(store_signatures(new, twin))
+                if use_sigs
+                else None
+            )
+            append_lsh_store(new, twin, "a1", sigs=s)
+            caching.release_all()
+            rows[twin] = sorted(
+                tuple(r)
+                for r in spark.table(f"{twin}_sigs")
+                .drop("append_id")
+                .collect()
+            )
+        assert rows[twins[0]] == rows[twins[1]]
+    finally:
+        caching.release_all()
+        for twin in twins:
+            for t in (f"{twin}_sigs", f"{twin}_bands", f"{twin}_meta",
+                      f"{twin}_commits"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_append_to_store_without_commits_table_refused(spark, docs):
     """A stamped store whose commits table is gone (the half-migrated
     state _committed_rows refuses on read) must refuse APPENDS with the
