@@ -65,35 +65,19 @@ from sparkocr.pipeline.dedup import (
     mh_affine_params,
 )
 
-# FNV-1a 64-bit prime: odd, hence invertible mod 2^64 (required by the
-# prefix trick), and well-mixed low bits under repeated multiplication
-ROLL_B = 0x100000001B3
+# the rolling construction lives in the pyspark-free textproc layer and
+# is shared with the repeat detector; re-exported here for callers that
+# knew it under this name
+from sparkocr.textproc.rollhash import ROLL_B, rolling_window_hashes
 
 
 def _window_hashes(data: bytes, k: int) -> "np.ndarray | None":
-    """uint64 polynomial hashes of every k-byte window, O(n) via the
-    invertible-base prefix trick; None when fewer than k bytes."""
+    """uint64 polynomial hashes of every k-byte window (bytes shifted
+    +1 so NUL isn't absorbing); None when fewer than k bytes."""
     bs = np.frombuffer(data, dtype=np.uint8)
-    n = bs.size
-    if n < k:
+    if bs.size < k:
         return None
-    c = bs.astype(np.uint64) + np.uint64(1)
-    b = np.uint64(ROLL_B)
-    binv = np.uint64(pow(ROLL_B, -1, 2**64))
-    # numpy integer overflow wraps = arithmetic mod 2^64 (intended);
-    # errstate silences the overflow RuntimeWarning some builds emit
-    with np.errstate(over="ignore"):
-        powsinv = np.empty(n, dtype=np.uint64)
-        powsinv[0] = 1
-        np.cumprod(np.full(n - 1, binv, dtype=np.uint64), out=powsinv[1:])
-        s = np.cumsum(c * powsinv, dtype=np.uint64)
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        np.cumprod(np.full(n - 1, b, dtype=np.uint64), out=pows[1:])
-        # window [i, i+k): H_i = B^{i+k-1} · (s[i+k-1] - s[i-1]), s[-1]=0
-        hi = s[k - 1 :].copy()
-        hi[1:] -= s[: n - k]
-        return pows[k - 1 :] * hi
+    return rolling_window_hashes(bs.astype(np.uint64) + np.uint64(1), k)
 
 
 def rolling_minhash_signatures(

@@ -125,6 +125,48 @@ def test_repeat_detector_clean_text():
     assert repeats.find_repeat(text, 20, 50) is None
 
 
+def test_repeat_formulations_agree():
+    """find_repeat dispatches between an interpreter loop (short texts)
+    and a numpy prefix-trick sweep (long texts) — the two formulations
+    must agree exactly, including whitelist handling, overlap repeats,
+    and the window boundary, on a seeded adversarial sweep that also
+    straddles the dispatch threshold."""
+    import random
+
+    from sparkocr.textproc.repeats import (
+        _NUMPY_MIN_TOKENS,
+        _find_repeat_loop,
+        _find_repeat_numpy,
+        tokenize,
+    )
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(40)] + ["<td>", "</td>", ".", ","]
+    for trial in range(4000):
+        n = rng.choice([3, 5, 8])
+        w = rng.choice([n + rng.randrange(0, 6), 2 * n + rng.randrange(0, 10)])
+        L = rng.randrange(0, 80)
+        toks = [rng.choice(vocab[: rng.choice([4, 8, 44])]) for _ in range(L)]
+        if L > n and rng.random() < 0.5:
+            i = rng.randrange(0, L - n)
+            j = min(L - n, i + rng.randrange(1, w + 3))
+            toks[j : j + n] = toks[i : i + n]
+        text = " ".join(toks).replace(" <td>", "<td>").replace("</td> ", "</td>")
+        tk = tokenize(text)
+        if len(tk) < n + 1:
+            continue
+        limit = w - n + 1
+        assert _find_repeat_loop(tk, text, n, limit) == _find_repeat_numpy(
+            tk, text, n, limit
+        ), (n, w, text)
+    # both sides of the dispatch boundary flag the same planted repeat
+    for L in (_NUMPY_MIN_TOKENS - 30, _NUMPY_MIN_TOKENS + 30):
+        words = [f"u{i}" for i in range(L)]
+        words[40:60] = words[10:30]  # 20-gram repeat at distance 30
+        text = " ".join(words)
+        assert repeats.find_repeat(text, 20, 50) == 40
+
+
 def test_textstats_null_text_rows(spark):
     """NULL text must behave like empty text in lang_id ('und', scores 0 —
     not a surprise NULL bucket) and must keep a usable fingerprint (the
