@@ -127,14 +127,17 @@ def _make_lap(timings: dict):
     return lap
 
 
-def _assemble_docs(spark, transcripts_path: str, caching):
+def _assemble_docs(spark, transcripts, caching):
     """Extract + assemble into the job's document frame
     ``(doc_id, conv_id, text)`` (cached), plus the injectivity
-    aggregate row."""
+    aggregate row. ``transcripts`` is a path or an already-loaded
+    (batch) DataFrame — the latter is how the streaming wrapper feeds
+    micro-batches through the same core."""
     from sparkocr.assemble import assemble_docs_cli
     from sparkocr.extract.dispatch import extract_turns
 
-    transcripts = spark.read.parquet(transcripts_path)
+    if isinstance(transcripts, str):
+        transcripts = spark.read.parquet(transcripts)
     # markdown=False: this pipeline reads only clean_text (assembly +
     # dedup feeds), so skip the second grounding-cleanup pass
     turns = extract_turns(transcripts, markdown=False)
@@ -395,7 +398,7 @@ def build_corpus(
 
 def increment_corpus(
     spark,
-    transcripts_path: str,
+    transcripts,
     out_dir: str,
     store: str,
     append_id: str,
@@ -412,6 +415,8 @@ def increment_corpus(
     dedup state (see module docstring). Exactly-once per ``append_id``;
     only increment-sized (and pair-sized) data ever shuffles — the
     state tables are joined Exchange-free on their bucket keys.
+    ``transcripts`` is a parquet path or a batch DataFrame (the
+    streaming wrapper passes each micro-batch frame directly).
 
     The minhash construction is NOT a parameter here: the LSH store
     records its kind and appends replay it, so an increment can never
@@ -444,7 +449,7 @@ def increment_corpus(
     counts["ordinal"] = ordinal
 
     with caching.scope():
-        docs, n_docs = _assemble_docs(spark, transcripts_path, caching)
+        docs, n_docs = _assemble_docs(spark, transcripts, caching)
         counts["assembled_docs"] = n_docs
         lap("extract_assemble")
 
