@@ -115,6 +115,19 @@ from pyspark.sql import functions as F
 _INC_SPAN = 1 << 47
 
 
+def _write_summary(out_dir: str, counts: dict) -> None:
+    """Persist the run's counts beside its corpus (atomic tmp+rename) —
+    the job-level lineage artifact, the corpus counterpart of
+    extract_job's per-bucket manifests. A consumer auditing a corpus
+    directory reads the funnel that produced it without the driver
+    log."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "_summary.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(counts, f)
+    os.replace(tmp, os.path.join(out_dir, "_summary.json"))
+
+
 def _make_lap(timings: dict):
     t = time.monotonic()
 
@@ -324,6 +337,7 @@ def build_corpus(
                 counts["after_decontamination"] = 0
             if redact:
                 counts["pii_redactions"] = 0
+            _write_summary(out_dir, counts)
             return counts
 
         exact = caching.register(dedup_corpus(docs))
@@ -393,6 +407,7 @@ def build_corpus(
             build_content_state(exact.select("doc_id", "text"), store)
             counts["state_store"] = store
             lap("state_build")
+    _write_summary(out_dir, counts)
     return counts
 
 
@@ -545,6 +560,7 @@ def increment_corpus(
         )
         counts["state_rows_appended"] = st["rows"]
         lap("state_append")
+    _write_summary(out_dir, counts)
     return counts
 
 

@@ -75,6 +75,13 @@ def test_full_build_bootstraps_state(spark, base_built):
     assert counts["state_store"] == STORE
     assert counts["packed_docs"] == 3
     assert "state_build" in counts["stage_sec"]
+    # the run's funnel is persisted beside its corpus (job-level lineage)
+    import json
+
+    on_disk = json.load(
+        open(os.path.join(str(base_built["root"] / "base_out"), "_summary.json"))
+    )
+    assert on_disk["packed_docs"] == 3 and on_disk["state_store"] == STORE
     # state holds every exact-distinct doc, committed as base
     byhash = spark.table(f"{STORE}_content_byhash")
     assert byhash.count() == 3
