@@ -117,3 +117,55 @@ def run_corpus_stream(
     )
     q.awaitTermination()
     return summaries
+
+
+def main(argv=None) -> list[dict]:
+    """spark-submit entry — one availableNow pass over the feed
+    directory (run it from cron/orchestration; each invocation drains
+    whatever arrived). Deployment mirrors corpus_job: the state tables
+    need a catalog that outlives one run (see that module's note)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--near-threshold", type=float, default=0.8)
+    ap.add_argument("--bench", default=None)
+    ap.add_argument("--blocklist", default=None)
+    ap.add_argument("--redact", action="store_true")
+    ap.add_argument("--size-col", default=None)
+    ap.add_argument("--max-files", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from sparkocr.session import build_session
+
+    spark = build_session("sparkocr-corpus-stream", master=args.master)
+    summaries = run_corpus_stream(
+        spark,
+        args.input_dir,
+        args.out,
+        args.store,
+        args.checkpoint,
+        budget=args.budget,
+        min_words=args.min_words,
+        near_threshold=args.near_threshold,
+        bench_path=args.bench,
+        blocklist_path=args.blocklist,
+        redact=args.redact,
+        size_col=args.size_col,
+        max_files=args.max_files,
+    )
+    for c in summaries:
+        print(json.dumps(c))
+    spark.stop()
+    return summaries
+
+
+if __name__ == "__main__":
+    main()
