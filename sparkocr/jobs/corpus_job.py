@@ -128,6 +128,22 @@ def _write_summary(out_dir: str, counts: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, "_summary.json"))
 
 
+def _thresholded_pairs(pair_fn, near_threshold: float):
+    """The near-dup threshold contract, shared by the full build and the
+    increment: ``min_est``'s domain is (0, 1] — in-range thresholds push
+    into the operator (the band-match pigeonhole prune keeps a near-dup
+    family's O(d^2) single-band collisions out of the signature verify
+    join); out-of-contract values are degenerate-but-valid and keep the
+    unpruned full-candidate path (non-positive = every candidate is an
+    edge; above 1 = no estimate qualifies, the filter is simply
+    empty). ``pair_fn(min_est=...)`` builds the operator call."""
+    if 0 < near_threshold <= 1:
+        return pair_fn(min_est=near_threshold)
+    return pair_fn(min_est=None).filter(
+        F.col("est_jaccard") >= near_threshold
+    )
+
+
 def _make_lap(timings: dict):
     t = time.monotonic()
 
@@ -352,22 +368,25 @@ def build_corpus(
         # near_dedup wall time under the md5 kind (40 s vs 1.8 s on the
         # sf0.1 corpus); a one-off job has no stored sigs to stay
         # compatible with, so it takes the fast construction.
-        # min_est pushes the threshold INTO the operator: the band-match
-        # pigeonhole prune keeps a big near-dup family's O(d^2)
-        # single-band collisions out of the signature verify join.
-        # min_est's contract is (0, 1]; thresholds outside it are
-        # degenerate-but-valid configurations that keep the unpruned
-        # full-candidate path: non-positive means "every candidate is an
-        # edge", above 1 means "no estimate qualifies" (near-dedup
-        # effectively off — the filter below is simply empty)
-        if 0 < near_threshold <= 1:
-            pairs = lsh_candidate_pairs(
-                exact, hash_kind=minhash_kind, min_est=near_threshold
+        # Threshold contract: see _thresholded_pairs. When a store will
+        # be built, the corpus-sized signature pass is computed ONCE
+        # here and shared between the pair mine and the store build —
+        # each would otherwise recompute it from the raw text.
+        sigs = None
+        if store is not None:
+            from sparkocr.pipeline.dedup import minhash_signatures
+
+            sigs = caching.register(
+                minhash_signatures(
+                    exact.select("doc_id", "text"), hash_kind=minhash_kind
+                )
             )
-        else:
-            pairs = lsh_candidate_pairs(exact, hash_kind=minhash_kind).filter(
-                F.col("est_jaccard") >= near_threshold
-            )
+        pairs = _thresholded_pairs(
+            lambda min_est: lsh_candidate_pairs(
+                exact, hash_kind=minhash_kind, min_est=min_est, sigs=sigs
+            ),
+            near_threshold,
+        )
         cluster_stats: dict = {}
         neardup = caching.register(
             neardup_corpus(exact, pairs, stats=cluster_stats)
@@ -402,7 +421,7 @@ def build_corpus(
 
             build_lsh_store(
                 exact.select("doc_id", "text"), store,
-                hash_kind=minhash_kind,
+                hash_kind=minhash_kind, sigs=sigs,
             )
             build_content_state(exact.select("doc_id", "text"), store)
             counts["state_store"] = store
@@ -443,6 +462,19 @@ def increment_corpus(
         incremental_lsh_pairs,
         store_signatures,
     )
+
+    # validate the id UP FRONT: 'base' would match the bootstrap commit
+    # row below and silently skip the whole increment (the LSH append's
+    # own reserved-name guard is unreachable behind that skip), and a
+    # malformed id would otherwise run the expensive extract/dedup
+    # stages before dying at the append
+    from sparkocr.pipeline.ann_index import _APPEND_ID_RE
+
+    if not _APPEND_ID_RE.match(append_id or "") or append_id == "base":
+        raise ValueError(
+            f"append_id {append_id!r} must match {_APPEND_ID_RE.pattern} "
+            "and not be the reserved 'base'"
+        )
 
     counts: dict = {"append_id": append_id}
     timings: dict[str, float] = {}
@@ -497,14 +529,12 @@ def increment_corpus(
         # near-dup pairs touching the increment (new-new + new-old).
         # Correct to run after the append: the store copies of the
         # increment's own docs are excluded inside the operator.
-        if 0 < near_threshold <= 1:
-            pairs = incremental_lsh_pairs(
-                novel, store, min_est=near_threshold, sigs=sigs
-            )
-        else:
-            pairs = incremental_lsh_pairs(novel, store, sigs=sigs).filter(
-                F.col("est_jaccard") >= near_threshold
-            )
+        pairs = _thresholded_pairs(
+            lambda min_est: incremental_lsh_pairs(
+                novel, store, min_est=min_est, sigs=sigs
+            ),
+            near_threshold,
+        )
         new_ids = novel.select("doc_id")
         cluster_stats: dict = {}
         labels = dup_clusters(pairs, nodes=new_ids, stats=cluster_stats)

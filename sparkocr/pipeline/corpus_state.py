@@ -37,6 +37,14 @@ Concurrency contract: increments are sequential (one at a time);
 retries of a crashed increment are safe. Two increments racing the
 same store could interleave ordinals — unsupported, like concurrent
 ``append_lsh_store`` calls.
+
+Known trade: this is the third instance of the bucketed-tables-with-
+commit-log discipline (``ann_index.append_to_index`` and ``lsh_store``
+are the others). The three differ in schema, meta, and what a commit
+covers, so the shared part is the IDEA more than code — but a future
+change to the discipline itself (attempt-stamp scheme, legacy-store
+handling) must be applied in all three places; their cross-referenced
+docstrings are the map.
 """
 
 from __future__ import annotations

@@ -435,6 +435,7 @@ def lsh_candidate_pairs(
     max_chars: int | None = MH_MAX_CHARS,
     hash_kind: str = "md5",
     min_est: float | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band signatures → bucket equi-join → candidate pairs
     with estimated similarity = fraction of agreeing minhashes.
@@ -486,10 +487,20 @@ def lsh_candidate_pairs(
     entry outlives the returned (lazy) DataFrame: it is registered with
     ``sparkocr.pipeline.caching`` — call ``caching.release_all()`` after
     the consuming action (bench.py does), or executor storage
-    accumulates."""
+    accumulates.
+
+    ``sigs``: optionally the docs' precomputed ``minhash_signatures``
+    frame (the caller owns its caching) — the seam a caller that ALSO
+    builds an LSH store over the same docs uses to pay the signature
+    pass once. Must match this call's (n_perm, k, max_chars, hash_kind)
+    or the bands/verify algebra silently disagrees with the estimate."""
     _require_cap(bucket_max, cap_metrics)
     check_band_divisibility(n_perm, band_rows)
-    sig = caching.register(minhash_signatures(docs, n_perm, k, max_chars, hash_kind))
+    sig = (
+        sigs
+        if sigs is not None
+        else caching.register(minhash_signatures(docs, n_perm, k, max_chars, hash_kind))
+    )
     n_bands = n_perm // band_rows
     bands = sig.select(
         "doc_id",

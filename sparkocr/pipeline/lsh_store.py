@@ -224,6 +224,7 @@ def build_lsh_store(
     n_buckets: int = 64,
     max_chars: int | None = MH_MAX_CHARS,
     hash_kind: str = "md5",
+    sigs: DataFrame | None = None,
 ) -> None:
     """Build (or rebuild) the store from scratch. The expensive part —
     shingle explode + min aggregation — runs ONCE: signatures are
@@ -234,14 +235,26 @@ def build_lsh_store(
     leaves a store every reader refuses, never a probeable half-store.
     Base rows commit as append_id='base' (a rebuild also resets the
     commits table, so markers from the previous store's appends never
-    resurrect orphan rows)."""
+    resurrect orphan rows).
+
+    ``sigs``: optionally the docs' precomputed ``minhash_signatures``
+    frame — a full corpus build that ALSO mines near-dup pairs over the
+    same docs (``corpus_job.build_corpus(store=...)``) passes one shared
+    frame so the corpus-sized signature pass runs once. MUST have been
+    computed with exactly this call's (n_perm, k, max_chars, hash_kind):
+    the store records those in meta and every future increment replays
+    them — mismatched signatures would poison every later band join."""
     check_band_divisibility(n_perm, band_rows)
     if hash_kind not in _HASH_KIND_CODE:
         raise ValueError(f"unknown minhash hash_kind {hash_kind!r}")
     spark = docs.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {_meta_table(store)}")
     (
-        minhash_signatures(docs, n_perm, k, max_chars, hash_kind)
+        (
+            sigs
+            if sigs is not None
+            else minhash_signatures(docs, n_perm, k, max_chars, hash_kind)
+        )
         .withColumn("append_id", F.lit("base"))
         .repartition(n_buckets, "doc_id")
         .write.mode("overwrite")
@@ -299,6 +312,7 @@ def append_lsh_store(
     store: str,
     append_id: str,
     sigs: DataFrame | None = None,
+    skip_existing: bool = True,
 ) -> dict:
     """Append an increment's signatures and band keys to the store, with
     the STORED parameters (never re-derived). Exactly-once per
@@ -322,7 +336,21 @@ def append_lsh_store(
     (the caller owns its caching). Must be built against THIS store —
     signatures under different parameters would poison the band join.
 
-    Returns ``{"append_id", "rows", "skipped"}``."""
+    ``skip_existing`` (default True): docs whose doc_id already has a
+    COMMITTED sig row are excluded from the append. The per-append_id
+    discipline alone cannot stop a re-delivery under a DIFFERENT id —
+    e.g. a crashed increment whose retry recomposes into new batch
+    fingerprints — from committing the same docs twice, permanently
+    duplicating store rows (``check_lsh_store``'s dup_sig diagnosis).
+    The guard is one anti-join, Exchange-free on the store side (sigs
+    table bucketed by doc_id). Caveat: if a re-delivered doc_id carries
+    CHANGED text, the stored signatures stay as first committed —
+    rebuild to refresh. Pass False only when the caller has its own
+    doc-id-level dedup guarantee.
+
+    Returns ``{"append_id", "rows", "skipped", "n_existing"}`` —
+    ``rows`` counts what was actually appended, ``n_existing`` what the
+    guard excluded."""
     import uuid
 
     from sparkocr.pipeline.ann_index import _APPEND_ID_RE
@@ -369,6 +397,14 @@ def append_lsh_store(
                 )
             )
         )
+        n_existing = 0
+        if skip_existing:
+            existing = _committed_rows(
+                spark, store, _sigs_table(store)
+            ).select("doc_id")
+            n_before = sig.count()
+            sig = caching.register(sig.join(existing, "doc_id", "left_anti"))
+            n_existing = n_before - sig.count()
         (
             sig.withColumn("append_id", F.lit(attempt))
             .repartition(m["n_buckets"], "doc_id")
@@ -393,7 +429,10 @@ def append_lsh_store(
     spark.createDataFrame(
         [(append_id, attempt, rows)], ["append_id", "attempt", "rows"]
     ).coalesce(1).write.mode("append").saveAsTable(_commits_table(store))
-    return {"append_id": append_id, "rows": rows, "skipped": False}
+    return {
+        "append_id": append_id, "rows": rows, "skipped": False,
+        "n_existing": n_existing,
+    }
 
 
 def check_lsh_store(spark: SparkSession, store: str) -> dict:

@@ -116,6 +116,21 @@ def run_corpus_stream(
         .start()
     )
     q.awaitTermination()
+    # the batches wrote the state tables through foreachBatch's CLONED
+    # micro-batch sessions: those appends refresh the clones' relation
+    # caches, not this session's — a launching session that read a state
+    # table before the stream (building it, auditing it) would otherwise
+    # keep serving the PRE-STREAM file listing, and a subsequent batch
+    # increment_corpus here would dedup against stale state and re-admit
+    # the stream's docs. Refresh every state table this stream touches.
+    for t in (
+        f"{store}_sigs", f"{store}_bands", f"{store}_meta",
+        f"{store}_commits", f"{store}_content_byhash",
+        f"{store}_content_byid", f"{store}_content_commits",
+        f"{store}_content_meta",
+    ):
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
     return summaries
 
 

@@ -104,6 +104,19 @@ def test_stream_ingests_batches_exactly_once(spark, stream_env):
     assert "sa1" in kept and "sb2" in kept and len(kept) == 3
     assert kept - {"sa1", "sb2"} < {"sb0", "sb1"}  # one of the near pair
 
+    # the launching session must see the clones' state appends: it READ
+    # the sigs table pre-stream (build_lsh_store derives bands from it),
+    # so without the post-stream refreshTable its cached relation would
+    # keep serving the pre-stream file listing — the audit here would
+    # report the stream's docs as bands-without-sigs, and a later batch
+    # increment in this session would dedup against stale state
+    from sparkocr.pipeline.lsh_store import check_lsh_store
+
+    audit = check_lsh_store(spark, STORE)
+    assert audit["docs"] == 3 + 4  # base + both batches' novel docs
+    assert audit["missing_sig_docs"] == 0 and audit["dup_sig_docs"] == 0
+    assert audit["band_mismatch_docs"] == 0
+
     # nothing new → idle pass, no batches, no state effect
     again = run_corpus_stream(
         spark, stream_env["in"], out, STORE, ckpt,

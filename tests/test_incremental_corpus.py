@@ -234,6 +234,21 @@ def test_crash_before_commit_retries_exactly_once(spark, base_built):
     assert audit["mismatched_docs"] == 0
 
 
+def test_reserved_and_malformed_append_ids_refused(spark, base_built, tmp_path):
+    """'base' would match the bootstrap commit row and silently skip the
+    whole increment; malformed ids would die late at the LSH append
+    after the expensive stages — both are refused up front."""
+    from sparkocr.jobs.corpus_job import increment_corpus
+
+    inc_in = _write(spark, str(tmp_path / "r_in.parquet"), {"r1": _text(70)})
+    for bad in ("base", "day 1", ""):
+        with pytest.raises(ValueError, match="append_id"):
+            increment_corpus(
+                spark, inc_in, str(tmp_path / "r_out"), STORE, bad,
+                min_words=1,
+            )
+
+
 def test_empty_increment_commits_and_skips(spark, base_built, tmp_path):
     """An empty day still commits its append-id (a retry must not redo
     it) with zero rows everywhere."""

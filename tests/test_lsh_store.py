@@ -90,10 +90,13 @@ def test_incremental_correct_after_append(spark, docs, store):
         retry = append_lsh_store(new, name, "day1")
         assert retry["skipped"] and retry["rows"] == r["rows"]
         assert check_lsh_store(spark, name) == health
-        # re-sending docs under a NEW id is a caller bug the audit catches
-        append_lsh_store(new.limit(3), name, "day2")
-        bad = check_lsh_store(spark, name)
-        assert bad["dup_sig_docs"] == 3 and bad["missing_sig_docs"] == 0
+        # re-sending docs under a NEW id used to duplicate store rows
+        # (a caller bug the audit then caught); skip_existing now
+        # excludes the already-committed ids and the store stays clean
+        resend = append_lsh_store(new.limit(3), name, "day2")
+        assert resend["rows"] == 0 and resend["n_existing"] == 3
+        still = check_lsh_store(spark, name)
+        assert still["dup_sig_docs"] == 0 and still["missing_sig_docs"] == 0
     finally:
         caching.release_all()
         # rebuild the fixture store for any later test
@@ -326,6 +329,46 @@ def test_precomputed_sigs_path_matches_default(spark, docs, store):
             for t in (f"{twin}_sigs", f"{twin}_bands", f"{twin}_meta",
                       f"{twin}_commits"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cross_id_redelivery_does_not_duplicate_store_rows(spark, docs):
+    """The per-append_id discipline alone cannot stop the same docs
+    re-arriving under a DIFFERENT id (a crashed increment whose retry
+    recomposed into a new batch fingerprint): skip_existing must exclude
+    already-committed doc_ids, keeping the store audit clean."""
+    from sparkocr.pipeline import caching
+    from sparkocr.pipeline.lsh_store import (
+        append_lsh_store,
+        build_lsh_store,
+        check_lsh_store,
+    )
+
+    name = "lsh_store_redeliver"
+    try:
+        build_lsh_store(docs.filter("doc_id % 5 != 0").limit(60), name,
+                        n_buckets=4)
+        caching.release_all()
+        batch = docs.filter("doc_id % 5 = 0").limit(20)
+        first = append_lsh_store(batch, name, "x1")
+        caching.release_all()
+        assert first["rows"] == 20 and first["n_existing"] == 0
+        # same docs, new id — the cross-id re-delivery
+        second = append_lsh_store(batch, name, "x2")
+        caching.release_all()
+        assert second["rows"] == 0 and second["n_existing"] == 20
+        audit = check_lsh_store(spark, name)
+        assert audit["dup_sig_docs"] == 0
+        assert audit["band_mismatch_docs"] == 0
+        # opting out reproduces the corruption the default prevents
+        third = append_lsh_store(batch, name, "x3", skip_existing=False)
+        caching.release_all()
+        assert third["rows"] == 20
+        assert check_lsh_store(spark, name)["dup_sig_docs"] == 20
+    finally:
+        caching.release_all()
+        for t in (f"{name}_sigs", f"{name}_bands", f"{name}_meta",
+                  f"{name}_commits"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_append_to_store_without_commits_table_refused(spark, docs):
