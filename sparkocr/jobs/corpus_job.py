@@ -524,6 +524,10 @@ def increment_corpus(
             novel.select("doc_id", "text"), store, append_id, sigs=sigs
         )
         counts["lsh_rows_appended"] = ap["rows"]
+        # >0 here means a prior crashed run's docs re-arrived under a
+        # different id and the store-side guard excluded them — worth a
+        # monitoring eye even though it is handled
+        counts["lsh_rows_existing"] = ap.get("n_existing", 0)
         lap("lsh_append")
 
         # near-dup pairs touching the increment (new-new + new-old).
