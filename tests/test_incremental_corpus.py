@@ -249,6 +249,42 @@ def test_reserved_and_malformed_append_ids_refused(spark, base_built, tmp_path):
             )
 
 
+def test_audit_job_flags_unretried_crash(spark, base_built, tmp_path, monkeypatch):
+    """audit_state: healthy on consistent state; a crashed increment
+    that committed its LSH append but not its content state shows as
+    lsh_only_docs (and unhealthy) until the retry heals it."""
+    from sparkocr.jobs.audit_job import audit_state
+    from sparkocr.jobs.corpus_job import increment_corpus
+    from sparkocr.pipeline import caching, corpus_state
+
+    ok = audit_state(spark, STORE)
+    assert ok["healthy"], ok
+    assert ok["lsh_only_docs"] == 0
+
+    inc_in = _write(spark, str(tmp_path / "a_in.parquet"), {"a1": _text(80)})
+    out = str(tmp_path / "a_out")
+    monkeypatch.setattr(
+        corpus_state, "_write_commit",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError):
+        increment_corpus(spark, inc_in, out, STORE, "dayA", min_words=1)
+    monkeypatch.undo()
+    caching.release_all()
+    crashed = audit_state(spark, STORE)
+    assert crashed["lsh_only_docs"] == 1
+    assert crashed["healthy"] is False
+
+    c = increment_corpus(spark, inc_in, out, STORE, "dayA", min_words=1)
+    caching.release_all()
+    # same-id retry: the committed LSH append skips itself (reporting
+    # its stored row count), no skip_existing exclusion involved
+    assert c["lsh_rows_appended"] == 1 and c["lsh_rows_existing"] == 0
+    healed = audit_state(spark, STORE)
+    assert healed["healthy"], healed
+    assert healed["increments"] == c["ordinal"]
+
+
 def test_empty_increment_commits_and_skips(spark, base_built, tmp_path):
     """An empty day still commits its append-id (a retry must not redo
     it) with zero rows everywhere."""
