@@ -2,32 +2,33 @@
 corpus state (LSH store + content tables) and their cross-consistency.
 
     spark-submit --py-files sparkocr.zip sparkocr/jobs/audit_job.py \
-        --store corpus_state [--master ...]
+        --store corpus_state [--strict] [--master ...]
 
-Prints one JSON line and exits nonzero when unhealthy — the cron/alert
-contract. What it checks, beyond the per-store audits
-(``check_lsh_store``, ``check_content_state``):
+Prints one JSON line; the exit code is the cron/alert contract. What it
+checks, beyond the per-store audits (``check_lsh_store``,
+``check_content_state``):
 
-- ``lsh_only_docs``: committed sig doc_ids with no committed content
-  row. The increment commits the LSH append BEFORE the content state,
-  so a crash in between leaves exactly this signature — it heals on
-  retry (same id: LSH skips, content commits; different id: the
-  store-side ``skip_existing`` guard dedups the LSH side, content
-  commits). A persistent nonzero therefore means a crashed increment
-  was never retried: its docs are invisible to the content filter and
-  would be re-extracted (then excluded from the store) every time they
-  re-arrive. Counted with a doc_id anti-join — both tables are
-  bucketed by doc_id, so neither large side shuffles.
-- ``content_without_sigs``: committed content docs with no committed
-  sig row. Legitimate for documents shorter than the shingle width
-  (``minhash_signatures`` emits no row for them), so informational,
-  not unhealthy — a sudden spike still merits a look (it would also
-  follow from an LSH-table loss).
+- ``pending_increments``: append ids committed in the LSH store but not
+  in the content state. The increment commits the LSH append BEFORE the
+  content state, so this set is nonempty for (a) an increment RUNNING
+  right now and (b) a crashed increment never retried — the audit
+  cannot tell the two apart from one observation, so pending ids are
+  REPORTED (by name — retry them with the same id to heal) but do not
+  fail the default exit code; pass ``--strict`` to alert on them (for
+  schedules that never overlap an increment). Both crash shapes heal on
+  retry: same id (LSH skips, content commits) or different id (the
+  store-side ``skip_existing`` guard dedups the LSH side).
+- ``lsh_only_docs`` / ``content_without_sigs``: the same boundary at
+  doc granularity, counted in ONE full-outer pass over the two
+  bucketed-by-doc_id relations (no corpus-sized shuffle).
+  ``content_without_sigs`` is legitimately nonzero for documents
+  shorter than the shingle width (``minhash_signatures`` emits no row
+  for them) — informational; a sudden spike still merits a look.
 
-``healthy`` requires: zero dup/missing/mismatch counts in both store
-audits and zero ``lsh_only_docs``. Orphan rows (crashed attempts,
-invisible to readers) and ``content_without_sigs`` are reported but do
-not fail the audit.
+``healthy`` = hard corruption checks only: zero dup/missing/mismatch
+counts in both store audits. Orphan rows (crashed attempts, invisible
+to readers) and the pending/boundary counts are reported but do not
+fail it.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def audit_state(spark: SparkSession, store: str) -> dict:
@@ -46,20 +47,38 @@ def audit_state(spark: SparkSession, store: str) -> dict:
     out["lsh"] = lsh_store.check_lsh_store(spark, store)
     out["content"] = corpus_state.check_content_state(spark, store)
 
-    sig_ids = lsh_store._committed_rows(
-        spark, store, lsh_store._sigs_table(store)
-    ).select("doc_id").distinct()
-    content_ids = corpus_state._committed_rows(
-        spark, store, corpus_state._byid_table(store)
-    ).select("doc_id").distinct()
-    out["lsh_only_docs"] = int(
-        sig_ids.join(content_ids, "doc_id", "left_anti").count()
+    sig_ids = (
+        lsh_store._committed_rows(spark, store, lsh_store._sigs_table(store))
+        .select("doc_id").distinct().withColumn("s", F.lit(1))
     )
-    out["content_without_sigs"] = int(
-        content_ids.join(sig_ids, "doc_id", "left_anti").count()
+    content_ids = (
+        corpus_state._committed_rows(
+            spark, store, corpus_state._byid_table(store)
+        )
+        .select("doc_id").distinct().withColumn("c", F.lit(1))
     )
-    commits = spark.table(corpus_state._commits_table(store)).collect()
-    out["increments"] = max(int(r.ordinal) for r in commits)
+    row = (
+        sig_ids.join(content_ids, "doc_id", "full")
+        .agg(
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)).alias("co"),
+        )
+        .first()
+    )
+    out["lsh_only_docs"] = int(row["lo"] or 0)
+    out["content_without_sigs"] = int(row["co"] or 0)
+
+    lsh_commits = {
+        r.append_id
+        for r in spark.table(lsh_store._commits_table(store)).collect()
+    }
+    content_commits = spark.table(
+        corpus_state._commits_table(store)
+    ).collect()
+    out["pending_increments"] = sorted(
+        lsh_commits - {r.append_id for r in content_commits}
+    )
+    out["increments"] = max(int(r.ordinal) for r in content_commits)
 
     bad = out["lsh"]
     cbad = out["content"]
@@ -68,7 +87,6 @@ def audit_state(spark: SparkSession, store: str) -> dict:
         and bad["missing_sig_docs"] == 0
         and bad["band_mismatch_docs"] == 0
         and cbad["mismatched_docs"] == 0
-        and out["lsh_only_docs"] == 0
     )
     return out
 
@@ -76,6 +94,11 @@ def audit_state(spark: SparkSession, store: str) -> dict:
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True)
+    ap.add_argument(
+        "--strict", action="store_true",
+        help="also exit nonzero on pending increments (schedules that "
+        "never overlap a running increment)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -85,7 +108,9 @@ def main(argv=None) -> dict:
     report = audit_state(spark, args.store)
     print(json.dumps(report))
     spark.stop()
-    if not report["healthy"]:
+    if not report["healthy"] or (
+        args.strict and report["pending_increments"]
+    ):
         sys.exit(1)
     return report
 

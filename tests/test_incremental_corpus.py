@@ -260,6 +260,7 @@ def test_audit_job_flags_unretried_crash(spark, base_built, tmp_path, monkeypatc
     ok = audit_state(spark, STORE)
     assert ok["healthy"], ok
     assert ok["lsh_only_docs"] == 0
+    assert ok["pending_increments"] == []
 
     inc_in = _write(spark, str(tmp_path / "a_in.parquet"), {"a1": _text(80)})
     out = str(tmp_path / "a_out")
@@ -273,7 +274,12 @@ def test_audit_job_flags_unretried_crash(spark, base_built, tmp_path, monkeypatc
     caching.release_all()
     crashed = audit_state(spark, STORE)
     assert crashed["lsh_only_docs"] == 1
-    assert crashed["healthy"] is False
+    # the pending id is NAMED (retry it to heal); an identical signature
+    # also appears while an increment is mid-flight, so it does not flip
+    # healthy — --strict exits nonzero on it for non-overlapping
+    # schedules
+    assert crashed["pending_increments"] == ["dayA"]
+    assert crashed["healthy"] is True  # no hard corruption
 
     c = increment_corpus(spark, inc_in, out, STORE, "dayA", min_words=1)
     caching.release_all()
@@ -282,6 +288,8 @@ def test_audit_job_flags_unretried_crash(spark, base_built, tmp_path, monkeypatc
     assert c["lsh_rows_appended"] == 1 and c["lsh_rows_existing"] == 0
     healed = audit_state(spark, STORE)
     assert healed["healthy"], healed
+    assert healed["pending_increments"] == []
+    assert healed["lsh_only_docs"] == 0
     assert healed["increments"] == c["ordinal"]
 
 
