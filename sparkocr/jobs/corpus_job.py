@@ -208,7 +208,16 @@ def _hygiene(
     when its input/flag is given; counts and laps recorded per stage)."""
     from sparkocr.pipeline.textstats import ws_token_count_col
 
-    quality = caching.register(docs.filter(ws_token_count_col() >= min_words))
+    # the whitespace-token count is computed ONCE here and cached as a
+    # column: the quality filter reads it, and _split_pack_write packs
+    # by it — the packing stage previously re-derived the same count
+    # from text three times (once per split), a full corpus text scan
+    # each, which profiling showed dominated both stages
+    quality = caching.register(
+        docs.withColumn("n_ws_tokens", ws_token_count_col()).filter(
+            F.col("n_ws_tokens") >= min_words
+        )
+    )
     counts["after_quality_filter"] = quality.count()
     lap("quality_filter")
 
@@ -230,7 +239,12 @@ def _hygiene(
     if redact:
         from sparkocr.pipeline.redact import audit_totals, redact_pii
 
-        final = caching.register(redact_pii(final))
+        # redaction REWRITES text, so the precomputed count would be
+        # stale — recompute it over the redacted text (withColumn
+        # replaces the existing column)
+        final = caching.register(
+            redact_pii(final).withColumn("n_ws_tokens", ws_token_count_col())
+        )
         counts["pii_redactions"] = audit_totals(final)["total"]
         lap("redaction")
     return final
@@ -246,13 +260,29 @@ def _split_pack_write(
     from sparkocr.pipeline.packing import pack_sequences
     from sparkocr.pipeline.textstats import ws_token_count_col
 
-    final = caching.register(final.transform(hash_split, key="conv_id"))
+    # hash_split is a narrow md5-of-key projection over the (cached)
+    # hygiene output — NOT registered as its own cache entry: a second
+    # full-text cache copy cost more to materialize than the four cheap
+    # recomputes its consumers (three per-split pack scans, which prune
+    # text away anyway, and the corpus join) pay
+    final = final.transform(hash_split, key="conv_id")
     # --size-col: pack by a PRECOMPUTED token-count column instead of
     # the whitespace default — the seam a production pipeline routes
     # real BPE counts through (pack_sequences sizes by whatever count
     # lands in the column; it never re-tokenizes). The two stock
     # counters materialize here by name; any other name must already
     # be a column of the corpus frame (e.g. joined in upstream).
+    drop_helper = False
+    if size_col is None and "n_ws_tokens" in final.columns:
+        # the default whitespace sizing, but the count was already
+        # computed (and cached) by the quality stage — pack by the
+        # column instead of re-scanning text per split. pack_sequences'
+        # default size expression IS ws_token_count_col, so n_tokens is
+        # bit-identical; the helper column is an internal detail and is
+        # dropped before the corpus write so the output schema matches
+        # a run that sized from text.
+        size_col = "n_ws_tokens"
+        drop_helper = True
     pack_cols = ["doc_id", "text"]
     if size_col is not None:
         if size_col not in final.columns:
@@ -288,7 +318,7 @@ def _split_pack_write(
     packed = packed_parts[0]
     for part in packed_parts[1:]:
         packed = packed.unionByName(part)
-    corpus = final.join(
+    corpus = (final.drop("n_ws_tokens") if drop_helper else final).join(
         packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
         "doc_id",
     )
@@ -353,6 +383,25 @@ def build_corpus(
                 counts["after_decontamination"] = 0
             if redact:
                 counts["pii_redactions"] = 0
+            if store is not None:
+                # a full REBUILD's contract is "state == this build's
+                # input", even when that input is empty: skipping the
+                # bootstrap here would leave either no state tables or —
+                # worse — a previous build's STALE state under the same
+                # name, which later --append-id increments would
+                # silently dedup against while the freshly written base
+                # corpus is empty. Bootstrap from the empty doc frame so
+                # the store is reset like any other rebuild.
+                from sparkocr.pipeline.corpus_state import (
+                    build_content_state,
+                )
+                from sparkocr.pipeline.lsh_store import build_lsh_store
+
+                empty = docs.select("doc_id", "text")
+                build_lsh_store(empty, store, hash_kind=minhash_kind)
+                build_content_state(empty, store)
+                counts["state_store"] = store
+                lap("state_build")
             _write_summary(out_dir, counts)
             return counts
 
@@ -636,6 +685,16 @@ def main(argv=None) -> dict:
     args = ap.parse_args(argv)
     if args.append_id is not None and args.store is None:
         ap.error("--append-id requires --store")
+    if args.near_threshold > 1:
+        # the programmatic API documents >1 as degenerate-but-valid
+        # (near-dedup off), but from the CLI it is almost certainly a
+        # typo for a fraction (--near-threshold 8 meaning 0.8) — and the
+        # silent result is a corpus with NO near-dedup. Fail loudly.
+        ap.error(
+            f"--near-threshold {args.near_threshold} is > 1: thresholds "
+            "are Jaccard fractions in (0, 1] (0.8, not 8); a value above "
+            "1 would silently disable near-dedup"
+        )
 
     from sparkocr.session import build_session
 

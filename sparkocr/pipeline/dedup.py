@@ -547,15 +547,24 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).alias("bn")
         )
         hot = counts.filter(F.col("bn") > bucket_max).select("band_id", "bh")
-        if hot.limit(1).count() > 0:
+        any_hot = hot.limit(1).count() > 0
+        if any_hot:
             capped_docs = (
                 stacked.join(F.broadcast(hot), ["band_id", "bh"], "left_semi")
                 .groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("n_capped"))
             )
-        stacked = cap_hot_buckets(
-            stacked, ["band_id", "bh"], bucket_max, cap_metrics, counts=counts
-        )
+        if any_hot or cap_metrics is not None:
+            stacked = cap_hot_buckets(
+                stacked, ["band_id", "bh"], bucket_max, cap_metrics,
+                counts=counts,
+            )
+        # else: the probe just proved NO bucket exceeds the cap, so the
+        # semi-join against the kept-keys set is an identity — skip it
+        # (and the re-aggregation of counts inside the main plan) rather
+        # than pay a no-op join per band row. Only taken when the caller
+        # asked for no cap telemetry: with cap_metrics the Observation
+        # must ride the returned plan, which requires the join.
     elif bucket_max is not None:
         stacked = cap_hot_buckets(stacked, ["band_id", "bh"], bucket_max, cap_metrics)
     a, b = stacked.alias("a"), stacked.alias("b")
@@ -613,8 +622,8 @@ def _finish_on_driver(
     """Small-graph ending for ``dup_clusters``: union-find over the
     collected undirected edge list, broadcast the labels back.
 
-    Only EDGES are collected (one direction of the already-symmetrized,
-    cached frame — at most ``driver_max_edges/2`` rows); the node
+    Only EDGES are collected (the cached undirected ``u < v`` frame —
+    at most ``driver_max_edges/2`` rows); the node
     population stays distributed and picks up a self-label via a
     broadcast ANTI join against the edge-touched set, so the output
     contract (every id labelled, untouched ids label themselves) is
@@ -630,7 +639,7 @@ def _finish_on_driver(
 
     from pyspark.sql.types import StructField, StructType
 
-    epdf = edges.filter(F.col("u") < F.col("v")).toPandas()
+    epdf = edges.toPandas()
     codes, uniques = pd.factorize(
         pd.concat([epdf["u"], epdf["v"]], ignore_index=True), sort=False
     )
@@ -800,28 +809,36 @@ def dup_clusters(
     (inspect after catching)."""
     id_cols = pairs.columns[:2]
     e1 = pairs.select(F.col(id_cols[0]).alias("u"), F.col(id_cols[1]).alias("v"))
-    edges = (
-        e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # canonicalize to UNDIRECTED (u < v) before the distinct: the
+    # symmetrized frame is exactly twice this one (u != v guarantees
+    # every undirected edge has two directed forms), so deduping the
+    # half-sized frame and symmetrizing AFTERWARDS — and only for the
+    # distributed loop, which is the only consumer that needs both
+    # directions — halves the distinct's shuffle, the cache, and the
+    # driver collect. least/greatest compare with the same type
+    # ordering as the joins, so labels are unchanged.
+    und = (
+        e1.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
     )
-    ids = edges.select(F.col("u").alias("id"))
     nodes_ids = None
     if nodes is not None:
         nodes_ids = nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
             F.col("id").isNotNull()
         )
-        ids = ids.unionByName(nodes_ids)
-    # edges feed every round (and ids seeds labels): cache them, scoped to
-    # the operator run — released in the finally, not by the caller, since
-    # unlike the lazy operators the loop's actions happen right here. The
-    # count fully materializes the cache up front (the expensive pair plan
-    # runs exactly once) and buys the empty-graph early exit: a clean
-    # corpus yields zero candidate pairs, and the answer is then just the
-    # singleton labelling — no propagation rounds at all.
-    edges = edges.cache()
+    # undirected edges feed the driver collect or every loop round (and
+    # seed labels): cache them, scoped to the operator run — released in
+    # the finally, not by the caller, since unlike the lazy operators the
+    # loop's actions happen right here. The count fully materializes the
+    # cache up front (the expensive pair plan runs exactly once) and buys
+    # the empty-graph early exit: a clean corpus yields zero candidate
+    # pairs, and the answer is then just the singleton labelling — no
+    # propagation rounds at all.
+    und = und.cache()
     try:
-        singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
         from pyspark.sql.types import StringType
 
         # the edge-count cap alone under-sizes string ids: 2^21 edges of
@@ -830,17 +847,21 @@ def dup_clusters(
         # arrays the cap was budgeted for — so string graphs also
         # measure average id width (same single pass as the count) and
         # the driver path additionally requires the estimated collected
-        # footprint under DRIVER_MAX_BYTES
-        if isinstance(edges.schema["u"].dataType, StringType):
-            row = edges.agg(
+        # footprint under DRIVER_MAX_BYTES. All counts/budgets stay in
+        # SYMMETRIZED-edge units (n_edges = 2 * undirected count —
+        # exact, since u != v) so the caps, the stats contract, and the
+        # dispatch thresholds are unchanged from the symmetrized-frame
+        # implementation.
+        if isinstance(und.schema["u"].dataType, StringType):
+            row = und.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.length("u") + F.length("v")).alias("pair_chars"),
             ).collect()[0]
-            n_edges = int(row["n"])
+            n_edges = 2 * int(row["n"])
             # ~60 bytes per pandas string object on top of the payload
             pair_bytes = float(row["pair_chars"] or 0.0) + 2 * 60.0
         else:
-            n_edges = edges.count()
+            n_edges = 2 * und.count()
             pair_bytes = 16.0
         driver_ok = (
             n_edges <= driver_max_edges
@@ -858,8 +879,8 @@ def dup_clusters(
             if nodes_ids is None:
                 from pyspark.sql.types import StructField, StructType
 
-                id_type = edges.schema["u"].dataType
-                return edges.sparkSession.createDataFrame(
+                id_type = und.schema["u"].dataType
+                return und.sparkSession.createDataFrame(
                     [],
                     StructType(
                         [
@@ -872,7 +893,20 @@ def dup_clusters(
                 "id", F.col("id").alias("cluster_id")
             )
         if driver_ok:
-            return _finish_on_driver(edges, nodes_ids, stats)
+            return _finish_on_driver(und, nodes_ids, stats)
+        # only the distributed loop needs both edge directions: derive
+        # them narrowly from the cached undirected frame (a projection
+        # union — no second distinct, the undirected dedup already
+        # guarantees the symmetrized frame is duplicate-free)
+        edges = und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        ids = und.select(F.col("u").alias("id")).unionByName(
+            und.select(F.col("v").alias("id"))
+        )
+        if nodes_ids is not None:
+            ids = ids.unionByName(nodes_ids)
+        singletons = ids.distinct().select("id", F.col("id").alias("lbl"))
         labels = singletons.localCheckpoint(eager=True)
         for rnd in range(1, max_iter + 1):
             msgs = edges.join(labels, edges["u"] == labels["id"]).select(
@@ -922,7 +956,7 @@ def dup_clusters(
             "(or label waves are stalling); raise max_iter"
         )
     finally:
-        edges.unpersist()
+        und.unpersist()
 
 
 def neardup_corpus(
@@ -937,12 +971,34 @@ def neardup_corpus(
     singleton clusters. The companion of ``dedup_corpus`` for NEAR dups —
     run that (exact) first so exact clusters collapse before the
     quadratic-risk pair generation. ``stats`` passes through to
-    ``dup_clusters`` (mode / rounds / component telemetry)."""
-    clusters = dup_clusters(pairs, nodes=docs.select(id_col), stats=stats)
-    keep = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+    ``dup_clusters`` (mode / rounds / component telemetry).
+
+    Join shape: the corpus is ANTI-joined against the DROP set (edge-
+    touched non-root cluster members) rather than semi-joined against
+    the keep set. The two are set-identical (keep = roots + untouched =
+    docs - drops), but the drop side is bounded by the edge-touched
+    node count — tiny next to the corpus — so under the driver
+    clustering mode it is explicitly broadcast and the corpus-sized
+    ``docs`` frame (which carries full text) is never shuffled; the
+    keep-set formulation shuffled the whole corpus through a sort-merge
+    join whenever the optimizer could not prove the keep side small.
+    Null-``id_col`` docs are dropped either way (they matched nothing
+    in the semi join; here they are filtered explicitly), preserving
+    the original contract."""
+    stats = stats if stats is not None else {}
+    labels = dup_clusters(pairs, stats=stats)
+    drops = labels.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return docs.join(keep, id_col, "left_semi")
+    if stats.get("mode") == "driver":
+        # driver mode proved the edge graph small (count + byte budget):
+        # the drop set is at most the edge-touched nodes, already
+        # materialized on the driver — broadcast it so the corpus scan
+        # stays shuffle-free
+        drops = F.broadcast(drops)
+    return docs.filter(F.col(id_col).isNotNull()).join(
+        drops, id_col, "left_anti"
+    )
 
 
 # --------------------------------------------------------------------------

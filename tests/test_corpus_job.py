@@ -270,3 +270,61 @@ def test_full_hygiene_chain(spark, tiny_transcripts, bench_file, tmp_path):
     assert "zz_fine" in convs
     pii_doc = next(r for r in rows if r.conv_id == "zz_fine")
     assert pii_doc.n_email == 1 and "<EMAIL>" in pii_doc.text
+
+
+def test_near_threshold_above_one_rejected_at_cli():
+    """--near-threshold 8 is a typo for 0.8, not a request to disable
+    near-dedup: the CLI refuses it loudly (the programmatic API keeps
+    the documented degenerate path — see the test above)."""
+    from sparkocr.jobs.corpus_job import main
+    from sparkocr.streaming.corpus_stream import main as stream_main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--out", "y", "--near-threshold", "8"])
+    with pytest.raises(SystemExit):
+        stream_main([
+            "--input-dir", "x", "--out", "y", "--store", "s",
+            "--checkpoint", "c", "--near-threshold", "8",
+        ])
+
+
+def test_empty_input_rebuild_resets_store(spark, tiny_transcripts, tmp_path):
+    """A full rebuild over an (unexpectedly) empty input must still
+    reset --store state: leaving a previous build's tables in place
+    would make later increments silently dedup against STALE state
+    while the freshly written base corpus is empty."""
+    from sparkocr.jobs.corpus_job import build_corpus
+
+    store = "t_empty_reset_store"
+    suffixes = (
+        "_sigs", "_bands", "_meta", "_commits",
+        "_content_byhash", "_content_byid", "_content_commits",
+        "_content_meta",
+    )
+    try:
+        build_corpus(
+            spark, tiny_transcripts, str(tmp_path / "full"),
+            min_words=1, store=store,
+        )
+        assert spark.table(f"{store}_content_byhash").count() > 0
+
+        empty = str(tmp_path / "empty.parquet")
+        spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        ).write.parquet(empty)
+        counts = build_corpus(
+            spark, empty, str(tmp_path / "rebuild"),
+            min_words=1, store=store,
+        )
+        assert counts["packed_docs"] == 0
+        assert counts["state_store"] == store
+        assert "state_build" in counts["stage_sec"]
+        # the stale state is gone: both content state and the LSH store
+        # now reflect the (empty) rebuild input
+        assert spark.table(f"{store}_content_byhash").count() == 0
+        assert spark.table(f"{store}_sigs").count() == 0
+    finally:
+        for suf in suffixes:
+            spark.sql(f"DROP TABLE IF EXISTS {store}{suf}")
