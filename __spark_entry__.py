@@ -688,17 +688,21 @@ def q_asof_latest_order(spark, sf_dir):
         "o_totalprice",
     )
     # ADAPTIVE skew dispatch: the chunked two-phase plan (last-carry
-    # window per (user, 30-day chunk)) engages only when a cheap
-    # key-column probe finds a user with >= 100k rows — one hyperactive
-    # user can never pin the whole sort into a single task, but a
-    # balanced input (every test/bench SF) keeps the single-window
-    # single-scan plan and skips the two-phase constant (~2.5x at
-    # sf0.1). The chunked branch's semantics stay oracle-checked via
-    # q_event_sessions (unconditional chunking) and differential pytest.
+    # window per (user, 30-day chunk)) engages only when a key-column
+    # probe finds a user with >= 5M rows. Threshold re-measured round 5:
+    # a single-task window over a 3M-row hot key costs 0.24 s while the
+    # chunked plan's extra stages cost ~2 s flat — chunking only pays
+    # when one key's rows reach the 10^7+ range where a one-task sort
+    # becomes seconds-long and spill-prone. Below the threshold the
+    # dispatch itself is free at small SFs: a parquet-footer row-count
+    # bound (no Spark job) proves no key can reach 5M before the probe
+    # job ever launches. The chunked branch's semantics stay oracle-
+    # checked via q_event_sessions (unconditional chunking) and
+    # differential pytest.
     j = asof_join(
         e, o, key="user_id", left_time="ts", right_time="otime",
         right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
-        chunk_seconds=30 * 86400, chunk_min_key_rows=100_000,
+        chunk_seconds=30 * 86400, chunk_min_key_rows=5_000_000,
     )
     return j.select(
         "event_id", "user_id",

@@ -44,6 +44,51 @@ def _epoch_s(col):
     return F.col(col).cast("timestamp").cast("double")
 
 
+#: Per-frame file-count cap for the footer shortcut: reading this many
+#: parquet footers driver-side stays in the low milliseconds; a frame
+#: backed by more files is large enough that the honest probe is the
+#: right tool anyway.
+_FOOTER_MAX_FILES = 256
+
+
+def _rows_upper_bound(df: DataFrame) -> int | None:
+    """Driver-side UPPER BOUND on ``df``'s row count, read from its
+    parquet file footers — NO Spark job. Returns ``None`` when unknown
+    (non-file source, too many files, non-parquet input, unreadable
+    footer). The bound is safe under projections and filters: the
+    footers count the files' physical rows, and any filter only removes
+    rows, so the true frame is never larger than the bound.
+
+    This exists for the adaptive skew dispatch below: the per-key probe
+    is an extra Spark job (~0.25 s of fixed cost at any input size),
+    but when the WHOLE input holds fewer rows than the engagement
+    threshold, no key can possibly reach it — provable from metadata
+    alone, for free."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > _FOOTER_MAX_FILES:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return None
+            path = f
+            if path.startswith("file:"):
+                # file:///p, file:/p and file://host/p all normalize to /p
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _max_key_rows(keys: DataFrame) -> int:
     """Skew probe: the largest per-key row count over a single-column
     frame. Column-pruned to the key alone at the scan and map-side
@@ -87,8 +132,12 @@ def asof_join(
     ``chunk_seconds``: when set, the skew-safe two-phase plan (see
     ``_asof_join_plan`` for the mechanics and its one-narrow-rescan cost).
     ``chunk_min_key_rows``: ADAPTIVE engagement — when set alongside
-    ``chunk_seconds``, a cheap probe (one key-column-only scan of both
-    inputs, ``_max_key_rows``) measures the hottest key first and the
+    ``chunk_seconds``, the dispatch first tries a FREE metadata bound
+    (``_rows_upper_bound``: parquet-footer row counts, no Spark job —
+    if both sides together hold fewer rows than the threshold, no key
+    can reach it), then falls back to a cheap probe (one
+    key-column-only scan of both inputs, ``_max_key_rows``) that
+    measures the hottest key; the
     chunked plan engages only if some key holds at least this many rows;
     below the threshold the single-window single-scan plan runs, so a
     balanced input never pays the two-phase constant (measured ~2.5× at
@@ -98,10 +147,21 @@ def asof_join(
     ``None`` (default) keeps ``chunk_seconds`` unconditional — callers
     that KNOW the key is skewed skip the probe scan."""
     if chunk_seconds is not None and chunk_min_key_rows is not None:
-        # hot-key rows in the window = union of both sides per key
-        probe = left.select(F.col(key)).unionByName(right.select(F.col(key)))
-        if _max_key_rows(probe) < chunk_min_key_rows:
+        # metadata short-circuit first: when the parquet footers bound
+        # BOTH sides' combined rows below the threshold, no key can
+        # reach it — the probe job is skipped entirely (zero extra
+        # Spark jobs). Unknown bounds (non-file inputs, many files)
+        # fall through to the honest probe.
+        lb, rb = _rows_upper_bound(left), _rows_upper_bound(right)
+        if lb is not None and rb is not None and lb + rb < chunk_min_key_rows:
             chunk_seconds = None
+        else:
+            # hot-key rows in the window = union of both sides per key
+            probe = left.select(F.col(key)).unionByName(
+                right.select(F.col(key))
+            )
+            if _max_key_rows(probe) < chunk_min_key_rows:
+                chunk_seconds = None
     return _asof_join_plan(
         left, right, key, left_time, right_time, right_cols,
         suffix, right_tiebreak, chunk_seconds,
@@ -240,7 +300,12 @@ def session_counts(
     ``asof_join`` — one key-column probe, chunking only when the hottest
     key holds at least this many events; ``None`` = unconditional."""
     if chunk_seconds is not None and chunk_min_key_rows is not None:
-        if _max_key_rows(events.select(F.col(key))) < chunk_min_key_rows:
+        # same metadata-first dispatch as asof_join: a footer row-count
+        # bound below the threshold proves no key can reach it
+        ub = _rows_upper_bound(events)
+        if ub is not None and ub < chunk_min_key_rows:
+            chunk_seconds = None
+        elif _max_key_rows(events.select(F.col(key))) < chunk_min_key_rows:
             chunk_seconds = None
     ts = _epoch_s(time)
     e = events.select(F.col(key).alias("_k"), ts.alias("_ts"))

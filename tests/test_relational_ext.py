@@ -70,3 +70,60 @@ def test_range_join_semantics(spark, frames):
     # e2 (day 5) in [3,7) of r1; e3 (day 10) in [10,14) of r2/r2b;
     # e5 (day 5) in [4,8) of r3; e1/e4 in nothing
     assert out == [("e2", "r1"), ("e3", "r2"), ("e3", "r2b"), ("e5", "r3")]
+
+
+def test_rows_upper_bound_from_parquet_footers(spark, tmp_path):
+    """The dispatch's metadata shortcut: a parquet-backed frame reports
+    its exact footer row count with no Spark job; non-file frames
+    report unknown; projections/filters keep the bound safe (upper)."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import _rows_upper_bound
+
+    p = str(tmp_path / "ub.parquet")
+    spark.range(1234).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _rows_upper_bound(df) == 1234
+    # projection keeps the files; filter only removes rows — still an
+    # upper bound
+    assert _rows_upper_bound(df.select("k").filter("k = 3")) == 1234
+    # in-memory frames have no files → unknown
+    assert _rows_upper_bound(spark.range(10)) is None
+
+
+def test_asof_dispatch_metadata_shortcut_skips_probe(spark, tmp_path):
+    """With parquet inputs whose combined footer count sits below the
+    threshold, the balanced single-window plan is chosen without the
+    probe; a threshold the data CAN reach still probes (and chunks)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import asof_join
+
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    spark.range(5000).select(
+        F.lit("hot").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id")).cast("timestamp").alias("t"),
+        F.col("id").alias("lid"),
+    ).write.parquet(lp)
+    spark.range(10).select(
+        F.lit("hot").alias("k"),
+        (F.lit(1_700_000_000) + F.col("id") * 1000).cast("timestamp").alias("rt"),
+        F.col("id").alias("rid"),
+    ).write.parquet(rp)
+    left, right = spark.read.parquet(lp), spark.read.parquet(rp)
+    kw = dict(key="k", left_time="t", right_time="rt", right_cols=["rid"],
+              right_tiebreak="rid", chunk_seconds=3600)
+    # 5010 total rows < 100k threshold: footer bound alone settles it
+    plan = asof_join(
+        left, right, chunk_min_key_rows=100_000, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_chunk" not in plan, plan
+    # threshold below the hot key's actual rows: probe runs and chunks
+    plan2 = asof_join(
+        left, right, chunk_min_key_rows=1_000, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan2), plan2
