@@ -288,9 +288,15 @@ def _split_pack_write(
         if size_col not in final.columns:
             from sparkocr.pipeline.textstats import word_token_count_col
 
+            from sparkocr.pipeline.bpe import bpe_token_count_col
+
             stock = {
                 "n_ws_tokens": ws_token_count_col,
                 "n_word_tokens": word_token_count_col,
+                # vendored byte-level BPE (sparkocr/resources/
+                # bpe_merges.txt): the tokenizer-shaped count a real
+                # pre-training pipeline packs by
+                "n_bpe_tokens": bpe_token_count_col,
             }
             if size_col not in stock:
                 raise ValueError(
