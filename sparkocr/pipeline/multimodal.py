@@ -3,14 +3,19 @@
 At training-data scale, images/audio/video ride through Spark as opaque
 ``binary`` columns with typed metadata structs; all heavy decode work is
 Arrow-batched Python at the edges. This container ships no image/audio
-libraries (no PIL/cv2/ffmpeg — verified), so the codec step itself is
-STUBBED two ways, clearly marked:
+libraries (no PIL/cv2/ffmpeg — verified), so the codec layer has three
+clearly-marked tiers:
 
-- ``decode_image_real`` raises NotImplementedError — the seam where
-  PIL/torchvision would plug in on a real cluster;
-- the shipped operators use a DETERMINISTIC FAKE codec (payload bytes →
-  seeded per-pixel stats) so the Spark-side plumbing — schema, Arrow batch
-  shape, mapInPandas signatures, partitioning — is real and fully tested.
+- a REAL stdlib+numpy branch for uncompressed formats — 24-bit BMP and
+  binary PPM parse and decode here, in CI, dispatched per payload by
+  magic bytes with strict size validation (``try_decode_real``);
+- ``decode_image_real`` raises NotImplementedError for compressed
+  codecs (JPEG/PNG/...) — the seam where PIL/torchvision would plug in
+  on a real cluster;
+- everything else takes the DETERMINISTIC FAKE codec (payload bytes →
+  seeded per-pixel stats) so the Spark-side plumbing — schema, Arrow
+  batch shape, mapInPandas signatures, partitioning — is real and fully
+  tested on payloads of any shape.
 
 Operators mirror the reference's image pre-processing slots (SURVEY.md
 §2.2): decode+stats (T4 ImageTransform analog), resize arithmetic
@@ -55,12 +60,111 @@ FRAME_SCHEMA = (
 )
 
 
-def decode_image_real(payload: bytes, meta: dict):  # pragma: no cover
-    """The real-codec seam. On a cluster with PIL/torchvision installed this
-    returns a decoded ndarray; this container has no image libraries."""
+def _parse_bmp(payload: bytes):
+    """Strict uncompressed-BMP parser (24-bit BI_RGB, BITMAPINFOHEADER).
+    Returns ``(width, height, mean_pixel)`` over the pixel channel bytes
+    (row padding excluded), or ``None`` if the payload is not a valid
+    BMP of this shape. STRICTNESS IS THE DISPATCH CONTRACT: the header's
+    declared file size must equal the payload length and the pixel array
+    must fit exactly, so arbitrary text that happens to start with 'BM'
+    can never take this branch."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        file_size, _, _, offset = struct.unpack_from("<IHHI", payload, 2)
+        dib, w, h, planes, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+    except struct.error:
+        return None
+    abs_h = abs(h)
+    if (
+        file_size != len(payload)
+        or dib < 40
+        or planes != 1
+        or bpp != 24
+        or comp != 0  # BI_RGB only — no RLE
+        or w <= 0
+        or abs_h == 0
+        or offset < 14 + dib
+    ):
+        return None
+    stride = ((w * 3 + 3) // 4) * 4
+    if offset + stride * abs_h > len(payload):
+        return None
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs_h, offset=offset
+    ).reshape(abs_h, stride)[:, : w * 3]
+    return w, abs_h, float(px.mean(dtype=np.float64))
+
+
+def _parse_ppm(payload: bytes):
+    """Strict binary-PPM (P6, maxval <= 255) parser — same contract as
+    ``_parse_bmp``: header + exactly ``w*h*3`` raster bytes, nothing
+    else, or ``None``. Comments (``#`` to end of line) are allowed in
+    the header per the netpbm spec."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        return None
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            # skip whitespace and comments
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte before the raster
+    except (ValueError, IndexError):
+        return None
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    if len(payload) - pos != w * h * 3:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+    return w, h, float(px.mean(dtype=np.float64))
+
+
+def try_decode_real(payload: bytes):
+    """Magic-byte dispatch into the REAL (stdlib + numpy) codec branch:
+    uncompressed 24-bit BMP and binary PPM decode here, in CI, with no
+    image libraries. Returns ``(width, height, mean_pixel)`` or ``None``
+    (not one of the real formats → caller falls back to the fake
+    codec). Both parsers are strict enough (declared sizes must match
+    the payload exactly) that non-image payloads cannot alias in."""
+    if not payload:
+        return None
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    if payload[:2] == b"P6":
+        return _parse_ppm(payload)
+    return None
+
+
+def decode_image_real(payload: bytes, meta: dict | None = None):
+    """The real-codec entry point. Uncompressed formats (24-bit BMP,
+    binary PPM) decode here with stdlib + numpy —
+    ``(width, height, mean_pixel)``; compressed formats (JPEG/PNG/...)
+    remain the explicit seam where PIL/torchvision would plug in on a
+    real cluster (this container ships no image libraries)."""
+    out = try_decode_real(payload)
+    if out is not None:
+        return out
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use the deterministic fake path (decode_stats_batches)"
+        "only uncompressed BMP/PPM decode in this environment; "
+        "compressed codecs need PIL/torchvision on the cluster "
+        "(or use the deterministic fake path, decode_stats_batches)"
     )
 
 
@@ -84,7 +188,12 @@ def _fake_decode_stats(payload: bytes) -> tuple[int, float, int]:
 
 
 def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: media rows → DECODED_SCHEMA rows (fake codec)."""
+    """mapInPandas: media rows → DECODED_SCHEMA rows. Per-payload codec
+    dispatch on magic bytes: real uncompressed formats (BMP/PPM —
+    ``try_decode_real``) yield decoded width/height and the true mean
+    PIXEL value; everything else takes the deterministic fake codec
+    (byte stats + meta dims) unchanged. n_bytes and the payload
+    checksum are codec-independent."""
     for pdf in batches:
         if not len(pdf):
             continue
@@ -93,6 +202,13 @@ def decode_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             pdf["media_id"], pdf["payload"], pdf["meta"]
         ):
             n, mean_b, csum = _fake_decode_stats(payload)
+            real = try_decode_real(payload)
+            if real is not None:
+                w, h, mean_b = real
+                rows.append(
+                    (media_id, n, mean_b, w, h, w / h if h else None, csum)
+                )
+                continue
             w = int(meta["width"]) if meta and meta["width"] is not None else 0
             h = int(meta["height"]) if meta and meta["height"] is not None else 0
             # no python round() here: callers round JVM-side (HALF_UP), so
