@@ -562,10 +562,26 @@ def increment_corpus(
         # drop docs the corpus has already seen: exact re-fetches (by
         # content hash, any conv key) and re-crawled conversations (by
         # doc_id — the admitted version stays)
-        novel = caching.register(corpus_state.filter_novel(exact, store))
+        fstats: dict = {}
+        novel = caching.register(
+            corpus_state.filter_novel(exact, store, stats=fstats)
+        )
         counts["novel_docs"] = novel.count()
         counts["already_present"] = (
             counts["after_exact_dedup"] - counts["novel_docs"]
+        )
+        # contract-violation telemetry: docs the byid join dropped whose
+        # CONTENT the state had never seen — a conversation straddling
+        # two batches (its second partial) or a changed re-crawl. The
+        # streaming wrapper's batch-boundary assumption is exactly
+        # "this stays 0"; a nonzero value is the observable alarm.
+        # (Observation rides the novel.count() action above; with zero
+        # input docs the observed subtree may be pruned before it runs,
+        # so short-circuit rather than block on an unfired observation.)
+        counts["byid_content_conflicts"] = (
+            int(fstats["after_byhash_obs"].get["n"]) - counts["novel_docs"]
+            if counts["after_exact_dedup"]
+            else 0
         )
         lap("state_filter")
 

@@ -176,7 +176,9 @@ def next_ordinal(spark: SparkSession, store: str) -> int:
     return 1 + max(int(r.ordinal) for r in _commits(spark, store))
 
 
-def filter_novel(docs: DataFrame, store: str) -> DataFrame:
+def filter_novel(
+    docs: DataFrame, store: str, stats: dict | None = None
+) -> DataFrame:
     """Docs not yet in the state: drop rows whose content hash is
     already committed (exact re-fetch under any conv key), then rows
     whose doc_id is already committed (a re-crawled conversation whose
@@ -187,17 +189,34 @@ def filter_novel(docs: DataFrame, store: str) -> DataFrame:
     injectivity check documents).
 
     Both anti-joins are Exchange-free on the state side (bucketed on the
-    join key); only the increment side shuffles."""
+    join key); only the increment side shuffles.
+
+    ``stats``: when given, an ``Observation`` is planted between the two
+    anti-joins under key ``"after_byhash_obs"`` — after the caller's
+    first action over the result it reports how many docs survived the
+    content-hash filter, so (that value - novel count) = docs dropped
+    by the byid join with CONTENT THE STATE HAS NEVER SEEN. That
+    difference is the observable signal for the module's batch-boundary
+    contract: a conversation whose turns straddled two
+    batches/increments (or whose text changed between crawls) shows up
+    here instead of vanishing silently. Zero-cost: the count rides the
+    caller's existing action, no extra job."""
     spark = docs.sparkSession
     read_content_meta(spark, store)
     byhash = _committed_rows(spark, store, _byhash_table(store))
     byid = _committed_rows(spark, store, _byid_table(store))
-    return (
+    mid = (
         docs.withColumn("content_hash", _dedup_key())
         .join(byhash.select("content_hash"), "content_hash", "left_anti")
         .drop("content_hash")
-        .join(byid.select("doc_id"), "doc_id", "left_anti")
     )
+    if stats is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        mid = mid.observe(obs, F.count(F.lit(1)).alias("n"))
+        stats["after_byhash_obs"] = obs
+    return mid.join(byid.select("doc_id"), "doc_id", "left_anti")
 
 
 def _write_commit(

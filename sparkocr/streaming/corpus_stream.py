@@ -27,7 +27,11 @@ within one batch (files are per-day/per-export drops of whole
 conversations). A conversation split across batches assembles as two
 partial docs with the same doc_id; the second is dropped by the state's
 doc_id filter — the batch boundary should respect conversation
-boundaries upstream.
+boundaries upstream. The contract is OBSERVABLE, not just documented:
+every batch summary carries ``byid_content_conflicts`` — docs the
+doc_id filter dropped whose content the state had never seen, i.e.
+exactly the second partials (or changed re-crawls). Alert on nonzero:
+it means truncated docs were admitted in an earlier batch.
 
 The state tables live in the session catalog (see ``corpus_job``'s
 catalog note); the stream checkpoint tracks file progress. The two are

@@ -122,6 +122,10 @@ def test_increments_end_to_end(spark, base_built):
     assert c1["after_exact_dedup"] == 6
     assert c1["novel_docs"] == 4          # n0 (hash) + b2 (id) dropped
     assert c1["already_present"] == 2
+    # b2 was dropped BY ID with content the state never saw — exactly
+    # the batch-boundary/changed-re-crawl contract violation the
+    # summary must surface (n0's exact re-fetch does NOT count)
+    assert c1["byid_content_conflicts"] == 1
     assert c1["after_near_dedup"] == 2    # n1 → old; n2/n3 → one
     rows1 = _corpus(spark, inc1_out).collect()
     kept1 = {r.conv_id for r in rows1}
@@ -158,6 +162,8 @@ def test_increments_end_to_end(spark, base_built):
     assert c2["ordinal"] == 2
     assert c2["novel_docs"] == 2          # m3 already present by hash
     assert c2["already_present"] == 1
+    # an exact re-delivery is NORMAL dedup, not a contract violation
+    assert c2["byid_content_conflicts"] == 0
     assert c2["after_near_dedup"] == 1    # m1 drops against n4
     rows2 = _corpus(spark, inc2_out).collect()
     assert {r.conv_id for r in rows2} == {"m2"}
