@@ -265,6 +265,12 @@ def run_config(small: int, big: int, data: str, n_pairs: int, zip_path: str) -> 
             cal = calibrate()
             rs = c_small.go()
             rb = c_big.go()
+            # second probe AFTER the pair: a pair's corpus reps span
+            # ~1-2 min of wall clock, so a host-speed swing INSIDE the
+            # pair (invisible to the before-probe alone) shows up as a
+            # before/after disagreement — the bracketing needed to
+            # correlate host state against per-pair efficiency
+            cal_after = calibrate()
             eff = round(rb["turns_per_sec"] / (ratio * rs["turns_per_sec"]), 3)
             eff_e2e = round(
                 rb["e2e_turns_per_sec"] / (ratio * rs["e2e_turns_per_sec"]), 3
@@ -276,10 +282,12 @@ def run_config(small: int, big: int, data: str, n_pairs: int, zip_path: str) -> 
             pairs.append({"pair": i, "config": f"{small}v{big}", "eff": eff,
                           "eff_e2e": eff_e2e, "eff_corpus": eff_corpus,
                           "cal_rows_per_sec": cal,
+                          "cal_after_rows_per_sec": cal_after,
                           "r_small": rs, "r_big": rb})
             print(json.dumps({"config": f"{small}v{big}", "pair": i,
                               "eff": eff, "eff_e2e": eff_e2e,
-                              "eff_corpus": eff_corpus, "cal": cal}),
+                              "eff_corpus": eff_corpus, "cal": cal,
+                              "cal_after": cal_after}),
                   file=sys.stderr)
     finally:
         c_small.stop()
@@ -327,6 +335,57 @@ def main():
         effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2, 4
     )
     rs, rb = best["r_small"], best["r_big"]
+
+    def _pearson(xs, ys):
+        n = len(xs)
+        if n < 2:
+            return None
+        mx, my = sum(xs) / n, sum(ys) / n
+        sx = sum((x - mx) ** 2 for x in xs) ** 0.5
+        sy = sum((y - my) ** 2 for y in ys) ** 0.5
+        if sx == 0 or sy == 0:
+            return None
+        return round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (sx * sy), 3
+        )
+
+    # calibration-vs-efficiency evidence: the corpus job's per-pair
+    # efficiency has swung widely across invocations; this correlates it
+    # against the host probes BRACKETING each pair so "host noise" is a
+    # measured claim, not prose. stability = min/max of the two probes
+    # (1.0 = steady host through the pair).
+    stabs, means = [], []
+    for p in all_pairs:
+        a, b = p["cal_rows_per_sec"], p.get("cal_after_rows_per_sec", p["cal_rows_per_sec"])
+        p["cal_stability"] = round(min(a, b) / max(a, b), 3) if max(a, b) else None
+        stabs.append(p["cal_stability"])
+        means.append((a + b) / 2)
+    effc = [p["eff_corpus"] for p in all_pairs]
+    r_stab = _pearson(stabs, effc)
+    r_mean = _pearson(means, effc)
+    cal_rows_md = "\n".join(
+        f"| {p['config']} | {p['pair']} | {p['cal_rows_per_sec']:,} "
+        f"| {p.get('cal_after_rows_per_sec', '-'):,} | {p['cal_stability']} "
+        f"| {p['eff_corpus']} | {p['eff']} |"
+        for p in all_pairs
+    )
+    cal_md = f"""
+## Calibration vs corpus-job efficiency (per-pair scatter)
+
+Each pair is BRACKETED by two single-process extractor probes (before /
+after); `stability` = min/max of the two (1.0 = the host held steady
+through the pair's ~2 min of reps). If low-efficiency pairs are exactly
+the unstable-host pairs, the corpus job's efficiency variance is host
+noise; if efficiency is low on steady-host pairs too, the DAG owns it.
+
+| config | pair | cal before | cal after | stability | eff corpus | eff extract |
+|---|---|---|---|---|---|---|
+{cal_rows_md}
+
+Pearson r(stability, eff_corpus) = {r_stab}; r(mean cal, eff_corpus) = {r_mean}
+(n = {len(all_pairs)} pairs this invocation — see the Reproducibility
+appendix for the cross-invocation history).
+"""
 
     rows_md = "\n".join(
         f"| {p['config']} | {p['pair']} | {p['cal_rows_per_sec']:,} "
@@ -386,7 +445,7 @@ Target: >= 0.8 (north rule).
 Best pair raw:
 `{json.dumps(rs)}`
 `{json.dumps(rb)}`
-"""
+{cal_md}"""
     # preserve any hand-curated appendix (e.g. the cross-invocation
     # Reproducibility section) instead of silently destroying it
     out_path = os.path.join(HERE, "BASELINE.md")
