@@ -157,6 +157,11 @@ PROFILES = {
 # generation is per-conv seeded, so any file is reproducible independently.
 DIR_PROFILES = {
     "bench_lg": (20_000, 10, 90, 100_000, 128),
+    # 4x bench_lg: the Amdahl probe input for the scaling protocol — the
+    # corpus job's serial constant (driver pacing across its ~20 stages)
+    # is fixed while parallel work scales with rows, so efficiency at 4x
+    # rows separates "job too small" from "DAG doesn't scale"
+    "bench_xl": (80_000, 10, 90, 100_000, 128),
 }
 
 
