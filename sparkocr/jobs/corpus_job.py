@@ -199,6 +199,15 @@ def _assemble_docs(spark, transcripts, caching):
     return docs, int(ids["rows"])
 
 
+def _with_ws_tokens(docs):
+    """Attach the shared whitespace-token-count column (see _hygiene) —
+    callers bake it into a frame that is about to be cached anyway, so
+    the count costs no extra pass of its own."""
+    from sparkocr.pipeline.textstats import ws_token_count_col
+
+    return docs.withColumn("n_ws_tokens", ws_token_count_col())
+
+
 def _hygiene(
     spark, caching, docs, counts, lap, *,
     min_words, blocklist_path, bench_path, redact,
@@ -208,16 +217,20 @@ def _hygiene(
     when its input/flag is given; counts and laps recorded per stage)."""
     from sparkocr.pipeline.textstats import ws_token_count_col
 
-    # the whitespace-token count is computed ONCE here and cached as a
-    # column: the quality filter reads it, and _split_pack_write packs
-    # by it — the packing stage previously re-derived the same count
-    # from text three times (once per split), a full corpus text scan
-    # each, which profiling showed dominated both stages
-    quality = caching.register(
-        docs.withColumn("n_ws_tokens", ws_token_count_col()).filter(
-            F.col("n_ws_tokens") >= min_words
+    # the whitespace-token count is computed ONCE (upstream callers bake
+    # it into the near-dedup cache via _with_ws_tokens; any other caller
+    # pays it here) and every later stage reads the column: the quality
+    # filter, and _split_pack_write's packing — which previously
+    # re-derived the same count from text three times (once per split),
+    # a full corpus text scan each, which profiling showed dominated
+    # both stages. The filtered frame is NOT a second cache entry: a
+    # predicate over an already-cached column costs less per consumer
+    # than materializing another full-text cache copy.
+    if "n_ws_tokens" not in docs.columns:
+        docs = caching.register(
+            docs.withColumn("n_ws_tokens", ws_token_count_col())
         )
-    )
+    quality = docs.filter(F.col("n_ws_tokens") >= min_words)
     counts["after_quality_filter"] = quality.count()
     lap("quality_filter")
 
@@ -324,18 +337,25 @@ def _split_pack_write(
     packed = packed_parts[0]
     for part in packed_parts[1:]:
         packed = packed.unionByName(part)
+    # materialize the (tiny, id+counts-only) pack frame once: its agg
+    # provides the summary counts AND the corpus join below reuses the
+    # cache instead of re-running the three pack plans. Counting here is
+    # equivalent to re-reading the written corpus (each final doc gets
+    # exactly one pack row, so join rows == pack rows), minus one
+    # driver-paced re-read job — part of the serial floor the scaling
+    # decomposition measures.
+    packed = caching.register(packed)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("pack_id").alias("packs"),
+    ).first()
     corpus = (final.drop("n_ws_tokens") if drop_helper else final).join(
         packed.select("doc_id", "n_tokens", "pack_id", "pack_pos"),
         "doc_id",
     )
     corpus.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
-
-    written = spark.read.parquet(os.path.join(out_dir, "corpus")).agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.count_distinct("pack_id").alias("packs"),
-    ).first()
-    counts["packed_docs"] = int(written["rows"])
-    counts["packs"] = int(written["packs"])
+    counts["packed_docs"] = int(stats["rows"])
+    counts["packs"] = int(stats["packs"])
     lap("split_pack_write")
 
 
@@ -443,8 +463,13 @@ def build_corpus(
             near_threshold,
         )
         cluster_stats: dict = {}
+        # n_ws_tokens rides the near-dedup cache materialization: the
+        # quality stage then filters a cached column instead of paying
+        # its own full-text cache copy + scan (one fewer driver-paced
+        # action + one fewer corpus-sized cache — the serial floor the
+        # scaling Amdahl decomposition measures)
         neardup = caching.register(
-            neardup_corpus(exact, pairs, stats=cluster_stats)
+            _with_ws_tokens(neardup_corpus(exact, pairs, stats=cluster_stats))
         )
         counts["after_near_dedup"] = neardup.count()
         # clustering telemetry rides the summary: mode says whether the
@@ -638,7 +663,9 @@ def increment_corpus(
             .filter("has_old = 0")
             .select(F.col("keep_id").alias("doc_id"))
         )
-        neardup = caching.register(novel.join(keep, "doc_id", "left_semi"))
+        neardup = caching.register(
+            _with_ws_tokens(novel.join(keep, "doc_id", "left_semi"))
+        )
         counts["after_near_dedup"] = neardup.count()
         counts["cluster_edges"] = cluster_stats.get("n_edges", 0)
         counts["cluster_mode"] = cluster_stats.get("mode", "driver")
