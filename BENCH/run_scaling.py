@@ -354,15 +354,26 @@ def main():
     # against the host probes BRACKETING each pair so "host noise" is a
     # measured claim, not prose. stability = min/max of the two probes
     # (1.0 = steady host through the pair).
-    stabs, means = [], []
     for p in all_pairs:
         a, b = p["cal_rows_per_sec"], p.get("cal_after_rows_per_sec", p["cal_rows_per_sec"])
         p["cal_stability"] = round(min(a, b) / max(a, b), 3) if max(a, b) else None
-        stabs.append(p["cal_stability"])
-        means.append((a + b) / 2)
-    effc = [p["eff_corpus"] for p in all_pairs]
-    r_stab = _pearson(stabs, effc)
-    r_mean = _pearson(means, effc)
+    # correlations PER CONFIG: 4v16 and 8v32 are different populations
+    # (the 32-core side saturates the memory controller), so a pooled r
+    # could manufacture or mask a stability/efficiency relationship
+    corr_lines = []
+    for cfg in sorted({p["config"] for p in all_pairs}):
+        ps = [p for p in all_pairs if p["config"] == cfg]
+        stabs = [p["cal_stability"] for p in ps]
+        means = [
+            (p["cal_rows_per_sec"] + p.get("cal_after_rows_per_sec", p["cal_rows_per_sec"])) / 2
+            for p in ps
+        ]
+        effc = [p["eff_corpus"] for p in ps]
+        corr_lines.append(
+            f"{cfg}: r(stability, eff_corpus) = {_pearson(stabs, effc)}; "
+            f"r(mean cal, eff_corpus) = {_pearson(means, effc)} (n = {len(ps)})"
+        )
+    corr_md = "\n".join(corr_lines)
     cal_rows_md = "\n".join(
         f"| {p['config']} | {p['pair']} | {p['cal_rows_per_sec']:,} "
         f"| {p.get('cal_after_rows_per_sec', '-'):,} | {p['cal_stability']} "
@@ -382,9 +393,10 @@ noise; if efficiency is low on steady-host pairs too, the DAG owns it.
 |---|---|---|---|---|---|---|
 {cal_rows_md}
 
-Pearson r(stability, eff_corpus) = {r_stab}; r(mean cal, eff_corpus) = {r_mean}
-(n = {len(all_pairs)} pairs this invocation — see the Reproducibility
-appendix for the cross-invocation history).
+Pearson correlations per config (pooling would confound the two
+populations — the 32-core side saturates the memory controller):
+{corr_md}
+(see the Reproducibility appendix for the cross-invocation history).
 """
 
     rows_md = "\n".join(

@@ -282,20 +282,22 @@ def _split_pack_write(
     # --size-col: pack by a PRECOMPUTED token-count column instead of
     # the whitespace default — the seam a production pipeline routes
     # real BPE counts through (pack_sequences sizes by whatever count
-    # lands in the column; it never re-tokenizes). The two stock
+    # lands in the column; it never re-tokenizes). The three stock
     # counters materialize here by name; any other name must already
     # be a column of the corpus frame (e.g. joined in upstream).
-    drop_helper = False
+    # n_ws_tokens is an INTERNAL helper the hygiene stage bakes into its
+    # cache; it is dropped before the corpus write in every mode except
+    # an explicit --size-col n_ws_tokens (where the user asked for that
+    # column and earlier releases wrote it) — the output schema must not
+    # depend on which size column the packing used
+    drop_helper = size_col != "n_ws_tokens" and "n_ws_tokens" in final.columns
     if size_col is None and "n_ws_tokens" in final.columns:
         # the default whitespace sizing, but the count was already
         # computed (and cached) by the quality stage — pack by the
         # column instead of re-scanning text per split. pack_sequences'
         # default size expression IS ws_token_count_col, so n_tokens is
-        # bit-identical; the helper column is an internal detail and is
-        # dropped before the corpus write so the output schema matches
-        # a run that sized from text.
+        # bit-identical.
         size_col = "n_ws_tokens"
-        drop_helper = True
     pack_cols = ["doc_id", "text"]
     if size_col is not None:
         if size_col not in final.columns:
@@ -709,9 +711,9 @@ def main(argv=None) -> dict:
     ap.add_argument(
         "--size-col", default=None,
         help="pack by this precomputed token-count column instead of the "
-        "whitespace default (n_ws_tokens / n_word_tokens materialize by "
-        "name; anything else must already be a corpus column — the hook "
-        "for real BPE counts)",
+        "whitespace default (stock counters n_ws_tokens / n_word_tokens "
+        "/ n_bpe_tokens — the vendored byte-level BPE — materialize by "
+        "name; anything else must already be a corpus column)",
     )
     ap.add_argument(
         "--minhash-kind", default="rolling", choices=["rolling", "md5"],
@@ -734,15 +736,19 @@ def main(argv=None) -> dict:
     args = ap.parse_args(argv)
     if args.append_id is not None and args.store is None:
         ap.error("--append-id requires --store")
-    if args.near_threshold > 1:
-        # the programmatic API documents >1 as degenerate-but-valid
-        # (near-dedup off), but from the CLI it is almost certainly a
-        # typo for a fraction (--near-threshold 8 meaning 0.8) — and the
-        # silent result is a corpus with NO near-dedup. Fail loudly.
+    if not 0 < args.near_threshold <= 1:
+        # the programmatic API documents out-of-(0,1] values as
+        # degenerate-but-valid (>1 = near-dedup off; <=0 = EVERY
+        # band-sharing pair is a dup edge, transitively collapsing the
+        # corpus), but from the CLI either is almost certainly a typo
+        # for a fraction (--near-threshold 8 meaning 0.8) — and the
+        # silent result is a corpus with no near-dedup, or most of the
+        # corpus discarded. Fail loudly.
         ap.error(
-            f"--near-threshold {args.near_threshold} is > 1: thresholds "
-            "are Jaccard fractions in (0, 1] (0.8, not 8); a value above "
-            "1 would silently disable near-dedup"
+            f"--near-threshold {args.near_threshold} is outside (0, 1]: "
+            "thresholds are Jaccard fractions (0.8, not 8); above 1 "
+            "silently disables near-dedup, at or below 0 collapses "
+            "every band-sharing pair into one cluster"
         )
 
     from sparkocr.session import build_session

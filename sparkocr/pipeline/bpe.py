@@ -141,10 +141,30 @@ def load_default_ranks() -> dict[tuple[bytes, bytes], int]:
 # reference encoder (the differential oracle) + batch counter
 # ---------------------------------------------------------------------------
 
+#: Per-word encoding window: a single whitespace-free run longer than
+#: this (minified HTML, a base64/data-URI blob — common in crawl data)
+#: is encoded in independent windows of this many bytes. The classic
+#: merge loop rescans the symbol sequence once per applied merge, so an
+#: unbounded 1 MB "word" could cost ~10^9 operations and stall its
+#: Arrow batch for minutes; windowing bounds the cost at
+#: O(window x merges) per window while changing the count only by the
+#: few merges that would have crossed window boundaries (a counter, not
+#: a tokenizer — the budget arithmetic is unaffected).
+_MAX_WORD_BYTES = 4096
+
+
 def encode_len(word: bytes, ranks: dict[tuple[bytes, bytes], int]) -> int:
     """Token count of one word: classic BPE application — repeatedly
     merge ALL occurrences of the present pair with the lowest rank until
-    no mergeable pair remains. Returns the surviving symbol count."""
+    no mergeable pair remains. Returns the surviving symbol count.
+    Words longer than ``_MAX_WORD_BYTES`` are encoded in independent
+    windows (see the constant's note) so one pathological unbroken run
+    cannot own its executor task."""
+    if len(word) > _MAX_WORD_BYTES:
+        return sum(
+            encode_len(word[i:i + _MAX_WORD_BYTES], ranks)
+            for i in range(0, len(word), _MAX_WORD_BYTES)
+        )
     seq = [word[i:i + 1] for i in range(len(word))]
     while len(seq) > 1:
         best_rank, best_i = None, -1

@@ -111,18 +111,28 @@ def _parse_ppm(payload: bytes):
 
     if payload[:2] != b"P6":
         return None
+    n = len(payload)
     pos, fields = 2, []
     try:
         while len(fields) < 3:
-            # skip whitespace and comments
-            while payload[pos : pos + 1].isspace():
+            # skip whitespace and comments — every scan is bounded by
+            # the payload length: past-the-end slicing yields b'' whose
+            # isspace() is False, so an unbounded `while not ...` loop
+            # would spin forever on any 'P6'-prefixed payload whose
+            # tail lacks a whitespace byte (a truncated file, or plain
+            # text that happens to start with P6)
+            while pos < n and payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= n:
+                return None
             if payload[pos : pos + 1] == b"#":
                 pos = payload.index(b"\n", pos) + 1
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < n and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= n:
+                return None  # header field ran off the end: not a PPM
             fields.append(int(payload[start:pos]))
         pos += 1  # exactly one whitespace byte before the raster
     except (ValueError, IndexError):

@@ -51,19 +51,51 @@ def _epoch_s(col):
 _FOOTER_MAX_FILES = 256
 
 
+#: Logical-plan node names under which file-footer row counts remain an
+#: UPPER bound on the frame's rows: projections, filters, limits, sorts
+#: and aliases never add rows. Anything else (Join, Generate/explode,
+#: Union, Aggregate, ...) can multiply rows past the footer total, so
+#: its presence disables the metadata shortcut.
+_ROW_BOUND_SAFE_NODES = frozenset({
+    "Project", "Filter", "Relation", "LogicalRelation", "SubqueryAlias",
+    "GlobalLimit", "LocalLimit", "Sort", "Repartition",
+    "RepartitionByExpression",
+})
+
+
+def _plan_is_scan_shaped(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan contains only row-non-increasing
+    nodes over file relations — the precondition for the footer bound.
+    Parsed from the plan's treeString (first token per line after the
+    tree art); unknown shapes fail closed."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        name = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if name and name not in _ROW_BOUND_SAFE_NODES:
+            return False
+    return True
+
+
 def _rows_upper_bound(df: DataFrame) -> int | None:
     """Driver-side UPPER BOUND on ``df``'s row count, read from its
     parquet file footers — NO Spark job. Returns ``None`` when unknown
     (non-file source, too many files, non-parquet input, unreadable
-    footer). The bound is safe under projections and filters: the
-    footers count the files' physical rows, and any filter only removes
-    rows, so the true frame is never larger than the bound.
+    footer) or when the frame's plan could hold MORE rows than its
+    input files (joins, explodes, unions — ``_plan_is_scan_shaped``):
+    the footers count the files' physical rows, so the bound is safe
+    exactly for scan/project/filter-shaped plans, where downstream
+    operators only remove rows.
 
     This exists for the adaptive skew dispatch below: the per-key probe
     is an extra Spark job (~0.25 s of fixed cost at any input size),
     but when the WHOLE input holds fewer rows than the engagement
     threshold, no key can possibly reach it — provable from metadata
     alone, for free."""
+    if not _plan_is_scan_shaped(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:

@@ -161,13 +161,14 @@ def main(argv=None) -> list[dict]:
     ap.add_argument("--max-files", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
-    if args.near_threshold > 1:
-        # same CLI guard as corpus_job.main: >1 is a typo for a
-        # fraction, and routing it through the degenerate path would
-        # silently disable near-dedup for every micro-batch
+    if not 0 < args.near_threshold <= 1:
+        # same CLI guard as corpus_job.main: out-of-(0,1] is a typo for
+        # a fraction, and routing it through the degenerate paths would
+        # silently disable (or catastrophically widen) near-dedup for
+        # every micro-batch
         ap.error(
-            f"--near-threshold {args.near_threshold} is > 1: thresholds "
-            "are Jaccard fractions in (0, 1] (0.8, not 8)"
+            f"--near-threshold {args.near_threshold} is outside (0, 1]: "
+            "thresholds are Jaccard fractions (0.8, not 8)"
         )
 
     from sparkocr.session import build_session

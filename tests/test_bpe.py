@@ -105,3 +105,24 @@ def test_corpus_job_packs_by_bpe(spark, tiny_transcripts, tmp_path):
     for pid, members in by_pack.items():
         if len(members) > 1:
             assert sum(m.n_tokens for m in members) <= 512, pid
+
+
+def test_long_unbroken_word_is_windowed():
+    """A whitespace-free megabyte run (minified HTML / base64 blob —
+    common crawl payloads) must encode in bounded time via independent
+    windows, and the windowed count must equal the sum of its windows'
+    counts."""
+    import time
+
+    from sparkocr.pipeline.bpe import _MAX_WORD_BYTES, encode_len
+
+    ranks = _ranks()
+    blob = (b"abcdefgh" * 131072) + b"xyz"  # ~1 MB + ragged tail
+    t0 = time.monotonic()
+    n = encode_len(blob, ranks)
+    assert time.monotonic() - t0 < 10
+    want = sum(
+        encode_len(blob[i:i + _MAX_WORD_BYTES], ranks)
+        for i in range(0, len(blob), _MAX_WORD_BYTES)
+    )
+    assert n == want > 0

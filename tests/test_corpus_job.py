@@ -137,6 +137,9 @@ def test_size_col_packs_by_regex_tokens(spark, tiny_transcripts, tmp_path):
     ).collect()
     assert all(r.n_tokens == r.want for r in chk)
     assert any(r.want != r.ws for r in chk)  # the swap is observable
+    # the internal n_ws_tokens helper must not leak into the written
+    # corpus just because an explicit size column was used
+    assert "n_ws_tokens" not in rows.columns
     per_pack = (
         rows.groupBy("pack_id")
         .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
@@ -281,6 +284,10 @@ def test_near_threshold_above_one_rejected_at_cli():
 
     with pytest.raises(SystemExit):
         main(["--input", "x", "--out", "y", "--near-threshold", "8"])
+    # the mirror typo: at or below 0 every band-sharing pair becomes a
+    # dup edge, transitively collapsing the corpus — also refused
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--out", "y", "--near-threshold", "0"])
     with pytest.raises(SystemExit):
         stream_main([
             "--input-dir", "x", "--out", "y", "--store", "s",

@@ -200,3 +200,27 @@ def test_decode_stats_dispatches_real_rows(spark):
     assert real.n_bytes == len(bmp)
     fake = out[1]
     assert fake.width == 321 and fake.mean_byte is not None
+
+
+def test_ppm_parser_terminates_on_truncated_headers():
+    """A 'P6'-prefixed payload whose header scan runs off the end must
+    return None, not spin forever (the scans are bounded; past-the-end
+    slices yield b'' whose isspace() is False)."""
+    import signal
+
+    from sparkocr.pipeline.multimodal import try_decode_real
+
+    def _alarm(*_):
+        raise TimeoutError("parser hung")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(5)
+    try:
+        for payload in (
+            b"P6", b"P6 ", b"P6abc", b"P6\n# comment with no newline",
+            b"P6\n12", b"P6\n12 34", b"P6\n12 34 255",
+        ):
+            assert try_decode_real(payload) is None, payload
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -127,3 +127,26 @@ def test_asof_dispatch_metadata_shortcut_skips_probe(spark, tmp_path):
         left, right, chunk_min_key_rows=1_000, **kw
     )._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(_k#\d+, _chunk#\d+", plan2), plan2
+
+
+def test_rows_upper_bound_refuses_row_multiplying_plans(spark, tmp_path):
+    """The footer bound is only an upper bound for scan/project/filter
+    plans: a join, explode, or union can hold MORE rows than the input
+    files, so those shapes must report unknown (None) and fall back to
+    the honest probe."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.pipeline.relational_ext import _rows_upper_bound
+
+    p = str(tmp_path / "rm.parquet")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert _rows_upper_bound(df.select("k")) == 100  # scan-shaped: ok
+    assert _rows_upper_bound(df.join(df.select("k").distinct(), "k")) is None
+    assert _rows_upper_bound(
+        df.select(F.explode(F.array("id", "k")))
+    ) is None
+    assert _rows_upper_bound(df.unionByName(df)) is None
+    assert _rows_upper_bound(df.groupBy("k").count()) is None

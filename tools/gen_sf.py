@@ -137,7 +137,11 @@ def generate(out_dir: str, sf: float = 1.0, seed: int = 42) -> None:
     n_li_target = int(6_000_000 * sf)
     per_order = rng.integers(1, 8, n_ord)
     cum = np.cumsum(per_order)
-    cut = int(np.searchsorted(cum, n_li_target))
+    # clamp: when the drawn total falls short of the target (E[total]
+    # equals the target exactly, so this is a coin flip per seed),
+    # searchsorted returns n_ord and the unclamped slice below would
+    # build a boundary array one longer than per_order
+    cut = min(int(np.searchsorted(cum, n_li_target)), n_ord - 1)
     per_order = per_order[: cut + 1]
     l_orderkey = np.repeat(np.arange(len(per_order), dtype=np.int64), per_order)
     n_li = len(l_orderkey)
