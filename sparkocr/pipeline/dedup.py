@@ -687,18 +687,24 @@ def _finish_on_driver(
 
 
 #: Symmetrized-edge count at or below which ``dup_clusters`` finishes the
-#: transitive closure on the driver (union-find over a collected edge list)
-#: instead of running the distributed propagation loop. 2^21 edges is two
-#: ~16 MB int64 arrays — trivially driver-sized, yet far above any healthy
-#: near-dup pair graph (the 20k-doc bench corpus mines 64k). String-id
-#: graphs are additionally byte-budgeted (see DRIVER_MAX_BYTES): the
-#: count cap assumes int64-sized rows.
-DRIVER_MAX_EDGES = 1 << 21
+#: transitive closure on the driver (union-find over a collected edge
+#: list) instead of running the distributed propagation loop. Set from a
+#: measured crossover, not caution: on the 80k-doc 4x bench graph
+#: (10.99M symmetrized / 5.5M collected edges, ~88 MB of int64 arrays)
+#: the driver union-find finishes in 7-10 s while the distributed loop
+#: needs 12 driver-paced rounds ≈ 34 s — the loop's per-round cost is
+#: what the scaling protocol's Amdahl fit identified as the corpus
+#: job's serialized slice, so the finisher stays the better plan until
+#: the BYTE budget (below) refuses. 2^24 symmetrized = up to 8.4M
+#: collected int rows; in practice DRIVER_MAX_BYTES binds first.
+DRIVER_MAX_EDGES = 1 << 24
 
-#: Estimated collected-edge footprint above which the driver finisher is
-#: refused even under the edge-count cap — bounds both the driver pandas
-#: frame and each executor's broadcast copy of the label frame when ids
-#: are wide strings (uuid/path-shaped doc_ids).
+#: Estimated COLLECTED-edge footprint (one undirected row per edge pair
+#: — half the symmetrized count) above which the driver finisher is
+#: refused even under the edge-count cap — bounds the driver pandas
+#: frame; the broadcast label frame is bounded by twice this (worst
+#: case every edge touches two fresh nodes; real near-dup graphs are
+#: clique-ish and come out far smaller).
 DRIVER_MAX_BYTES = 128 << 20
 
 
@@ -725,8 +731,8 @@ def dup_clusters(
     dispatch):
 
     * **driver finisher** (``n_edges <= driver_max_edges``, default
-      2^21): collect the undirected edge list (two int64/str arrays, at
-      most ~32 MB at the cap), run union-find with the min-id root
+      2^24, byte-budgeted): collect the undirected edge list (int64/str
+      arrays, at most DRIVER_MAX_BYTES), run union-find with the min-id root
       convention on the driver, and broadcast the resulting
       (edge-touched-id → cluster) map back over the distributed node
       set. The full node population NEVER leaves the cluster — only
@@ -841,7 +847,7 @@ def dup_clusters(
     try:
         from pyspark.sql.types import StringType
 
-        # the edge-count cap alone under-sizes string ids: 2^21 edges of
+        # the edge-count cap alone under-sizes string ids: 2^24 edges of
         # 64-char doc_ids is hundreds of MB on the driver (and again in
         # every executor's broadcast cache), not the two ~16 MB int64
         # arrays the cap was budgeted for — so string graphs also
@@ -863,9 +869,14 @@ def dup_clusters(
         else:
             n_edges = 2 * und.count()
             pair_bytes = 16.0
+        # the byte budget bounds what is actually COLLECTED — one
+        # undirected row per edge pair, i.e. n_edges/2 rows (the earlier
+        # symmetrized-count form double-counted and refused graphs the
+        # driver handles comfortably: the measured 5.5M-collected-edge
+        # graph is ~88 MB and union-finds in 7-10 s)
         driver_ok = (
             n_edges <= driver_max_edges
-            and n_edges * pair_bytes <= DRIVER_MAX_BYTES
+            and (n_edges // 2) * pair_bytes <= DRIVER_MAX_BYTES
         )
         if stats is not None:
             stats.update(

@@ -330,3 +330,23 @@ def test_generation_stats_do_not_snowball(spark):
         labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     assert 0 < size < 100 * 1024 * 1024
+
+
+def test_byte_budget_counts_collected_rows(spark, monkeypatch):
+    """The driver-finisher byte budget bounds what is COLLECTED — one
+    undirected row per edge pair — not the symmetrized count: a graph
+    whose collected half fits must take the driver path even when the
+    doubled count would not."""
+    from sparkocr.pipeline import dedup
+
+    n = 2000  # 2000 undirected edges = 4000 symmetrized
+    pairs = spark.createDataFrame(
+        [(i, i + 100_000) for i in range(n)], "id1 long, id2 long"
+    )
+    # budget admits the collected half (2000*16 = 32000) but NOT the
+    # symmetrized count (4000*16 = 64000): must still run on the driver
+    monkeypatch.setattr(dedup, "DRIVER_MAX_BYTES", 40_000)
+    stats: dict = {}
+    out = dedup.dup_clusters(pairs, stats=stats)
+    assert stats["mode"] == "driver"
+    assert out.count() == 2 * n
